@@ -1,0 +1,110 @@
+"""Layer-2 property tests (SURVEY.md §5.2): M3 schema-union algebra.
+
+Commutativity + associativity + idempotence license the tree-shaped global
+schema reduce (SURVEY §2.4 A5) — without them, partial aggregation order
+would change the global ontology."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapontologies_spark.functions.semantics import (
+    canonical_json,
+    schema_union,
+    schema_union_all,
+)
+
+_types = st.sampled_from(["string", "integer", "number", "object", "array", "boolean"])
+
+
+def _schema(depth: int = 2) -> st.SearchStrategy:
+    leaf = st.fixed_dictionaries(
+        {"type": st.sampled_from(["string", "integer", "number", "boolean"])},
+        optional={"format": st.sampled_from(["date", "uri"])},
+    )
+    if depth == 0:
+        return leaf
+    names = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    obj = st.builds(
+        lambda props, req: {
+            "type": "object",
+            "properties": props,
+            **({"required": sorted(set(req) & set(props))} if req else {}),
+        },
+        st.dictionaries(names, st.deferred(lambda: _schema(depth - 1)), max_size=3),
+        st.lists(names, max_size=3),
+    )
+    arr = st.builds(
+        lambda items: {"type": "array", "items": items},
+        st.deferred(lambda: _schema(depth - 1)),
+    )
+    return st.one_of(leaf, obj, arr)
+
+
+SCHEMAS = _schema(2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(SCHEMAS, SCHEMAS)
+def test_commutative(a, b):
+    assert canonical_json(schema_union(a, b)) == canonical_json(schema_union(b, a))
+
+
+@settings(max_examples=200, deadline=None)
+@given(SCHEMAS, SCHEMAS, SCHEMAS)
+def test_associative(a, b, c):
+    left = schema_union(schema_union(a, b), c)
+    right = schema_union(a, schema_union(b, c))
+    assert canonical_json(left) == canonical_json(right)
+
+
+@settings(max_examples=100, deadline=None)
+@given(SCHEMAS)
+def test_idempotent(a):
+    assert canonical_json(schema_union(a, a)) == canonical_json(a) or schema_union(
+        a, a
+    ) == schema_union(a, {})  # union with self adds nothing
+
+
+@settings(max_examples=100, deadline=None)
+@given(SCHEMAS)
+def test_identity(a):
+    assert schema_union(a, {}) == a or canonical_json(schema_union(a, {})) == canonical_json(a)
+    assert canonical_json(schema_union({}, a)) == canonical_json(schema_union(a, {}))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(SCHEMAS, min_size=1, max_size=6))
+def test_fold_equals_tree(schemas):
+    """Sequential fold == pairwise tree reduce (the A5 safety property)."""
+    seq = schema_union_all(schemas)
+    level = list(schemas)
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(schema_union(level[i], level[i + 1]))
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    assert canonical_json(seq) == canonical_json(level[0])
+
+
+def test_union_rules_golden():
+    a = {
+        "type": "object",
+        "properties": {"name": {"type": "string"}, "fee": {"type": "integer"}},
+        "required": ["name", "fee"],
+    }
+    b = {
+        "type": "object",
+        "properties": {"name": {"type": "string"}, "addr": {"type": "string"}},
+        "required": ["name"],
+    }
+    u = schema_union(a, b)
+    assert set(u["properties"]) == {"name", "fee", "addr"}
+    assert u["required"] == ["name"]  # intersection
+    # type conflict → most-general wins, conflict recorded
+    conflicts: list = []
+    u2 = schema_union({"type": "integer"}, {"type": "string"}, conflicts)
+    assert u2["type"] == "string" and conflicts

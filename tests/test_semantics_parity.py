@@ -1,0 +1,263 @@
+"""Layer-1 parity tests (SURVEY.md §5.1): our pure semantics vs the
+reference's own functions executed from /root/reference (see
+reference_oracle.py).  These pin the P/R contract before any Spark."""
+
+from __future__ import annotations
+
+import copy
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapontologies_spark.functions import semantics as S
+from tests.reference_oracle import load_oracle
+
+oracle = load_oracle()
+
+# --- golden merge cases (FIXTURES.md merge_na_cases) -----------------------
+
+MERGE_CASES = [
+    # NA skipping: None / 'NA' / '' from right are ignored
+    ({"a": 1}, {"a": None, "b": "NA", "c": "", "d": 2}),
+    # right fills missing or NA-valued left keys
+    ({"a": None, "b": "NA", "c": ""}, {"a": 1, "b": 2, "c": 3}),
+    # first-non-NA wins: existing scalars never overwritten
+    ({"a": 1}, {"a": 2}),
+    ({"a": "x"}, {"a": "y"}),
+    # dict ∧ dict recursion
+    ({"a": {"x": 1, "y": "NA"}}, {"a": {"y": 2, "z": 3}}),
+    # list ∧ list extends, keeps duplicates, drops NA elements
+    ({"a": [1, 2]}, {"a": [2, "NA", 3, None, ""]}),
+    # type mismatch (dict vs scalar): keep left
+    ({"a": {"x": 1}}, {"a": 5}),
+    ({"a": 5}, {"a": {"x": 1}}),
+    # list vs scalar: keep left
+    ({"a": [1]}, {"a": 2}),
+    # 0 and False are NOT NA (== semantics of the sentinel tuple)
+    ({}, {"a": 0, "b": False}),
+    ({"a": 0}, {"a": 9}),
+    # deep nesting
+    (
+        {"p": {"q": {"r": "NA", "s": [1]}}},
+        {"p": {"q": {"r": 7, "s": [2], "t": {"u": "v"}}}},
+    ),
+    # empty left copies right minus NA
+    ({}, {"a": 1, "b": None}),
+    ({}, {}),
+]
+
+
+@pytest.mark.parametrize("d1,d2", MERGE_CASES)
+def test_merge_matches_reference(d1, d2):
+    ours = S.merge_dicts_preferring_non_na(d1, d2)
+    ref = oracle.merge(copy.deepcopy(d1), copy.deepcopy(d2))
+    assert ours == ref
+
+
+def test_merge_is_pure_reference_is_not():
+    d1 = {"a": [1]}
+    S.merge_dicts_preferring_non_na(d1, {"a": [2]})
+    assert d1 == {"a": [1]}  # ours: no mutation (documented deviation)
+
+
+# --- fold order sensitivity (A2) -------------------------------------------
+
+FOLD_CASES = [
+    [{"a": 1}, {"a": 2}, {"b": 3}],
+    [{"a": "NA"}, {"a": 1}, {"a": 2}],
+    [{"l": [1]}, {"l": [2]}, {"l": [1]}],
+    [{"n": {"x": 1}}, {"n": {"x": 9, "y": 2}}, {"n": "scalar"}],
+    [],
+    [{"a": None}, {}, {"a": 5}],
+]
+
+
+@pytest.mark.parametrize("dicts", FOLD_CASES)
+def test_fold_matches_reference(dicts):
+    ours = S.combine_entities_data(copy.deepcopy(dicts))
+    ref = oracle.combine(copy.deepcopy(dicts))
+    assert ours == ref
+
+
+def test_fold_is_order_sensitive():
+    a = [{"a": 1}, {"a": 2}]
+    b = [{"a": 2}, {"a": 1}]
+    assert S.combine_entities_data(a) != S.combine_entities_data(b)
+
+
+# --- property-based: merge vs reference on random nested dicts -------------
+
+_scalars = st.one_of(
+    st.none(),
+    st.just("NA"),
+    st.just(""),
+    st.integers(-5, 5),
+    st.sampled_from(["x", "y", "zz"]),
+    st.booleans(),
+)
+_values = st.recursive(
+    _scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.sampled_from("abcde"), children, max_size=3),
+    ),
+    max_leaves=12,
+)
+_dicts = st.dictionaries(st.sampled_from("abcde"), _values, max_size=4)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_dicts, _dicts)
+def test_merge_property_parity(d1, d2):
+    ours = S.merge_dicts_preferring_non_na(d1, d2)
+    ref = oracle.merge(copy.deepcopy(d1), copy.deepcopy(d2))
+    assert ours == ref
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_dicts, max_size=5))
+def test_fold_property_parity(dicts):
+    ours = S.combine_entities_data(copy.deepcopy(dicts))
+    ref = oracle.combine(copy.deepcopy(dicts))
+    assert ours == ref
+
+
+@settings(max_examples=100, deadline=None)
+@given(_dicts)
+def test_merge_left_bias_invariants(d):
+    # merge(a, {}) == a ; merge({}, b) == strip_na(b) at the top level
+    assert S.merge_dicts_preferring_non_na(d, {}) == d
+    merged = S.merge_dicts_preferring_non_na({}, d)
+    assert set(merged) == {k for k, v in d.items() if not S.is_na(v)}
+
+
+# --- fence extraction (P1/P2) ----------------------------------------------
+
+FENCE_CASES = [
+    "```json\n{\"a\": 1}\n```",
+    "noise before ```json {\"a\": 1} ``` noise after",
+    "```python\nentities = []\n```",
+    "no fences at all",
+    "```json\n```",  # empty body
+    "```json\n{\"nested\": \"``\"}\n```",
+    "Page 1: ```json\n[1,2,3]\n``` Page 2: ```json\n[4]\n```",  # first match wins
+    "```JSON\n{}\n```",  # case-sensitive: no match
+]
+
+
+@pytest.mark.parametrize("s", FENCE_CASES)
+def test_fence_extraction_matches_reference(s):
+    assert S.extract_json_content(s) == oracle.extract_json(s)
+    assert S.extract_python_content(s) == oracle.extract_python(s)
+
+
+# --- A3 page merge → entities ----------------------------------------------
+
+
+def test_merge_extracted_pages_entities():
+    pages = ['{"inv": {"name": "A", "fee": "NA"}}', '{"inv": {"fee": 3}, "co": {"n": 1}}']
+    ents, bad = S.merge_extracted_pages(pages)
+    assert bad == []
+    assert [e.id for e in ents] == ["inv", "co"]
+    assert ents[0].type == "object"
+    assert ents[0].attributes == {"name": "A", "fee": 3}
+    # cross-check the merged dict against the reference fold itself
+    ref = oracle.combine([json.loads(p) for p in pages])
+    assert {e.id: e.attributes for e in ents} == ref
+
+
+def test_merge_extracted_pages_quarantine_vs_raise():
+    pages = ['{"a": 1}', "not json"]
+    ents, bad = S.merge_extracted_pages(pages, quarantine=True)
+    assert bad == ["not json"] and [e.id for e in ents] == ["a"]
+    with pytest.raises(ValueError):  # reference-exact mode: raises (pdf_parser.py:692-694)
+        S.merge_extracted_pages(pages, quarantine=False)
+
+
+# --- C1/C2 delete cascade ---------------------------------------------------
+
+
+def _graph():
+    ents = [S.Entity("a", "object", {}), S.Entity("b", "object", {}), S.Entity("c", "object", {})]
+    rels = [
+        S.Relation("r1", "a", "b", "has_b"),
+        S.Relation("r2", "b", "c", "has_c"),
+        S.Relation("r3", "a", "c", "has_c"),
+        S.Relation("r4", "a", "c", "likes"),
+    ]
+    return ents, rels
+
+
+def test_delete_entity_cascade():
+    ents, rels = _graph()
+    e2, r2 = S.delete_entity_cascade(ents, rels, "b")
+    assert [e.id for e in e2] == ["a", "c"]
+    assert [r.id for r in r2] == ["r3", "r4"]
+
+
+def test_delete_relation_by_composite_key():
+    _, rels = _graph()
+    out = S.delete_relation(rels, ("a", "c", "has_c"))
+    assert [r.id for r in out] == ["r1", "r2", "r4"]
+
+
+# --- M6 reconcile -----------------------------------------------------------
+
+
+def test_reconcile_rules():
+    existing = [S.Entity("x", "object", {"p": 1, "q": "NA"})]
+    new = [S.Entity("x", "object", {"q": 2, "r": 3}), S.Entity("y", "object", {"s": 4})]
+    out = S.reconcile_entities(existing, new)
+    assert [e.id for e in out] == ["x", "y"]
+    assert out[0].attributes == {"p": 1, "q": 2, "r": 3}
+    # rule 4: empty existing → copy new
+    out2 = S.reconcile_entities([], new)
+    assert [e.id for e in out2] == ["x", "y"]
+
+
+# --- M4 schema → entities (exemplar prompts.py:286-301 shape) ---------------
+
+
+def test_schema_to_entities():
+    schema = {
+        "type": "object",
+        "properties": {
+            "investorInformation": {
+                "type": "object",
+                "properties": {
+                    "targetInvestors": {"type": "string"},
+                    "investmentConsiderations": {"type": "string"},
+                },
+            },
+            "fees": {"type": "array", "items": {"type": "string"}},
+        },
+    }
+    ents = S.schema_to_entities(schema)
+    assert [e.id for e in ents] == ["investorInformation", "fees"]
+    assert all(e.type == "object" for e in ents)
+    assert ents[0].attributes == {
+        "targetInvestors": "string",
+        "investmentConsiderations": "string",
+    }
+    assert ents[1].attributes == {"array": "string"}
+
+
+# --- M5 containment relations (Digraph exemplar prompts.py:1-38) ------------
+
+
+def test_containment_relations():
+    ents = [
+        S.Entity(
+            "portfolio",
+            "object",
+            {"name": "string", "fees": {"salesCharges": "string", "fundExpenses": {"mer": "string"}}},
+        )
+    ]
+    rels = S.derive_containment_relations(ents)
+    triples = {(r.source, r.name, r.target) for r in rels}
+    assert ("ROOT", "has_portfolio", "portfolio") in triples
+    assert ("portfolio", "has_fees", "fees") in triples
+    assert ("fees", "has_fundExpenses", "fundExpenses") in triples
+    assert ("portfolio", "has_name", "name") not in triples  # scalars are not nodes
