@@ -1,0 +1,330 @@
+"""M1 — deterministic mention detection / per-chunk schema induction.
+
+Stand-in for the reference's per-page LLM calls (``_generate_json_schemas``
+pdf_parser.py:395-416 and ``_extract_data_from_pages`` pdf_parser.py:657-681;
+SURVEY §2.11 M1): regex grammars per language extract declarations
+(functions, classes, imports, methods) and call sites as candidate entity
+mentions; a per-chunk payload dict (the analog of one page's extracted JSON)
+feeds the order-sensitive A2 fold; a per-chunk induced JSON-schema digest
+feeds the A4/A5 union.
+
+Pure Python, zero Spark imports — imported by the Arrow-batched UDFs in
+``operators/extract.py`` AND by the sequential pytest oracle, so the
+distributed pipeline and the driver-side reference fold share one
+implementation of the per-chunk logic (parity by construction; only the
+distribution strategy is under test).
+
+The unit of work is a *chunk* (the reference's "page"): ``chunk_id`` is the
+byte offset of the chunk start within the document, so ids are stable across
+reruns and partitionings (SURVEY §2.5 — never ``monotonically_increasing_id``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, List, Tuple
+
+from .semantics import (
+    combine_entities_data,
+    is_na,
+    merge_dicts_preferring_non_na,
+    schema_union,
+    schema_union_all,
+)
+
+DEFAULT_CHUNK_BYTES = 1024
+
+# ---------------------------------------------------------------------------
+# Chunker (the "PDF → pages" scan fan-out, SURVEY §2.1 S1)
+# ---------------------------------------------------------------------------
+
+
+def chunk_text(content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> List[Tuple[int, str]]:
+    """Split content at line boundaries into ~chunk_bytes chunks.
+
+    Returns ``[(chunk_id, chunk_text)]`` with chunk_id = byte offset of the
+    chunk's first character (UTF-8).  Line-boundary splitting guarantees a
+    declaration line is never cut in half.  Every document yields ≥1 chunk
+    (even empty content), mirroring "every PDF has ≥1 page".
+    """
+    if content == "":
+        return [(0, "")]
+    lines = content.split("\n")
+    chunks: List[Tuple[int, str]] = []
+    cur: List[str] = []
+    cur_bytes = 0
+    offset = 0
+    cur_offset = 0
+    for ln in lines:
+        nbytes = len(ln.encode("utf-8")) + 1  # + newline
+        if cur and cur_bytes + nbytes > chunk_bytes:
+            chunks.append((cur_offset, "\n".join(cur)))
+            cur, cur_bytes, cur_offset = [], 0, offset
+        cur.append(ln)
+        cur_bytes += nbytes
+        offset += nbytes
+    if cur:
+        chunks.append((cur_offset, "\n".join(cur)))
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# Per-language mention grammars
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "if", "for", "while", "return", "def", "class", "import", "from", "func",
+    "function", "switch", "catch", "print", "len", "range", "int", "str",
+    "super", "new", "type", "struct", "void",
+}
+
+_PY_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
+_PY_FROM = re.compile(r"^from\s+(\w+)\s+import", re.M)
+_PY_DEF = re.compile(r"^(\s*)def\s+(\w+)\s*\(", re.M)
+_PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
+
+_JS_IMPORT = re.compile(r"""(?:import\s+\w+\s+from\s+['"](\w+)['"]|require\(['"](\w+)['"]\))""")
+_JS_FUNC = re.compile(r"^\s*function\s+(\w+)\s*\(", re.M)
+_JS_CLASS = re.compile(r"^\s*class\s+(\w+)", re.M)
+
+_GO_IMPORT = re.compile(r'^import\s+"(\w+)"', re.M)
+_GO_FUNC = re.compile(r"^func\s+(?:\([^)]*\)\s*)?(\w+)\s*\(", re.M)
+_GO_TYPE = re.compile(r"^type\s+(\w+)\s+struct", re.M)
+
+_JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
+_JAVA_CLASS = re.compile(r"^\s*(?:public\s+|final\s+)?class\s+(\w+)", re.M)
+_JAVA_METHOD = re.compile(r"^\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{", re.M)
+
+_CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
+_DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
+
+# Natural-language gazetteer for prose corpora (the driver's ``documents``
+# table): fixed analytics-term vocabulary; a 'term' mention per occurrence.
+TEXT_TERMS = (
+    "join", "scan", "hash", "sort", "merge", "filter", "group", "window",
+    "agg", "batch", "stream", "query",
+)
+_TEXT_TERM_RE = re.compile(r"\b(" + "|".join(TEXT_TERMS) + r")\b")
+
+
+def extract_mentions(lang: str, text: str) -> List[Dict[str, str]]:
+    """Extract mention rows from one chunk.
+
+    Each mention: ``{"kind": function|class|method|import|call,
+    "name": symbol, "owner": enclosing class/function or ''}``.
+    Deterministic order: document order of the match start.  Markdown (and
+    any unknown lang) yields no mentions — the no-match path.
+    """
+    out: List[Dict[str, str]] = []
+    if lang == "python":
+        decls: List[Tuple[int, Dict[str, str]]] = []
+        for m in _PY_IMPORT.finditer(text):
+            decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
+        for m in _PY_FROM.finditer(text):
+            decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
+        for m in _PY_CLASS.finditer(text):
+            decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        # defs: indented def inside a class body = method of nearest class above
+        class_spans = sorted((m.start(), m.group(1)) for m in _PY_CLASS.finditer(text))
+        for m in _PY_DEF.finditer(text):
+            indent, name = m.group(1), m.group(2)
+            owner = ""
+            if indent:
+                preceding = [c for c in class_spans if c[0] < m.start()]
+                if preceding:
+                    owner = preceding[-1][1]
+            kind = "method" if owner else "function"
+            decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        out.extend(_calls(text))
+    elif lang == "javascript":
+        for m in _JS_IMPORT.finditer(text):
+            out.append({"kind": "import", "name": m.group(1) or m.group(2), "owner": ""})
+        for m in _JS_FUNC.finditer(text):
+            out.append({"kind": "function", "name": m.group(1), "owner": ""})
+        for m in _JS_CLASS.finditer(text):
+            out.append({"kind": "class", "name": m.group(1), "owner": ""})
+        out.extend(_calls(text))
+    elif lang == "go":
+        for m in _GO_IMPORT.finditer(text):
+            out.append({"kind": "import", "name": m.group(1), "owner": ""})
+        for m in _GO_FUNC.finditer(text):
+            out.append({"kind": "function", "name": m.group(1), "owner": ""})
+        for m in _GO_TYPE.finditer(text):
+            out.append({"kind": "class", "name": m.group(1), "owner": ""})
+        out.extend(_calls(text))
+    elif lang == "java":
+        for m in _JAVA_IMPORT.finditer(text):
+            out.append({"kind": "import", "name": m.group(1), "owner": ""})
+        cls = ""
+        for m in _JAVA_CLASS.finditer(text):
+            cls = m.group(1)
+            out.append({"kind": "class", "name": cls, "owner": ""})
+        for m in _JAVA_METHOD.finditer(text):
+            out.append({"kind": "method", "name": m.group(1), "owner": cls})
+        out.extend(_calls(text))
+    elif lang == "text":
+        for m in _TEXT_TERM_RE.finditer(text):
+            out.append({"kind": "term", "name": m.group(1), "owner": ""})
+    return out
+
+
+def _calls(text: str) -> List[Dict[str, str]]:
+    """Call-site mentions with enclosing-function attribution.
+
+    A call on a non-declaration line is attributed to the most recent
+    function/method declaration above it in the same chunk ('' = module
+    level).  Deterministic under chunking because the oracle chunks the same
+    way.
+    """
+    calls: List[Dict[str, str]] = []
+    current = ""
+    for line in text.split("\n"):
+        dm = (
+            _PY_DEF.match(line)
+            or _JS_FUNC.match(line)
+            or _GO_FUNC.match(line)
+            or _JAVA_METHOD.match(line)
+        )
+        if dm:
+            current = dm.group(dm.lastindex)
+            continue
+        if _DECL_LINE.match(line):
+            continue
+        for m in _CALL.finditer(line):
+            name = m.group(1)
+            if name in _KEYWORDS:
+                continue
+            calls.append({"kind": "call", "name": name, "owner": current})
+    return calls
+
+
+# ---------------------------------------------------------------------------
+# Per-chunk payload (the "page JSON answer" analog) + schema digest
+# ---------------------------------------------------------------------------
+
+
+def chunk_payload(mentions: Iterable[Dict[str, str]]) -> Dict[str, Any]:
+    """Build the per-chunk extraction dict that the A2 fold consumes.
+
+    Declared symbols contribute ``{kind, owner?}``; call sites contribute
+    ``{"kind": "NA", "called_by": [...]}`` for the callee and accumulate
+    ``calls`` on the caller.  Built with the A1 merge in mention order, so a
+    chunk's payload has the same first-non-NA-wins semantics as a page.
+    """
+    payload: Dict[str, Any] = {}
+    for m in mentions:
+        if m["kind"] == "call":
+            callee, caller = m["name"], m["owner"]
+            delta: Dict[str, Any] = {callee: {"kind": "NA", "called_by": [caller or "__module__"]}}
+            if caller:
+                delta[caller] = {"kind": "NA", "calls": [callee]}
+            payload = merge_dicts_preferring_non_na(payload, delta)
+        elif m["kind"] == "import":
+            payload = merge_dicts_preferring_non_na(
+                payload, {m["name"]: {"kind": "import"}}
+            )
+        else:
+            entry: Dict[str, Any] = {"kind": m["kind"]}
+            if m["owner"]:
+                entry["owner"] = m["owner"]
+            payload = merge_dicts_preferring_non_na(payload, {m["name"]: entry})
+    return payload
+
+
+def induce_schema(value: Any) -> Dict[str, Any]:
+    """Induce a draft-style JSON schema from an extracted value (the M1
+    analog of per-page schema induction, pdf_parser.py:395-416)."""
+    if isinstance(value, bool):
+        return {"type": "boolean"}
+    if isinstance(value, int):
+        return {"type": "integer"}
+    if isinstance(value, float):
+        return {"type": "number"}
+    if isinstance(value, str):
+        return {"type": "string"}
+    if isinstance(value, list):
+        items: Dict[str, Any] = {}
+        for v in value:
+            items = schema_union(items, induce_schema(v))
+        return {"type": "array", "items": items}
+    if isinstance(value, dict):
+        return {
+            "type": "object",
+            "properties": {k: induce_schema(v) for k, v in value.items() if not is_na(v)},
+        }
+    return {}
+
+
+def chunk_schema_digest(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-chunk ontology digest: union of the induced schemas of each
+    extracted symbol's attributes, keyed under the symbol's kind."""
+    digest: Dict[str, Any] = {}
+    for name, attrs in payload.items():
+        kind = attrs.get("kind") if isinstance(attrs, dict) else None
+        key = kind if not is_na(kind) else "unknown"
+        digest = schema_union(
+            digest, {"type": "object", "properties": {key: induce_schema(attrs)}}
+        )
+    return digest
+
+
+# ---------------------------------------------------------------------------
+# Sequential document oracle (EP2 re-expression, driver-side)
+# ---------------------------------------------------------------------------
+
+
+def document_payload(
+    lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> Dict[str, Any]:
+    """The reference-shaped sequential path for ONE document: chunk → per-
+    chunk payload → A2 left fold in chunk order.  This is the oracle the
+    distributed fold must match exactly (SURVEY §5.3)."""
+    payloads = [
+        chunk_payload(extract_mentions(lang, text)) for _, text in chunk_text(content, chunk_bytes)
+    ]
+    return combine_entities_data(payloads)
+
+
+def document_schema(
+    lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> Dict[str, Any]:
+    """Per-document schema: union of per-chunk digests (A4)."""
+    return schema_union_all(
+        chunk_schema_digest(chunk_payload(extract_mentions(lang, text)))
+        for _, text in chunk_text(content, chunk_bytes)
+    )
+
+
+def document_triples(
+    repo: str, path: str, lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> List[Tuple[str, str, str, str]]:
+    """Sequential triple oracle for one document: (subj, pred, obj, rel_type).
+
+    Triple shape per primitives.py:10-17 (subj=source, pred=name, obj=target):
+      module --imports--> lib::<mod>
+      module --defines--> module::<function|class>
+      class  --has_method--> module::<method>
+      caller --calls--> module::<callee>   (caller = enclosing fn or module)
+    Deduplicated, deterministic sort.
+    """
+    module_id = f"{repo}/{path}"
+    triples = set()
+    for _, text in chunk_text(content, chunk_bytes):
+        for m in extract_mentions(lang, text):
+            kind, name, owner = m["kind"], m["name"], m["owner"]
+            if kind == "import":
+                triples.add((module_id, "imports", f"lib::{name}", "import"))
+            elif kind in ("function", "class"):
+                triples.add((module_id, "defines", f"{module_id}::{name}", "defines"))
+            elif kind == "method":
+                triples.add(
+                    (f"{module_id}::{owner}", "has_method", f"{module_id}::{name}", "containment")
+                )
+                triples.add((module_id, "defines", f"{module_id}::{name}", "defines"))
+            elif kind == "call":
+                caller = f"{module_id}::{owner}" if owner else module_id
+                triples.add((caller, "calls", f"{module_id}::{name}", "call"))
+            elif kind == "term":
+                triples.add((module_id, "mentions", f"term::{name}", "mention"))
+    return sorted(triples)

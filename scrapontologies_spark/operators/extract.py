@@ -1,0 +1,157 @@
+"""Distributed chunk + extract stage (SURVEY §3 EP2 steps 2-4).
+
+One Arrow-batched ``mapInPandas`` pass fuses the chunker (S1 fan-out: one
+file row → N chunk rows, the "PDF → pages" analog of pdf_parser.py:54-108)
+with M1 mention detection — no shuffle between them, and Catalyst pipelines
+the pass with the upstream scan.  Python is entered once per input batch
+(the sanctioned slow path per SURVEY §2.10); everything downstream of this
+stage (explode, triple derivation, joins) is JVM-side.
+
+Output: one row per chunk with the per-chunk payload (the "page JSON
+answer"), the per-chunk schema digest, and the mention list as a JSON array
+for JVM-side ``from_json`` + ``explode``.
+
+Scale notes (100 TB design point):
+- chunk ids are byte offsets → stable across reruns/partitioning, so the
+  order-sensitive A2 fold is reproducible (SURVEY §2.5).
+- the sha256 invariant column is computed here once and carried end-to-end
+  (BASELINE input_hint).
+- no driver collection; output partitioning inherits the scan's splits.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.code_gazetteer import (
+    DEFAULT_CHUNK_BYTES,
+    chunk_payload,
+    chunk_schema_digest,
+    chunk_text,
+    extract_mentions,
+)
+from ..functions.semantics import canonical_json, sha256_hex
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("schema_json", T.StringType()),
+        T.StructField("mentions_json", T.StringType()),
+    ]
+)
+
+MENTION_STRUCT = "array<struct<kind:string,name:string,owner:string>>"
+
+
+def extract_chunks(corpus: DataFrame, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> DataFrame:
+    """corpus(repo,path,commit,lang,content) → chunk rows with payload,
+    schema digest and mentions.  Narrow transformation (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for repo, path, commit, lang, content in zip(
+                b["repo"], b["path"], b["commit"], b["lang"], b["content"]
+            ):
+                sha = sha256_hex(content)
+                for cid, text in chunk_text(content, chunk_bytes):
+                    mentions = extract_mentions(lang, text)
+                    payload = chunk_payload(mentions)
+                    digest = chunk_schema_digest(payload)
+                    rows.append(
+                        (
+                            repo,
+                            path,
+                            commit,
+                            lang,
+                            sha,
+                            cid,
+                            canonical_json(payload),
+                            canonical_json(digest),
+                            json.dumps(mentions),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in CHUNK_SCHEMA.fields],
+            )
+
+    return corpus.mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+def mentions_df(chunks: DataFrame) -> DataFrame:
+    """Chunk rows → one row per mention (JVM-side from_json + explode)."""
+    return (
+        chunks.select(
+            "repo",
+            "path",
+            "lang",
+            "chunk_id",
+            F.explode(F.from_json("mentions_json", MENTION_STRUCT)).alias("m"),
+        )
+        .select("repo", "path", "lang", "chunk_id", "m.kind", "m.name", "m.owner")
+    )
+
+
+def triples_from_mentions(mentions: DataFrame) -> DataFrame:
+    """M5(b) — deterministic code-semantics triples, entirely JVM-side
+    (SURVEY §2.11 M5): imports / defines / has_method / calls.
+
+    Triple field mapping per primitives.py:10-17: subj=source, pred=name,
+    obj=target; deduplicated with a single distinct (shuffle on the triple
+    key — unavoidable and final).
+    """
+    module_id = F.concat_ws("/", "repo", "path")
+    qual = lambda name_col: F.concat(module_id, F.lit("::"), name_col)
+
+    imports = mentions.filter(F.col("kind") == "import").select(
+        module_id.alias("subj"),
+        F.lit("imports").alias("pred"),
+        F.concat(F.lit("lib::"), F.col("name")).alias("obj"),
+        F.lit("import").alias("rel_type"),
+    )
+    defines = mentions.filter(F.col("kind").isin("function", "class", "method")).select(
+        module_id.alias("subj"),
+        F.lit("defines").alias("pred"),
+        qual(F.col("name")).alias("obj"),
+        F.lit("defines").alias("rel_type"),
+    )
+    methods = mentions.filter(F.col("kind") == "method").select(
+        qual(F.col("owner")).alias("subj"),
+        F.lit("has_method").alias("pred"),
+        qual(F.col("name")).alias("obj"),
+        F.lit("containment").alias("rel_type"),
+    )
+    terms = mentions.filter(F.col("kind") == "term").select(
+        module_id.alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.concat(F.lit("term::"), F.col("name")).alias("obj"),
+        F.lit("mention").alias("rel_type"),
+    )
+    calls = mentions.filter(F.col("kind") == "call").select(
+        F.when(F.col("owner") == "", module_id)
+        .otherwise(qual(F.col("owner")))
+        .alias("subj"),
+        F.lit("calls").alias("pred"),
+        qual(F.col("name")).alias("obj"),
+        F.lit("call").alias("rel_type"),
+    )
+    return (
+        imports.unionByName(defines)
+        .unionByName(methods)
+        .unionByName(calls)
+        .unionByName(terms)
+        .distinct()
+    )

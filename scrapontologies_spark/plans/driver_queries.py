@@ -1,0 +1,206 @@
+"""Operator catalog for the driver contract (__spark_entry__.py).
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (Spark query,
+DuckDB oracle SQL) pair over the driver's parquet tables.  Column names are
+aliased identically on both sides (the driver's compare hashes values after
+sorting columns by name).  Non-SQL-expressible ops (order-sensitive fold,
+schema union, iterative CC) are exposed as rows-only queries — their exact
+semantics are pinned by the pytest oracles instead (SURVEY §5).
+
+This module grows with each milestone; keep entries grouped by SURVEY §2
+operator ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Q = dict[str, Callable[[SparkSession, str], DataFrame]]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def queries() -> Q:
+    q: Q = {}
+
+    # P4 — NA predicate (is_na over documents.text; SURVEY §2.2)
+    q["p4_na_filter"] = lambda spark, d: (
+        _docs(spark, d)
+        .filter(
+            ~(F.col("text").isNull() | (F.col("text") == "NA") | (F.col("text") == ""))
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+    # P5 — entity filter by id
+    q["p5_filter_by_id"] = lambda spark, d: (
+        _docs(spark, d).filter(F.col("doc_id") != 7).select("doc_id", "source")
+    )
+
+    # P6/J3 — delete cascade as anti-join: edges (doc→source) minus deleted docs
+    def p6(spark: SparkSession, d: str) -> DataFrame:
+        docs = _docs(spark, d)
+        deleted = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+        # broadcast the tiny deleted-ids side (SURVEY §2.3 J3)
+        return docs.join(F.broadcast(deleted), "doc_id", "left_anti").select(
+            "doc_id", "lang"
+        )
+
+    q["p6_delete_cascade_anti"] = p6
+
+    # J2 — referential-integrity semi-join (triples ⋉ entities)
+    def j2(spark: SparkSession, d: str) -> DataFrame:
+        docs = _docs(spark, d)
+        entities = docs.filter(F.col("n_chars") > 150).select("doc_id")
+        edges = docs.select("doc_id", "source")
+        return edges.join(entities, "doc_id", "left_semi").select("doc_id", "source")
+
+    q["j2_semi_integrity"] = j2
+
+    # J1 — full-outer reconcile join on id (exact-id entity linking)
+    def j1(spark: SparkSession, d: str) -> DataFrame:
+        docs = _docs(spark, d)
+        left = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.col("lang").alias("lang_l")
+        )
+        right = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.col("lang").alias("lang_r")
+        )
+        return left.join(right, "doc_id", "full_outer").select(
+            "doc_id",
+            F.coalesce("lang_l", "lang_r").alias("lang_merged"),
+            F.col("lang_l").isNotNull().alias("in_left"),
+            F.col("lang_r").isNotNull().alias("in_right"),
+        )
+
+    q["j1_full_outer_reconcile"] = j1
+
+    # P1/F2 — fenced-JSON extraction (regexp on synthesized fenced strings)
+    q["p1_fence_extract"] = lambda spark, d: (
+        spark.read.parquet(f"{d}/events.parquet")
+        .select(
+            "event_id",
+            F.regexp_extract(
+                F.concat(F.lit("```json "), F.col("props"), F.lit(" ```")),
+                r"```json\s*([\s\S]*?)\s*```",
+                1,
+            ).alias("fenced"),
+        )
+        .filter(F.col("event_id") < 100)
+    )
+
+    # F4 — JSON field access (get_json_object over events.props)
+    q["f4_json_extract"] = lambda spark, d: (
+        spark.read.parquet(f"{d}/events.parquet")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_value"),
+        )
+        .filter(F.col("event_id") < 100)
+    )
+
+    # A7 — first-seen color assignment ≈ dense_rank over entity type
+    def a7(spark: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        docs = _docs(spark, d)
+        return (
+            docs.select("lang")
+            .distinct()
+            .withColumn(
+                "color_idx",
+                (F.dense_rank().over(Window.orderBy("lang")) - 1) % 5,
+            )
+        )
+
+    q["a7_color_assignment"] = a7
+
+    # Flagship slice — mention triples over documents (SQL-expressible part
+    # of M1/M5: term-gazetteer extraction, doc → term edges with counts)
+    def flagship(spark: SparkSession, d: str) -> DataFrame:
+        docs = _docs(spark, d)
+        pattern = r"\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\b"
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("n_mentions"))
+        )
+
+    q["m1_term_mentions"] = flagship
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL over pre-registered views)
+# ---------------------------------------------------------------------------
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "p4_na_filter": """
+            SELECT source, count(*) AS n_docs
+            FROM documents
+            WHERE NOT (text IS NULL OR text = 'NA' OR text = '')
+            GROUP BY source
+        """,
+        "p5_filter_by_id": """
+            SELECT doc_id, source FROM documents WHERE doc_id <> 7
+        """,
+        "p6_delete_cascade_anti": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 3)
+        """,
+        "j2_semi_integrity": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars > 150)
+        """,
+        "j1_full_outer_reconcile": """
+            SELECT
+              COALESCE(l.doc_id, r.doc_id) AS doc_id,
+              COALESCE(l.lang, r.lang) AS lang_merged,
+              l.doc_id IS NOT NULL AS in_left,
+              r.doc_id IS NOT NULL AS in_right
+            FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0) l
+            FULL OUTER JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0) r
+              ON l.doc_id = r.doc_id
+        """,
+        "p1_fence_extract": """
+            SELECT event_id,
+                   COALESCE(regexp_extract('```json ' || props || ' ```',
+                                  '```json\\s*([\\s\\S]*?)\\s*```', 1), '') AS fenced
+            FROM events WHERE event_id < 100
+        """,
+        "f4_json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_value
+            FROM events WHERE event_id < 100
+        """,
+        "a7_color_assignment": """
+            SELECT lang, (dense_rank() OVER (ORDER BY lang) - 1) % 5 AS color_idx
+            FROM (SELECT DISTINCT lang FROM documents)
+        """,
+        "m1_term_mentions": """
+            SELECT doc_id, term, count(*) AS n_mentions
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                       '\\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\\b', 1)) AS term
+              FROM documents
+            )
+            GROUP BY doc_id, term
+        """,
+    }

@@ -1,0 +1,167 @@
+"""Deterministic synthetic source-code corpus (BASELINE.json ``input_hint``).
+
+Schema: ``corpus(repo string, path string, commit string, lang string,
+content string)`` — the engine's only large input.  Generation is seeded and
+wall-clock-free (FIXTURES.md §1): content is template-drawn from a fixed
+gazetteer vocabulary so the expected mention set of every row is computable
+exactly by the same pure functions the tests use.
+
+Skew is generated on purpose: one mega-repo holds ~30% of all files, to
+exercise salting/AQE in the link stage exactly as SURVEY §4 requires.
+
+Scale note: the generator builds rows driver-side only for test scales; for
+bench scales it parallelizes via ``spark.range`` + ``mapInPandas`` so corpus
+materialization itself is distributed (no driver bottleneck at sf-bench).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+
+LANGS = ("python", "javascript", "go", "java", "markdown")
+# Gazetteer vocabulary (fixed — expected mentions derive from these)
+N_FUNCS = 40
+N_CLASSES = 12
+N_MODS = 20
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+_EXT = {"python": "py", "javascript": "js", "go": "go", "java": "java", "markdown": "md"}
+
+
+def _commit_for(repo: str, path: str, seed: int) -> str:
+    return hashlib.sha256(f"{repo}:{path}:{seed}".encode()).hexdigest()[:40]
+
+
+def _gen_python(rng: random.Random) -> str:
+    lines: List[str] = []
+    for _ in range(rng.randint(1, 3)):
+        m = rng.randrange(N_MODS)
+        if rng.random() < 0.5:
+            lines.append(f"import mod_{m}")
+        else:
+            lines.append(f"from mod_{m} import fn_{rng.randrange(N_FUNCS)}")
+    lines.append("")
+    for _ in range(rng.randint(1, 5)):
+        f = rng.randrange(N_FUNCS)
+        lines.append(f"def fn_{f}(x):")
+        for _ in range(rng.randint(1, 3)):
+            lines.append(f"    y = fn_{rng.randrange(N_FUNCS)}(x)")
+        lines.append("    return y")
+        lines.append("")
+    if rng.random() < 0.6:
+        c = rng.randrange(N_CLASSES)
+        lines.append(f"class Cls_{c}:")
+        for _ in range(rng.randint(1, 3)):
+            f = rng.randrange(N_FUNCS)
+            lines.append(f"    def fn_{f}(self):")
+            lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(self)")
+        lines.append("")
+    # padding comments make rows 0.2-50 KB and multi-chunk
+    pad = rng.randint(0, 40)
+    lines.extend(f"# note {rng.randrange(9999)} filler comment line" for _ in range(pad))
+    return "\n".join(lines)
+
+
+def _gen_javascript(rng: random.Random) -> str:
+    lines: List[str] = []
+    for _ in range(rng.randint(1, 3)):
+        lines.append(f"import mod_{rng.randrange(N_MODS)} from 'mod_{rng.randrange(N_MODS)}';")
+    for _ in range(rng.randint(1, 4)):
+        f = rng.randrange(N_FUNCS)
+        lines.append(f"function fn_{f}(x) {{")
+        lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
+        lines.append("}")
+    if rng.random() < 0.5:
+        lines.append(f"class Cls_{rng.randrange(N_CLASSES)} {{")
+        lines.append("}")
+    lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
+    return "\n".join(lines)
+
+
+def _gen_go(rng: random.Random) -> str:
+    lines = [f'import "mod_{rng.randrange(N_MODS)}"']
+    for _ in range(rng.randint(1, 4)):
+        f = rng.randrange(N_FUNCS)
+        lines.append(f"func fn_{f}(x int) int {{")
+        lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(x)")
+        lines.append("}")
+    if rng.random() < 0.4:
+        lines.append(f"type Cls_{rng.randrange(N_CLASSES)} struct {{}}")
+    lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
+    return "\n".join(lines)
+
+
+def _gen_java(rng: random.Random) -> str:
+    lines = [f"import mod_{rng.randrange(N_MODS)}.util;"]
+    c = rng.randrange(N_CLASSES)
+    lines.append(f"class Cls_{c} {{")
+    for _ in range(rng.randint(1, 4)):
+        f = rng.randrange(N_FUNCS)
+        lines.append(f"    int fn_{f}(int x) {{")
+        lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+        lines.append("    }")
+    lines.append("}")
+    lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
+    return "\n".join(lines)
+
+
+def _gen_markdown(rng: random.Random) -> str:
+    # exercises the no-match path (FIXTURES.md: markdown rows)
+    words = ["notes", "design", "overview", "usage", "example", "table", "spark"]
+    return "\n".join(
+        "# " + rng.choice(words) + "\n" + " ".join(rng.choices(words, k=rng.randint(5, 40)))
+        for _ in range(rng.randint(1, 5))
+    )
+
+
+_GEN = {
+    "python": _gen_python,
+    "javascript": _gen_javascript,
+    "go": _gen_go,
+    "java": _gen_java,
+    "markdown": _gen_markdown,
+}
+
+
+def row_for(i: int, n_rows: int, seed: int = 42) -> Tuple[str, str, str, str, str]:
+    """Pure function index → corpus row (enables distributed generation)."""
+    rng = random.Random((seed << 20) ^ i)
+    # skew: ~30% of files land in the mega-repo org0/repo0
+    if rng.random() < 0.30:
+        repo = "org0/repo0"
+    else:
+        r = rng.randrange(1, max(2, n_rows // 50))
+        repo = f"org{r % 7}/repo{r}"
+    lang = rng.choices(LANGS, weights=[40, 25, 15, 10, 10])[0]
+    path = f"src/pkg_{rng.randrange(30)}/mod_{i}.{_EXT[lang]}"
+    content = _GEN[lang](rng)
+    return repo, path, _commit_for(repo, path, seed), lang, content
+
+
+def corpus_rows(n_rows: int, seed: int = 42) -> List[Tuple[str, str, str, str, str]]:
+    return [row_for(i, n_rows, seed) for i in range(n_rows)]
+
+
+def corpus_df(spark, n_rows: int, seed: int = 42, distributed_threshold: int = 20_000):
+    """Corpus as a DataFrame.  Small scales build driver-side (exact test
+    fixtures); larger scales generate inside executors via mapInPandas over
+    spark.range so 100 TB-style materialization never bottlenecks the driver.
+    """
+    if n_rows <= distributed_threshold:
+        return spark.createDataFrame(corpus_rows(n_rows, seed), schema=CORPUS_SCHEMA)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [row_for(int(i), n_rows, seed) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return (
+        spark.range(n_rows)
+        .repartition(max(32, n_rows // 5_000))
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )
