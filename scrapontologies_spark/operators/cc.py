@@ -1,0 +1,200 @@
+"""Connected-components canonicalization — large-star/small-star.
+
+Generalizes the reference's exact-id entity linking (J1) to transitive
+alias resolution: entity ids that should unify beyond string equality form
+alias edges; each connected component canonicalizes to its minimum id
+(deterministic tie-break).  Not present in the reference at all (SURVEY §7
+hard-list #2) — additive, so parity tests pin only the exact-id path.
+
+Algorithm: alternating large-star/small-star DataFrame self-joins
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+O(log n) rounds, skew-resistant: large-star splits high-degree neighborhoods
+instead of funneling them through one reducer.  Each round localCheckpoints
+to truncate lineage; convergence = edge-set fingerprint (count + xxhash sum)
+stable — an O(1)-size driver check, no collect of the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) symmetric → for each u: m = min(N(u) ∪ {u}); emit (v, m) for
+    v ∈ N(u) with v > u."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """directed (u,v) with v ≤ u → per u: m = min(N≤(u) ∪ {u});
+    emit (w, m) for w ∈ N≤(u) ∪ {u}."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    joined = directed.join(m, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        joined.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    # bit_xor is overflow-free (ANSI mode) and order-independent; edges are
+    # distinct so xor-cancellation cannot collide consecutive iterations
+    # with different edge sets except with ~2^-64 probability.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(u string, v string) → labels(node string, component string)
+    with component = min node id of the connected component.
+
+    Driver loop with convergence detection per SURVEY §4; isolated nodes
+    (no edges) are the identity mapping and are NOT emitted — callers
+    coalesce(label, id).
+    """
+    cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+    prev_fp = None
+    for i in range(max_iter):
+        cur = _small_star(_large_star(cur))
+        if checkpoint_every and i % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # After convergence every edge is (node, root): u's min-neighbor is the
+    # component root.  Roots map to themselves.
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return labels.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def prefer_real_canonical(
+    labels: DataFrame, alias_prefixes: tuple = ("lib::", "term::")
+) -> DataFrame:
+    """Re-pick each component's canonical id to prefer REAL entity nodes
+    over alias namespaces (lib::/term::): canonical = min member, but any
+    alias-prefixed member sorts after every real member ('~' > ASCII
+    letters).  A component with only alias members keeps its alias min.
+
+    Without this, a lib:: node (lexicographically < 'org...') would become
+    canonical and the rewrite would erase real module identity — observed
+    as a 2× triple loss in referential integrity."""
+    is_alias = None
+    for p in alias_prefixes:
+        cond = F.col("node").startswith(p)
+        is_alias = cond if is_alias is None else (is_alias | cond)
+    sort_key = F.when(is_alias, F.concat(F.lit("~"), F.col("node"))).otherwise(
+        F.col("node")
+    )
+    best = (
+        labels.select("component", sort_key.alias("_k"))
+        .groupBy("component")
+        .agg(F.min("_k").alias("_k"))
+        .select(
+            "component",
+            F.when(F.col("_k").startswith("~"), F.expr("substring(_k, 2)"))
+            .otherwise(F.col("_k"))
+            .alias("_canonical"),
+        )
+    )
+    return labels.join(best, "component").select(
+        "node", F.col("_canonical").alias("component")
+    )
+
+
+def canonicalize_triples(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the component labels (identity where
+    unlabeled).  Two broadcast-or-shuffle left joins; dedup after rewrite."""
+    lab_s = labels.select(
+        F.col("node").alias("subj"), F.col("component").alias("_cs")
+    )
+    lab_o = labels.select(F.col("node").alias("obj"), F.col("component").alias("_co"))
+    return (
+        triples.join(lab_s, "subj", "left")
+        .join(lab_o, "obj", "left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_co", "obj").alias("obj"),
+            "rel_type",
+        )
+        .distinct()
+    )
+
+
+def canonicalize_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
+    """Merge entity rows that canonicalize to the same id: group by the
+    component label (identity where unlabeled) and fold attributes with the
+    A1 merge in ascending-id order — a deterministic order for the
+    order-sensitive merge (SURVEY §2.4 A1).  Runs as applyInPandas; groups
+    are component-sized (small stars), so no skew concern."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..functions.semantics import canonical_json, combine_entities_data
+
+    lab = labels.select(F.col("node").alias("id"), F.col("component"))
+    # Scale split: only entities that actually carry a label go through the
+    # Python merge (a tiny fraction — alias components are rare relative to
+    # the entity universe); everything else passes through JVM-side.  The
+    # label side is broadcast when small; AQE decides otherwise.
+    labeled = entities.join(lab, "id", "inner").withColumn("_cid", F.col("component"))
+    untouched = entities.join(lab.select("id"), "id", "left_anti").select(
+        "id", "type", "attributes"
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        merged = combine_entities_data(
+            [_json.loads(a) if a else {} for a in pdf["attributes"]]
+        )
+        return pd.DataFrame(
+            [(pdf["_cid"].iloc[0], pdf["type"].iloc[0], canonical_json(merged))],
+            columns=["id", "type", "attributes"],
+        )
+
+    merged_df = (
+        labeled.select("_cid", "id", "type", "attributes")
+        .groupBy("_cid")
+        .applyInPandas(merge_group, schema="id string, type string, attributes string")
+    )
+    return untouched.unionByName(merged_df)
+
+
+def module_alias_edges(entities: DataFrame) -> DataFrame:
+    """Alias rule for the code corpus: an import target ``lib::<stem>``
+    aliases every module entity whose filename stem is <stem> (JVM-side
+    regexp on the module id).  Hot stems produce giant star components —
+    exactly the skew case large-star is built for."""
+    mods = entities.filter(F.col("type") == "module").select(
+        F.col("id").alias("u"),
+        F.concat(
+            F.lit("lib::"),
+            F.regexp_extract(F.col("id"), r"([A-Za-z0-9_]+)\.[A-Za-z0-9]+$", 1),
+        ).alias("v"),
+    )
+    return mods.filter(F.col("v") != "lib::")

@@ -1,0 +1,150 @@
+"""Resumable KG-construction job: the spark-submit entry point.
+
+Stage DAG (each boundary = warehouse checkpoint + manifest + metrics row,
+so a killed run resumes mid-pipeline with identical output — north_rule):
+
+  corpus → chunks → {triples_raw, doc_entities, doc_schemas, global_schema}
+         → entities (modules ∪ symbols, reconciled against any existing
+           entities table — the MERGE INTO analog of J1/M6)
+         → alias_labels (large-star/small-star CC over import-stem aliases)
+         → triples (canonicalized + referential integrity)
+
+Shuffle layout per BASELINE north_star: explicit repartition(repo, lang)
+before the link stage; AQE + skew-join on (session.py); the deleted-ids /
+alias dimension sides broadcast; the entity reconcile join runs salted when
+a skew factor is configured.
+
+Usage (cluster):  spark-submit --py-files scrapontologies_spark.zip \
+    -m scrapontologies_spark.plans.job <warehouse_root> <n_rows>
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.semantics import canonical_json
+from ..operators.cc import (
+    canonicalize_entities,
+    canonicalize_triples,
+    connected_components,
+    module_alias_edges,
+    prefer_real_canonical,
+)
+from ..operators.extract import extract_chunks, mentions_df, triples_from_mentions
+from ..operators.fold import fold_documents, module_entities
+from ..operators.link import reconcile, referential_integrity
+from ..operators.schema_merge import document_schemas, global_schema
+from ..sources.io import StageInfo, Warehouse
+
+
+def run_job(
+    spark: SparkSession,
+    corpus: DataFrame,
+    warehouse_root: str,
+    chunk_bytes: int = 1024,
+    with_cc: bool = True,
+    with_schemas: bool = True,
+    fmt: str = "parquet",
+) -> Dict[str, StageInfo]:
+    wh = Warehouse(warehouse_root, fmt)
+    infos: Dict[str, StageInfo] = {}
+
+    chunks, infos["chunks"] = wh.run_stage(
+        spark, "chunks", lambda: extract_chunks(corpus, chunk_bytes)
+    )
+
+    triples_raw, infos["triples_raw"] = wh.run_stage(
+        spark, "triples_raw", lambda: triples_from_mentions(mentions_df(chunks))
+    )
+
+    doc_entities, infos["doc_entities"] = wh.run_stage(
+        spark,
+        "doc_entities",
+        # explicit repartition(repo, lang) ahead of the link stage
+        # (north_star) — co-locates a repo's documents for the fold and the
+        # downstream entity union
+        lambda: fold_documents(chunks.repartition("repo", "lang")),
+    )
+
+    def build_entities() -> DataFrame:
+        symbols = doc_entities.select(
+            F.concat(
+                F.concat_ws("/", "repo", "path"), F.lit("::"), F.col("entity_name")
+            ).alias("id"),
+            F.col("entity_type").alias("type"),
+            F.col("attributes"),
+        )
+        new = module_entities(chunks).select("id", "type", "attributes").unionByName(
+            symbols
+        )
+        # MERGE-INTO analog: reconcile against a previous run's entities
+        # table when present (J1 full-outer + A1 attribute merge)
+        if wh.is_complete("entities_prev"):
+            existing = wh.read_stage(spark, "entities_prev")
+            return reconcile(existing, new)
+        return new
+
+    entities, infos["entities"] = wh.run_stage(spark, "entities", build_entities)
+
+    if with_cc:
+        labels, infos["alias_labels"] = wh.run_stage(
+            spark,
+            "alias_labels",
+            lambda: prefer_real_canonical(
+                connected_components(module_alias_edges(entities))
+            ),
+        )
+        triples_canon = canonicalize_triples(triples_raw, labels)
+        entities_final, infos["entities_canonical"] = wh.run_stage(
+            spark,
+            "entities_canonical",
+            lambda: canonicalize_entities(entities, labels),
+        )
+    else:
+        triples_canon = triples_raw
+        entities_final = entities
+
+    triples, infos["triples"] = wh.run_stage(
+        spark,
+        "triples",
+        lambda: referential_integrity(triples_canon, entities_final),
+    )
+
+    if with_schemas:
+        _, infos["doc_schemas"] = wh.run_stage(
+            spark, "doc_schemas", lambda: document_schemas(chunks)
+        )
+
+        def build_global() -> DataFrame:
+            g = global_schema(chunks)
+            return spark.createDataFrame(
+                [("global", canonical_json(g))], "scope string, schema_json string"
+            )
+
+        _, infos["global_schema"] = wh.run_stage(spark, "global_schema", build_global)
+
+    return infos
+
+
+def main(argv: Optional[list] = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    warehouse_root = argv[0] if argv else "/tmp/sparkonto_warehouse"
+    n_rows = int(argv[1]) if len(argv) > 1 else 5_000
+    from ..session import build_session
+    from ..sources.corpus import corpus_df
+
+    spark = build_session(app_name="kg-job")
+    infos = run_job(spark, corpus_df(spark, n_rows), warehouse_root)
+    for name, info in infos.items():
+        print(
+            f"{name}: rows={info.rows} wall_ms={info.wall_ms} "
+            f"skipped={info.skipped} fp={info.fingerprint}"
+        )
+
+
+if __name__ == "__main__":
+    main()

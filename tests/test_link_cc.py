@@ -1,0 +1,180 @@
+"""M3 tests: distributed reconcile (J1/M6) vs the pure oracle, salted join
+equivalence, and large-star/small-star CC vs a union-find oracle."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapontologies_spark.functions.semantics import (
+    Entity,
+    canonical_json,
+    reconcile_entities,
+)
+from scrapontologies_spark.operators.cc import (
+    canonicalize_entities,
+    prefer_real_canonical,
+    canonicalize_triples,
+    connected_components,
+    module_alias_edges,
+)
+from scrapontologies_spark.operators.link import (
+    reconcile,
+    referential_integrity,
+    salted_join,
+)
+
+ENT_SCHEMA = "id string, type string, attributes string"
+
+
+def _ents_df(spark, ents):
+    return spark.createDataFrame(
+        [(e.id, e.type, canonical_json(e.attributes)) for e in ents], ENT_SCHEMA
+    )
+
+
+def test_reconcile_matches_pure_oracle(spark):
+    rng = random.Random(7)
+    existing = [
+        Entity(f"e{i}", "object", {"a": rng.randrange(3), "b": "NA", "l": [i]})
+        for i in rng.sample(range(30), 18)
+    ]
+    new = [
+        Entity(f"e{i}", "object", {"b": rng.randrange(5), "c": [i, "NA"], "l": [i + 100]})
+        for i in rng.sample(range(30), 20)
+    ]
+    got = {
+        r.id: (r.type, json.loads(r.attributes))
+        for r in reconcile(_ents_df(spark, existing), _ents_df(spark, new)).collect()
+    }
+    expected = {
+        e.id: (e.type, e.attributes) for e in reconcile_entities(existing, new)
+    }
+    assert got == expected
+
+
+def test_reconcile_empty_existing_copies_new(spark):
+    new = [Entity("x", "object", {"k": 1})]
+    empty = spark.createDataFrame([], ENT_SCHEMA)
+    got = reconcile(empty, _ents_df(spark, new)).collect()
+    assert len(got) == 1 and got[0].id == "x" and json.loads(got[0].attributes) == {"k": 1}
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 5, f"f{i}") for i in range(200)], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k int, name string")
+    plain = {(r.k, r.payload, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.name)
+        for r in salted_join(fact, dim, "k", salt=4).collect()
+    }
+    assert salted == plain
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 25), (2, 60, 80), (3, 40, 10)])
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    edges = [
+        (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
+        for _ in range(n_edges)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    expected = _uf_oracle(edges)
+    # oracle labels every touched node by component min; ours must agree on
+    # exactly the touched set
+    comp_min = {}
+    for n, root in expected.items():
+        comp_min.setdefault(root, []).append(n)
+    canon = {n: min(comp_min[root]) for n, root in expected.items()}
+    assert got == canon
+
+
+def test_cc_giant_star_skew(spark):
+    # one hub connected to 500 spokes — the hot-stem case
+    edges = [("hub", f"spoke{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(edges, "u string, v string")
+    labels = {r.node: r.component for r in connected_components(df).collect()}
+    assert set(labels.values()) == {"hub"}
+    assert len(labels) == 501
+
+
+def test_canonicalize_and_integrity_end_to_end(spark):
+    """Alias edges from import stems → CC → triple rewrite, on a small
+    synthetic pipeline run."""
+    from scrapontologies_spark.plans.pipeline import run_pipeline
+    from scrapontologies_spark.sources.corpus import corpus_df
+
+    res = run_pipeline(corpus_df(spark, 40), chunk_bytes=512, with_schemas=False)
+    alias = module_alias_edges(res.entities)
+    assert alias.count() > 0
+    raw_labels = connected_components(alias)
+    labels = prefer_real_canonical(raw_labels)
+    canon = canonicalize_triples(res.triples, labels)
+
+    # raw CC contract: every node maps to its component min
+    label_map = {r.node: r.component for r in raw_labels.collect()}
+    oracle = _uf_oracle([(r.u, r.v) for r in alias.collect()])
+    comp_members: dict = {}
+    for n, root in oracle.items():
+        comp_members.setdefault(root, []).append(n)
+    expected_min = {n: min(comp_members[root]) for n, root in oracle.items()}
+    assert label_map == expected_min
+
+    # preferred-canonical contract: canonical = min REAL member when the
+    # component has any non-alias node
+    pref_map = {r.node: r.component for r in labels.collect()}
+    for n, root in oracle.items():
+        real = [m for m in comp_members[root] if not m.startswith(("lib::", "term::"))]
+        expect = min(real) if real else min(comp_members[root])
+        assert pref_map[n] == expect, n
+
+    # rewrite leaves no non-canonical members anywhere, and every canonical
+    # module subject is a real entity id
+    non_canonical = {n for n, c in pref_map.items() if n != c}
+    objs = {r.obj for r in canon.collect()}
+    subjs = {r.subj for r in canon.collect()}
+    assert not (objs & non_canonical) and not (subjs & non_canonical)
+
+    # entity canonicalization: merged table keyed by canonical ids, and
+    # referential integrity retains all defines/has_method triples
+    ents_canon = canonicalize_entities(res.entities, labels)
+    ids = {r.id for r in ents_canon.select("id").collect()}
+    assert not (ids & non_canonical)
+    ok = referential_integrity(canon, ents_canon)
+    for rel in ("defines", "containment"):
+        n_in = canon.filter(F.col("rel_type") == rel).count()
+        n_out = ok.filter(F.col("rel_type") == rel).count()
+        assert n_in == n_out, f"{rel}: {n_in} -> {n_out} lost by integrity"
+    res.chunks.unpersist()
+
+
+def test_prefer_real_canonical_alias_only_component(spark):
+    labels = spark.createDataFrame(
+        [("lib::b", "lib::a"), ("lib::a", "lib::a")], "node string, component string"
+    )
+    out = {r.node: r.component for r in prefer_real_canonical(labels).collect()}
+    assert out == {"lib::a": "lib::a", "lib::b": "lib::a"}

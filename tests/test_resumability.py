@@ -1,0 +1,62 @@
+"""M4 — kill-and-resume: a job restarted mid-pipeline must skip completed
+stages and produce byte-identical outputs to an uninterrupted run
+(SURVEY §5.4; BASELINE north_rule resumability)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from scrapontologies_spark.plans.job import run_job
+from scrapontologies_spark.sources.corpus import corpus_df
+from scrapontologies_spark.sources.io import Warehouse
+
+
+@pytest.fixture()
+def corpus(spark):
+    return corpus_df(spark, 60).persist()
+
+
+def test_resume_skips_and_matches(spark, corpus, tmp_path):
+    clean_root = str(tmp_path / "clean")
+    resumed_root = str(tmp_path / "resumed")
+
+    # uninterrupted run
+    clean = run_job(spark, corpus, clean_root, chunk_bytes=512)
+
+    # interrupted run: execute only the first stages, then "crash"
+    wh = Warehouse(resumed_root)
+    from scrapontologies_spark.operators.extract import extract_chunks
+
+    wh.run_stage(spark, "chunks", lambda: extract_chunks(corpus, 512))
+    assert wh.is_complete("chunks")
+
+    # restart from scratch: chunks must be skipped, everything else computed
+    resumed = run_job(spark, corpus, resumed_root, chunk_bytes=512)
+    assert resumed["chunks"].skipped
+    assert not clean["chunks"].skipped
+
+    for stage in clean:
+        assert clean[stage].rows == resumed[stage].rows, stage
+        assert clean[stage].fingerprint == resumed[stage].fingerprint, stage
+
+
+def test_rerun_everything_skipped(spark, corpus, tmp_path):
+    root = str(tmp_path / "wh")
+    first = run_job(spark, corpus, root, chunk_bytes=512)
+    second = run_job(spark, corpus, root, chunk_bytes=512)
+    assert all(info.skipped for info in second.values())
+    assert {k: v.fingerprint for k, v in first.items()} == {
+        k: v.fingerprint for k, v in second.items()
+    }
+
+
+def test_metrics_lineage_rows(spark, corpus, tmp_path):
+    root = str(tmp_path / "wh")
+    infos = run_job(spark, corpus, root, chunk_bytes=512, with_schemas=True)
+    m = Warehouse(root).metrics(spark)
+    stages = {r.stage for r in m.collect()}
+    assert stages == set(infos.keys())
+    rows = {r.stage: r.rows for r in m.collect()}
+    assert rows["chunks"] == infos["chunks"].rows
