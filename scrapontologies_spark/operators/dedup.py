@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (which has no dedup at all), these are
+the operations a 100 TB corpus pipeline needs before KG construction:
+exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard.  All are
+pure DataFrame compositions (JVM-side, whole-stage-codegen friendly); the
+only hash primitive is md5, chosen because Spark and DuckDB produce
+identical hex — every operator here is value-checkable against an ANSI-SQL
+oracle.
+
+Scale design:
+- exact dedup: one hash-groupBy on a 32-byte key (never on raw text).
+- MinHash/LSH: shingle explode is a narrow op; signatures reduce via
+  min() (map-side partial); the band join touches only bucket-colliding
+  candidates, never the O(n²) pair space.
+- SimHash: per-token hash → per-bit majority vote via explode over bit
+  positions, sums aggregate map-side.
+- verification joins bring text together ONLY for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per distinct text (hash-groupBy on md5(text)).
+
+    Returns (content_hash, keep_id, n_dups).  Grouping on the 32-char hash
+    instead of the text keeps shuffle rows small at 100 TB.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct k-gram token shingles per doc (narrow transform + explode)."""
+    toks = _tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)) ),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) == k)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(shingle || '#i')).
+
+    One wide row per doc; the min() aggregates combine map-side, so the
+    shuffle carries one row per (doc, i) partial — no shingle ever shuffles.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_key): docs
+    sharing any band become candidate pairs (a < b).  The join key is a
+    32-char md5 — bucket-join, never O(n²)."""
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("doc_a")
+    )
+    right = bands.select(
+        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (all pairs sharing ≥1
+    shingle when ``candidates`` is None — still bucket-joined by shingle,
+    not a cross join).  Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if candidates is None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, (F.col("doc_b") == b.doc_b) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint per doc over whitespace tokens.
+
+    token hash = first 15 hex chars of md5 (60 bits, cross-engine exact via
+    conv/hex-cast); bit j of the fingerprint = majority vote of token-hash
+    bit j.  Explodes (token, bit) pairs — bounded by tokens × bits — and
+    aggregates map-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    bits_df = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("(h >> bit) & 1").alias("b"),
+    )
+    votes = bits_df.groupBy("doc_id", "bit").agg(
+        (F.sum(F.col("b") * 2 - 1) > 0).cast("int").alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.col("vote") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("simhash")
+    )

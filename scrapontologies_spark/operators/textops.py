@@ -1,0 +1,106 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All JVM-side (split/regexp/aggregate inside whole-stage codegen) so the hot
+path has zero Python; every operator returns columns that an ANSI-SQL
+oracle reproduces exactly (md5-based fingerprints, integer counts,
+double ratios with deterministic operand order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker vocabularies per language (fixed gazetteer — the n-gram-heuristic
+# stand-in for a real langid model; deterministic + SQL-expressible)
+LANG_MARKERS: dict[str, tuple] = {
+    "en": ("the", "and", "with", "fast", "slow", "small", "big"),
+    "de": ("der", "die", "das", "und", "mit", "schnell", "langsam"),
+    "es": ("el", "la", "los", "con", "para", "rapido", "lento"),
+    "fr": ("le", "la", "les", "avec", "pour", "vite", "lent"),
+    "zh": ("的", "和", "表", "快", "慢", "大", "小"),
+}
+
+ENGLISH_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "with", "for",
+)
+
+
+def _count_markers(text_col: Column, markers: tuple) -> Column:
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(text_col, F.lit(pattern), 1))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language = argmax marker-hit count, ties broken by
+    language code order (deterministic).  Returns (doc_id, pred_lang,
+    marker_hits)."""
+    text = F.col(text_col)
+    langs = sorted(LANG_MARKERS)  # fixed tie order: first in sorted order wins
+    hits = {lang: _count_markers(text, LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*hits.values())
+    pred = F.lit(langs[0])
+    # first lang (in sorted order) whose hits == max wins the tie —
+    # expressed as a reversed when-chain so it mirrors a SQL CASE exactly
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, distinct-token count, and a BPE-ish subword
+    count (alnum runs + punctuation marks as separate tokens)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(toks, lambda t: t != "")).alias("n_tokens"),
+        F.size(F.array_distinct(F.filter(toks, lambda t: t != ""))).alias("n_distinct_tokens"),
+        F.size(bpe).alias("n_subword_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    heuristics (the deterministic analog of an LLM quality filter).
+    Ratios are double divisions with fixed operand order → SQL-exact."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"([^\w\s])"), 1))
+    n_stop = _count_markers(F.lower(text), ENGLISH_STOPWORDS)
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        mean_wlen.alias("mean_word_len"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text (collapse runs, trim) — the rolling-hash/winnowing stand-in that
+    stays exactly SQL-expressible.  Equal fingerprints ⇒ normalized-equal
+    docs."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,358 @@
+"""Driver-contract entries for the training-data pipeline operators
+(dedup / similarity / text analysis) plus analytical benchmarks (TPC-H-ish
+aggregation/join shapes) — each with a value-exact DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+- the only hash primitive is md5 (identical hex in Spark and DuckDB);
+- token splits are single-space ``split(text, ' ')`` unless stated;
+- double ratios keep a fixed operand order; sums over floats are rounded
+  before comparison (order-of-addition differs between engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textops
+
+Q = dict[str, Callable[[SparkSession, str], DataFrame]]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# the shared shingle CTE (k=3 over single-space tokens), mirrored by
+# dedup.shingles
+_SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, unnest(grams) AS shingle
+  FROM (
+    SELECT doc_id,
+           [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS grams
+    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+  )
+)
+"""
+
+
+def queries() -> Q:
+    q: Q = {}
+
+    # --- dedup ---------------------------------------------------------------
+    q["dedup_exact"] = lambda spark, d: dedup.exact_dedup(_docs(spark, d))
+
+    q["dedup_minhash_signatures"] = lambda spark, d: dedup.minhash_signatures(
+        dedup.shingles(_docs(spark, d)), num_hashes=4
+    )
+
+    q["dedup_lsh_candidates"] = lambda spark, d: dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(dedup.shingles(_docs(spark, d)), num_hashes=8),
+        num_hashes=8,
+        band_size=2,
+    )
+
+    q["dedup_ngram_jaccard"] = lambda spark, d: dedup.ngram_jaccard_pairs(
+        _docs(spark, d), threshold=0.2
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["dedup_simhash"] = lambda spark, d: dedup.simhash(_docs(spark, d), bits=16)
+
+    # --- similarity ----------------------------------------------------------
+    def sim_topk(spark, d):
+        emb = _emb(spark, d)
+        return similarity.cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") < 5), k=3
+        ).select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+
+    q["sim_cosine_topk"] = sim_topk
+
+    # approximate path is NOT SQL-expressible cheaply → rows-only
+    q["sim_cosine_topk_lsh"] = lambda spark, d: similarity.cosine_topk_lsh(
+        _emb(spark, d), k=3, n_planes=4, n_tables=8
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+    # --- text analysis ---------------------------------------------------------
+    q["text_lang_id"] = lambda spark, d: textops.language_id(_docs(spark, d))
+    q["text_token_stats"] = lambda spark, d: textops.token_stats(_docs(spark, d))
+    q["text_quality"] = lambda spark, d: textops.quality_score(_docs(spark, d)).select(
+        "doc_id",
+        "n_chars_measured",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+    )
+    q["text_fingerprint"] = lambda spark, d: textops.fingerprint(_docs(spark, d))
+
+    # --- connected components (recursive-CTE oracle!) -------------------------
+    def cc_components(spark, d):
+        """Per-source doc chains (doc → next doc in the same source) — long
+        paths, so convergence genuinely takes multiple LS/SS rounds; the
+        expected result is trivially min(doc_id) per source."""
+        from pyspark.sql.window import Window
+
+        from ..operators.cc import connected_components
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        edges = (
+            _docs(spark, d)
+            .select("doc_id", "source")
+            .withColumn("v", F.lead("doc_id").over(w))
+            .filter(F.col("v").isNotNull())
+            .select(F.col("doc_id").alias("u"), "v")
+        )
+        return connected_components(edges).select("node", "component")
+
+    q["cc_components"] = cc_components
+
+    # --- analytical benchmark shapes ------------------------------------------
+    def tpch_q1(spark, d):
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["tpch_q1_pricing_summary"] = tpch_q1
+
+    def tpch_q3(spark, d):
+        cust = spark.read.parquet(f"{d}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = spark.read.parquet(f"{d}/orders.parquet").filter(
+            F.col("o_orderdate") < F.lit("1995-03-15")
+        )
+        li = spark.read.parquet(f"{d}/lineitem.parquet").filter(
+            F.col("l_shipdate") > F.lit("1995-03-15")
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
+    q["tpch_q3_shipping_priority"] = tpch_q3
+
+    def events_rollup(spark, d):
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        return ev.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+
+    q["events_user_rollup"] = events_rollup
+
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    sig = lambda i: f"min(md5(shingle || '#{i}')) AS sig_{i}"
+    bands8 = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
+        for b in range(4)
+    )
+    lang_hits = {
+        lang: "len(regexp_extract_all(text, '\\b("
+        + "|".join(textops.LANG_MARKERS[lang])
+        + ")\\b', 1))"
+        for lang in sorted(textops.LANG_MARKERS)
+    }
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in lang_hits.items())
+    best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(textops.LANG_MARKERS)) + ")"
+    pred_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h_{l} = {best} THEN '{l}'" for l in sorted(textops.LANG_MARKERS)
+        )
+        + " END"
+    )
+    stop_pat = "\\b(" + "|".join(textops.ENGLISH_STOPWORDS) + ")\\b"
+
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_signatures": f"""
+            WITH {_SH_CTE}
+            SELECT doc_id, {sig(0)}, {sig(1)}, {sig(2)}, {sig(3)}
+            FROM sh GROUP BY doc_id
+        """,
+        "dedup_lsh_candidates": f"""
+            WITH {_SH_CTE},
+            sigs AS (
+              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands8}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SH_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+            ),
+            h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM toks WHERE tok <> ''
+            ),
+            bits AS (
+              SELECT doc_id, b.bit, ((h >> b.bit) & 1) AS v
+              FROM h, (SELECT unnest(range(0, 16)) AS bit) b
+            ),
+            votes AS (
+              SELECT doc_id, bit,
+                     CASE WHEN sum(v * 2 - 1) > 0 THEN 1 ELSE 0 END AS vote
+              FROM bits GROUP BY doc_id, bit
+            )
+            SELECT doc_id, CAST(sum(vote * power(2.0, bit)) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "sim_cosine_topk": """
+            -- cosine in sequential float64 (matches Spark's aggregate() fold
+            -- bitwise; DuckDB's list_cosine_similarity is float32 — wrong)
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_aggregate([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                                     FOR i IN range(1, len(q.embedding) + 1)], 'sum')
+                     / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN q.embedding], 'sum'))
+                       * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum')) )
+                     AS cos_raw
+              FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+              WHERE q.vec_id < 5
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id, {pred_case} AS pred_lang, {best} AS marker_hits
+            FROM (SELECT doc_id, {hit_cols} FROM documents)
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+              len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+              len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS n_distinct_tokens,
+              len(regexp_extract_all(text, '([A-Za-z0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_subword_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+              length(text) AS n_chars_measured,
+              len(toks) AS n_tokens,
+              round(len(regexp_extract_all(text, '([^\\w\\s])', 1)) / greatest(length(text), 1), 6) AS punct_ratio,
+              round(len(regexp_extract_all(lower(text), '{stop_pat}', 1)) / greatest(len(toks), 1), 6) AS stopword_ratio,
+              round(CASE WHEN len(toks) > 0
+                    THEN list_aggregate([length(x)::DOUBLE FOR x IN toks], 'sum') / len(toks)
+                    ELSE 0.0 END, 6) AS mean_word_len
+            FROM (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            )
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "cc_components": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS u,
+                     lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS v
+              FROM documents
+              QUALIFY v IS NOT NULL
+            ),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            nodes AS (SELECT DISTINCT u AS n FROM sym),
+            reach(node, lab) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+            )
+            SELECT node, min(lab) AS component FROM reach GROUP BY node
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "events_user_rollup": """
+            SELECT user_id, event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY user_id, event_type
+        """,
+    }

@@ -1,0 +1,20 @@
+"""Shared helpers for driver-contract queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → the corpus shape
+    (repo, path, commit, lang, content) per BASELINE input_hint, with
+    lang='text' so the prose gazetteer applies."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )

@@ -142,6 +142,38 @@ def queries() -> Q:
 
     q["m1_term_mentions"] = flagship
 
+    # rows-only entries (non-SQL-expressible: order-sensitive fold, schema
+    # union — pinned by the pytest oracles instead, SURVEY §5 layers 1+3)
+    def kg_fold_entities(spark: SparkSession, d: str) -> DataFrame:
+        from .. import plans  # noqa: F401  (package anchor)
+        from ..plans.pipeline import run_pipeline
+        from .driver_helpers import documents_as_corpus
+
+        res = run_pipeline(
+            documents_as_corpus(spark, d), chunk_bytes=1024, with_schemas=False
+        )
+        return res.doc_entities
+
+    q["kg_fold_entities"] = kg_fold_entities
+
+    def kg_global_schema(spark: SparkSession, d: str) -> DataFrame:
+        from ..operators.extract import extract_chunks
+        from ..operators.schema_merge import global_schema
+        from .driver_helpers import documents_as_corpus
+
+        g = global_schema(extract_chunks(documents_as_corpus(spark, d), 1024))
+        from ..functions.semantics import canonical_json
+
+        return spark.createDataFrame(
+            [("global", canonical_json(g))], "scope string, schema_json string"
+        )
+
+    q["kg_global_schema"] = kg_global_schema
+
+    # training-data + analytical operator catalog
+    from . import dataset_queries
+
+    q.update(dataset_queries.queries())
     return q
 
 
@@ -151,6 +183,14 @@ def queries() -> Q:
 
 
 def oracle_sql() -> dict[str, str]:
+    from . import dataset_queries
+
+    out = dataset_queries.oracle_sql()
+    out.update(_base_oracles())
+    return out
+
+
+def _base_oracles() -> dict[str, str]:
     return {
         "p4_na_filter": """
             SELECT source, count(*) AS n_docs

@@ -1,0 +1,230 @@
+"""Training-data pipeline operators: dedup / similarity / text analysis /
+multimodal plumbing — validated against driver-side pure-Python oracles on
+the driver's documents/embeddings tables (sf0.001 for speed)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapontologies_spark.operators import dedup, multimodal, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _shingles(text: str, k: int = 3) -> set:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)} if len(toks) >= k else set()
+
+
+def test_exact_dedup(spark, docs, docs_pd):
+    got = {r.content_hash: (r.keep_id, r.n_dups) for r in dedup.exact_dedup(docs).collect()}
+    expected: dict = {}
+    for _, row in docs_pd.iterrows():
+        h = _md5(row.text)
+        kid, n = expected.get(h, (row.doc_id, 0))
+        expected[h] = (min(kid, row.doc_id), n + 1)
+    assert got == expected
+
+
+def test_shingles_and_minhash(spark, docs, docs_pd):
+    sh = dedup.shingles(docs)
+    got = {}
+    for r in sh.collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    for _, row in docs_pd.iterrows():
+        assert got.get(row.doc_id, set()) == _shingles(row.text), row.doc_id
+
+    sigs = dedup.minhash_signatures(sh, num_hashes=4)
+    row0 = sigs.filter(F.col("doc_id") == docs_pd.doc_id.iloc[0]).collect()[0]
+    shs = _shingles(docs_pd.text.iloc[0])
+    for i in range(4):
+        assert row0[f"sig_{i}"] == min(_md5(s + f"#{i}") for s in shs)
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs, docs_pd):
+    """Every pair with Jaccard ≥ 0.9 must be an LSH candidate (banding
+    guarantee direction we can assert deterministically)."""
+    sigs = dedup.minhash_signatures(dedup.shingles(docs), num_hashes=8)
+    cands = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(sigs, 8, 2).collect()}
+    sh_map = {row.doc_id: _shingles(row.text) for _, row in docs_pd.iterrows()}
+    ids = sorted(sh_map)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh_map[a], sh_map[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.9:
+                assert (a, b) in cands, f"missed near-dup pair ({a},{b}) j={j}"
+
+
+def test_ngram_jaccard_pairs(spark, docs, docs_pd):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    sh_map = {row.doc_id: _shingles(row.text) for _, row in docs_pd.iterrows()}
+    ids = sorted(sh_map)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh_map[a], sh_map[b]
+            if sa and sb and (sa & sb):
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.2:
+                    expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert got[pair] == pytest.approx(j, abs=1e-12)
+
+
+def test_simhash_oracle(spark, docs, docs_pd):
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
+    for _, row in docs_pd.head(20).iterrows():
+        toks = [t for t in row.text.split(" ") if t]
+        fp = 0
+        for bit in range(16):
+            vote = sum(
+                1 if (int(_md5(t)[:15], 16) >> bit) & 1 else -1 for t in toks
+            )
+            if vote > 0:
+                fp |= 1 << bit
+        assert got[row.doc_id] == fp, row.doc_id
+
+
+def test_cosine_topk_bruteforce(spark, emb):
+    epd = emb.toPandas()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = dedup_sorted = (
+        similarity.cosine_topk_bruteforce(emb, queries, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for _, r in epd.iterrows()}
+    for qid in range(3):
+        q = vecs[qid]
+        sims = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            c = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            sims.append((-c, nid))
+        sims.sort()
+        expect = [nid for _, nid in sims[:3]]
+        mine = [r.neighbor_id for r in got if r.query_id == qid]
+        assert mine == expect, f"query {qid}"
+        neg_by_id = {n: s for s, n in sims}
+        for r in got:
+            if r.query_id == qid:
+                assert r.cosine == pytest.approx(-neg_by_id[r.neighbor_id], abs=1e-9)
+
+
+def test_lsh_topk_recall(spark, emb):
+    """LSH top-k recall vs brute force ≥ 0.4 at 6 planes on sf0.001 (sanity
+    bound for the approximate path; exactness is NOT the contract)."""
+    bf = similarity.cosine_topk_bruteforce(emb, emb, k=3)
+    lsh = similarity.cosine_topk_lsh(emb, k=3, n_planes=4, n_tables=8)
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    lsh_set = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.4, recall
+    # bucket sizes: no bucket should hold more than half the table (skew guard)
+    from scrapontologies_spark.operators.similarity import hyperplane_bucket
+
+    sizes = hyperplane_bucket(emb, 6).groupBy("bucket").count().collect()
+    assert max(r["count"] for r in sizes) <= emb.count() / 2
+
+
+def test_language_id(spark, docs, docs_pd):
+    got = {r.doc_id: r.pred_lang for r in textops.language_id(docs).collect()}
+    import re
+
+    def oracle(text):
+        best_hits, best_lang = -1, None
+        for lang in sorted(textops.LANG_MARKERS):
+            pat = r"\b(" + "|".join(textops.LANG_MARKERS[lang]) + r")\b"
+            hits = len(re.findall(pat, text))
+            if hits > best_hits:
+                best_hits, best_lang = hits, lang
+        return best_lang
+
+    agree = sum(
+        1 for _, row in docs_pd.iterrows() if got[row.doc_id] == oracle(row.text)
+    )
+    assert agree == len(docs_pd)
+    # NOTE: the driver's documents table draws the SAME analytics vocabulary
+    # for every lang label, so no marker gazetteer can recover the label —
+    # the contract here is Spark == oracle == SQL, not label accuracy.
+
+
+def test_token_stats_and_quality(spark, docs, docs_pd):
+    ts = {r.doc_id: r for r in textops.token_stats(docs).collect()}
+    qs = {r.doc_id: r for r in textops.quality_score(docs).collect()}
+    for _, row in docs_pd.head(30).iterrows():
+        toks = [t for t in row.text.split() if t]
+        assert ts[row.doc_id].n_tokens == len(toks)
+        assert ts[row.doc_id].n_distinct_tokens == len(set(toks))
+        assert qs[row.doc_id].n_chars_measured == len(row.text)
+        assert qs[row.doc_id].mean_word_len == pytest.approx(
+            sum(len(t) for t in toks) / len(toks), abs=1e-9
+        )
+
+
+def test_fingerprint(spark, docs, docs_pd):
+    import re
+
+    got = {r.doc_id: r.fingerprint for r in textops.fingerprint(docs).collect()}
+    for _, row in docs_pd.head(30).iterrows():
+        norm = re.sub(r"\s+", " ", row.text.lower()).strip()
+        assert got[row.doc_id] == _md5(norm)
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    # stub raises without an injected codec
+    with pytest.raises(Exception):
+        multimodal.extract_features(media).collect()
+
+    def fake_decode(kind: str, payload: bytes) -> list:
+        return [float(len(payload)), float(payload[0]), {"image": 1.0, "audio": 2.0, "video": 3.0}[kind]]
+
+    feats = multimodal.extract_features(media, decode_fn=fake_decode).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r.n_bytes == r.feature[0]
+        assert len(r.feature) == 3
+
+    b64 = multimodal.base64_encode(media).collect()
+    import base64 as b64mod
+
+    raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in b64:
+        assert r.payload_b64.replace("\r\n", "") == b64mod.b64encode(raw[r.media_id]).decode()
+
+    frames = multimodal.frame_sample(media, every_ms=500)
+    n_videos = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == n_videos
