@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workload families:
+
+1. ``kg_pipeline`` — the flagship KG-construction job (BASELINE north_rule)
+   over a deterministic synthetic corpus sized by sf (input_hint shape);
+   the per-query value is wall seconds, and ``kg_triples_per_sec`` reports
+   throughput.
+2. Driver-contract operator queries (SURVEY §2 + training-data ops) over
+   the driver's parquet tables, each forced end-to-end with a noop sink so
+   Catalyst can't prune the work away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Queries from __spark_entry__.queries() that form the headline suite.
+HEADLINE = [
+    "m1_term_mentions",
+    "kg_fold_entities",
+    "dedup_exact",
+    "dedup_lsh_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_cosine_topk_lsh",
+    "text_lang_id",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "cc_components",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "events_user_rollup",
+]
+
+# docs per unit scale factor for the synthetic KG corpus
+CORPUS_DOCS_PER_SF = 200_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> None:
+    """Materialize a DataFrame end-to-end without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scrapontologies_spark.plans import driver_queries
+    from scrapontologies_spark.plans.pipeline import run_pipeline
+    from scrapontologies_spark.session import build_session
+    from scrapontologies_spark.sources.corpus import corpus_df
+
+    spark = build_session(
+        app_name="scrapontologies-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up: JVM codegen + python worker pool (not counted)
+    spark.range(10_000).selectExpr("sum(id)").collect()
+    corpus_df(spark, 64).count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- flagship KG pipeline --------------------------------------------
+    n_docs = max(2_000, int(CORPUS_DOCS_PER_SF * sf))
+    corpus = corpus_df(spark, n_docs).persist()
+    corpus.count()  # input materialization excluded (on a cluster the
+    # corpus is an Iceberg table already on disk)
+    t0 = time.time()
+    res = run_pipeline(corpus, chunk_bytes=1024, with_schemas=True)
+    n_triples = res.triples.count()
+    n_entities = res.entities.count()
+    dt = time.time() - t0
+    timings["kg_pipeline"] = round(dt, 3)
+    extra["kg_triples_per_sec"] = round(n_triples / dt, 1)
+    extra["kg_n_triples"] = n_triples
+    extra["kg_n_entities"] = n_entities
+    extra["kg_n_docs"] = n_docs
+    res.doc_rows.unpersist()
+    corpus.unpersist()
+
+    # --- operator catalog over the driver tables -------------------------
+    qmap = driver_queries.queries()
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        t0 = time.time()
+        _force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -296,35 +296,48 @@ def document_schema(
     )
 
 
-def document_triples(
-    repo: str, path: str, lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
-) -> List[Tuple[str, str, str, str]]:
-    """Sequential triple oracle for one document: (subj, pred, obj, rel_type).
+def triples_for_mentions(
+    module_id: str, mentions: Iterable[Dict[str, str]]
+) -> set:
+    """M5(b) triple set for one document's mentions (pure; shared by the
+    sequential oracle AND the fused extraction UDF).  Every triple's subject
+    carries the module id, so per-document dedup == global dedup — the
+    distributed plan needs NO cross-document distinct shuffle.
 
     Triple shape per primitives.py:10-17 (subj=source, pred=name, obj=target):
       module --imports--> lib::<mod>
       module --defines--> module::<function|class>
       class  --has_method--> module::<method>
       caller --calls--> module::<callee>   (caller = enclosing fn or module)
-    Deduplicated, deterministic sort.
+      module --mentions--> term::<term>    (prose corpora)
     """
+    triples = set()
+    for m in mentions:
+        kind, name, owner = m["kind"], m["name"], m["owner"]
+        if kind == "import":
+            triples.add((module_id, "imports", f"lib::{name}", "import"))
+        elif kind in ("function", "class"):
+            triples.add((module_id, "defines", f"{module_id}::{name}", "defines"))
+        elif kind == "method":
+            triples.add(
+                (f"{module_id}::{owner}", "has_method", f"{module_id}::{name}", "containment")
+            )
+            triples.add((module_id, "defines", f"{module_id}::{name}", "defines"))
+        elif kind == "call":
+            caller = f"{module_id}::{owner}" if owner else module_id
+            triples.add((caller, "calls", f"{module_id}::{name}", "call"))
+        elif kind == "term":
+            triples.add((module_id, "mentions", f"term::{name}", "mention"))
+    return triples
+
+
+def document_triples(
+    repo: str, path: str, lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> List[Tuple[str, str, str, str]]:
+    """Sequential triple oracle for one document: sorted (subj, pred, obj,
+    rel_type) rows derived via :func:`triples_for_mentions`."""
     module_id = f"{repo}/{path}"
     triples = set()
     for _, text in chunk_text(content, chunk_bytes):
-        for m in extract_mentions(lang, text):
-            kind, name, owner = m["kind"], m["name"], m["owner"]
-            if kind == "import":
-                triples.add((module_id, "imports", f"lib::{name}", "import"))
-            elif kind in ("function", "class"):
-                triples.add((module_id, "defines", f"{module_id}::{name}", "defines"))
-            elif kind == "method":
-                triples.add(
-                    (f"{module_id}::{owner}", "has_method", f"{module_id}::{name}", "containment")
-                )
-                triples.add((module_id, "defines", f"{module_id}::{name}", "defines"))
-            elif kind == "call":
-                caller = f"{module_id}::{owner}" if owner else module_id
-                triples.add((caller, "calls", f"{module_id}::{name}", "call"))
-            elif kind == "term":
-                triples.add((module_id, "mentions", f"term::{name}", "mention"))
+        triples |= triples_for_mentions(module_id, extract_mentions(lang, text))
     return sorted(triples)

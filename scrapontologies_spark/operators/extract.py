@@ -35,8 +35,15 @@ from ..functions.code_gazetteer import (
     chunk_schema_digest,
     chunk_text,
     extract_mentions,
+    triples_for_mentions,
 )
-from ..functions.semantics import canonical_json, sha256_hex
+from ..functions.semantics import (
+    canonical_json,
+    combine_entities_data,
+    is_na,
+    schema_union_all,
+    sha256_hex,
+)
 
 CHUNK_SCHEMA = T.StructType(
     [
@@ -89,6 +96,186 @@ def extract_chunks(corpus: DataFrame, chunk_bytes: int = DEFAULT_CHUNK_BYTES) ->
             )
 
     return corpus.mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+# Unified tall schema for the fused one-pass extraction.  The corpus input
+# carries each document's full content in ONE row (input_hint), so every
+# per-document computation — chunking, mention extraction, the A2
+# order-sensitive fold, the A4 schema union, M5 triple derivation — is
+# row-local.  Fusing them into a single narrow mapInPandas removes BOTH
+# groupBy(repo,path) shuffles and two extra Python stages from the hot path;
+# per-doc triple dedup equals global dedup (subjects carry the module id),
+# so the global distinct() shuffle is dropped as well.  Only genuinely
+# cross-document work (entity reconcile J1, CC canonicalization, global
+# schema tree-reduce) shuffles — exactly the 100 TB-scale plan you want:
+# the dominant stage is embarrassingly parallel over scan splits.
+DOC_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # chunk|entity|module|schema|triple
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("schema_json", T.StringType()),
+        T.StructField("mentions_json", T.StringType()),
+        T.StructField("entity_name", T.StringType()),
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("attributes", T.StringType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("rel_type", T.StringType()),
+    ]
+)
+
+_DOC_COLS = [f.name for f in DOC_ROWS_SCHEMA.fields]
+
+
+def extract_document_rows(
+    corpus: DataFrame,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    with_schemas: bool = True,
+) -> DataFrame:
+    """Fused chunk → extract → fold → schema → triples pass (narrow, one
+    Python entry per batch).  Emits tall rows discriminated by ``kind``:
+
+    - ``chunk``  — per-chunk payload/digest/mentions (the "page" rows)
+    - ``entity`` — A2-fold result: one row per (doc, top-level merged key)
+    - ``module`` — one module entity per document (id = repo/path)
+    - ``schema`` — per-document A4 schema union
+    - ``triple`` — deduplicated per-document M5 triples
+
+    Semantics are byte-identical to the staged operators (fold_documents,
+    document_schemas, triples_from_mentions): all call the same pure
+    functions, and the equivalence suite pins both paths to the sequential
+    oracle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for repo, path, commit, lang, content in zip(
+                b["repo"], b["path"], b["commit"], b["lang"], b["content"]
+            ):
+                sha = sha256_hex(content)
+                module_id = f"{repo}/{path}"
+                base = (repo, path, commit, lang, sha)
+                payloads = []
+                digests = []
+                triples = set()
+                n_chunks = 0
+                for cid, text in chunk_text(content, chunk_bytes):
+                    n_chunks += 1
+                    mentions = extract_mentions(lang, text)
+                    payload = chunk_payload(mentions)
+                    payloads.append(payload)
+                    digest = chunk_schema_digest(payload)
+                    if with_schemas:
+                        digests.append(digest)
+                    triples |= triples_for_mentions(module_id, mentions)
+                    rows.append(
+                        (
+                            "chunk",
+                            *base,
+                            cid,
+                            canonical_json(payload),
+                            canonical_json(digest),
+                            json.dumps(mentions),
+                            None, None, None, None, None, None, None,
+                        )
+                    )
+                # A2 fold in chunk order (chunk_text yields offset order)
+                merged = combine_entities_data(payloads)
+                for name, attrs in merged.items():
+                    if is_na(name):
+                        continue
+                    rows.append(
+                        (
+                            "entity",
+                            *base,
+                            None, None, None, None,
+                            name,
+                            "object",
+                            canonical_json(attrs),
+                            None, None, None, None,
+                        )
+                    )
+                # module entity — same field order as to_json(struct(...))
+                mod_attrs = canonical_json(
+                    {"commit": commit, "lang": lang, "n_chunks": n_chunks, "sha256": sha}
+                )
+                rows.append(
+                    (
+                        "module",
+                        *base,
+                        None, None, None, None,
+                        None,
+                        "module",
+                        mod_attrs,
+                        None, None, None, None,
+                    )
+                )
+                if with_schemas:
+                    rows.append(
+                        (
+                            "schema",
+                            *base,
+                            None, None,
+                            canonical_json(schema_union_all(digests)),
+                            None, None, None, None, None, None, None, None,
+                        )
+                    )
+                for subj, pred, obj, rel_type in triples:
+                    rows.append(
+                        (
+                            "triple",
+                            *base,
+                            None, None, None, None, None, None, None,
+                            subj, pred, obj, rel_type,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=_DOC_COLS)
+
+    return corpus.mapInPandas(run, schema=DOC_ROWS_SCHEMA)
+
+
+def chunks_view(doc_rows: DataFrame) -> DataFrame:
+    return doc_rows.filter(F.col("kind") == "chunk").select(
+        "repo", "path", "commit", "lang", "sha256",
+        "chunk_id", "payload_json", "schema_json", "mentions_json",
+    )
+
+
+def triples_view(doc_rows: DataFrame) -> DataFrame:
+    return doc_rows.filter(F.col("kind") == "triple").select(
+        "subj", "pred", "obj", "rel_type"
+    )
+
+
+def doc_entities_view(doc_rows: DataFrame) -> DataFrame:
+    return doc_rows.filter(F.col("kind") == "entity").select(
+        "repo", "path", "entity_name", "entity_type", "attributes"
+    )
+
+
+def module_entities_view(doc_rows: DataFrame) -> DataFrame:
+    return doc_rows.filter(F.col("kind") == "module").select(
+        F.concat_ws("/", "repo", "path").alias("id"),
+        F.col("entity_type").alias("type"),
+        "attributes",
+        "repo",
+        "path",
+        "sha256",
+    )
+
+
+def doc_schemas_view(doc_rows: DataFrame) -> DataFrame:
+    return doc_rows.filter(F.col("kind") == "schema").select(
+        "repo", "path", "schema_json"
+    )
 
 
 def mentions_df(chunks: DataFrame) -> DataFrame:

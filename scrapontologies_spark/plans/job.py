@@ -34,10 +34,15 @@ from ..operators.cc import (
     module_alias_edges,
     prefer_real_canonical,
 )
-from ..operators.extract import extract_chunks, mentions_df, triples_from_mentions
-from ..operators.fold import fold_documents, module_entities
+from ..operators.extract import (
+    doc_entities_view,
+    doc_schemas_view,
+    extract_document_rows,
+    module_entities_view,
+    triples_view,
+)
 from ..operators.link import reconcile, referential_integrity
-from ..operators.schema_merge import document_schemas, global_schema
+from ..operators.schema_merge import global_schema
 from ..sources.io import StageInfo, Warehouse
 
 
@@ -53,21 +58,22 @@ def run_job(
     wh = Warehouse(warehouse_root, fmt)
     infos: Dict[str, StageInfo] = {}
 
-    chunks, infos["chunks"] = wh.run_stage(
-        spark, "chunks", lambda: extract_chunks(corpus, chunk_bytes)
+    # Fused one-pass extraction: chunk/fold/schema/triple rows from ONE
+    # narrow mapInPandas over the scan (operators/extract.py) — the 100 TB
+    # hot path has zero shuffles; the warehouse write is the only wide cost
+    # and doubles as the resume checkpoint.
+    extracted, infos["extracted"] = wh.run_stage(
+        spark,
+        "extracted",
+        lambda: extract_document_rows(corpus, chunk_bytes, with_schemas),
     )
 
     triples_raw, infos["triples_raw"] = wh.run_stage(
-        spark, "triples_raw", lambda: triples_from_mentions(mentions_df(chunks))
+        spark, "triples_raw", lambda: triples_view(extracted)
     )
 
     doc_entities, infos["doc_entities"] = wh.run_stage(
-        spark,
-        "doc_entities",
-        # explicit repartition(repo, lang) ahead of the link stage
-        # (north_star) — co-locates a repo's documents for the fold and the
-        # downstream entity union
-        lambda: fold_documents(chunks.repartition("repo", "lang")),
+        spark, "doc_entities", lambda: doc_entities_view(extracted)
     )
 
     def build_entities() -> DataFrame:
@@ -78,8 +84,12 @@ def run_job(
             F.col("entity_type").alias("type"),
             F.col("attributes"),
         )
-        new = module_entities(chunks).select("id", "type", "attributes").unionByName(
-            symbols
+        # explicit repartition(repo, lang) ahead of the link stage
+        # (north_star) — co-locates a repo's symbols for reconcile/CC
+        new = (
+            module_entities_view(extracted.repartition("repo", "lang"))
+            .select("id", "type", "attributes")
+            .unionByName(symbols)
         )
         # MERGE-INTO analog: reconcile against a previous run's entities
         # table when present (J1 full-outer + A1 attribute merge)
@@ -115,12 +125,12 @@ def run_job(
     )
 
     if with_schemas:
-        _, infos["doc_schemas"] = wh.run_stage(
-            spark, "doc_schemas", lambda: document_schemas(chunks)
+        doc_schemas, infos["doc_schemas"] = wh.run_stage(
+            spark, "doc_schemas", lambda: doc_schemas_view(extracted)
         )
 
         def build_global() -> DataFrame:
-            g = global_schema(chunks)
+            g = global_schema(doc_schemas)
             return spark.createDataFrame(
                 [("global", canonical_json(g))], "scope string, schema_json string"
             )

@@ -21,13 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.semantics import canonical_json, schema_to_entities
-from ..operators.extract import extract_chunks, mentions_df, triples_from_mentions
-from ..operators.fold import fold_documents, module_entities
-from ..operators.schema_merge import document_schemas, global_schema
+from ..operators.extract import (
+    chunks_view,
+    doc_entities_view,
+    doc_schemas_view,
+    extract_document_rows,
+    mentions_df,
+    module_entities_view,
+    triples_view,
+)
+from ..operators.schema_merge import global_schema
 
 
 @dataclass
 class PipelineResult:
+    doc_rows: DataFrame  # the persisted tall output of the fused pass
     chunks: DataFrame
     mentions: DataFrame
     triples: DataFrame
@@ -43,29 +51,32 @@ def run_pipeline(
     chunk_bytes: int = 1024,
     with_schemas: bool = True,
 ) -> PipelineResult:
-    chunks = extract_chunks(corpus, chunk_bytes)
-    # One Python pass feeds three consumers → cache the chunk rows.  At
-    # cluster scale this stage is checkpointed to the warehouse instead
-    # (io.write_stage), which also provides resume; cache is the local-mode
-    # equivalent.
-    chunks = chunks.persist()
+    # Fused one-pass extraction (see operators/extract.py): every
+    # per-document computation is row-local, so chunk/fold/schema/triple
+    # rows all come out of ONE narrow mapInPandas — zero shuffles.  One
+    # Python pass feeds five consumers → cache the tall rows.  At cluster
+    # scale this stage is checkpointed to the warehouse instead
+    # (io.write_stage, partitioned by kind), which also provides resume;
+    # cache is the local-mode equivalent.
+    doc_rows = extract_document_rows(corpus, chunk_bytes, with_schemas).persist()
 
+    chunks = chunks_view(doc_rows)
     mentions = mentions_df(chunks)
-    triples = triples_from_mentions(mentions)
+    triples = triples_view(doc_rows)
 
-    doc_entities = fold_documents(chunks)
+    doc_entities = doc_entities_view(doc_rows)
     symbols = doc_entities.select(
-        F.concat_ws("/", "repo", "path").alias("module_id"),
         F.concat(F.concat_ws("/", "repo", "path"), F.lit("::"), F.col("entity_name")).alias("id"),
         F.col("entity_type").alias("type"),
         F.col("attributes"),
-    ).drop("module_id")
-    modules = module_entities(chunks).select("id", "type", "attributes")
+    )
+    modules = module_entities_view(doc_rows).select("id", "type", "attributes")
     entities = modules.unionByName(symbols)
 
     if with_schemas:
-        doc_schemas = document_schemas(chunks)
-        gschema = global_schema(chunks)
+        doc_schemas = doc_schemas_view(doc_rows)
+        # tree-reduce over the (already per-doc-unioned) schema rows
+        gschema = global_schema(doc_schemas)
         gschema_json = canonical_json(gschema)
         schema_ents = schema_to_entities(gschema)
     else:
@@ -74,6 +85,7 @@ def run_pipeline(
         schema_ents = []
 
     return PipelineResult(
+        doc_rows=doc_rows,
         chunks=chunks,
         mentions=mentions,
         triples=triples,

@@ -169,7 +169,7 @@ def test_canonicalize_and_integrity_end_to_end(spark):
         n_in = canon.filter(F.col("rel_type") == rel).count()
         n_out = ok.filter(F.col("rel_type") == rel).count()
         assert n_in == n_out, f"{rel}: {n_in} -> {n_out} lost by integrity"
-    res.chunks.unpersist()
+    res.doc_rows.unpersist()
 
 
 def test_prefer_real_canonical_alias_only_component(spark):

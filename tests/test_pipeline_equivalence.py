@@ -32,7 +32,7 @@ def result(spark):
     res = run_pipeline(corpus, chunk_bytes=CHUNK_BYTES)
     yield corpus, res
     corpus.unpersist()
-    res.chunks.unpersist()
+    res.doc_rows.unpersist()
 
 
 def _oracle_triples():
@@ -111,7 +111,7 @@ def test_partitioning_invariance(spark):
             corpus = corpus_df(spark, 30).repartition(parts)
             res = run_pipeline(corpus, chunk_bytes=CHUNK_BYTES, with_schemas=False)
             got = {(r.subj, r.pred, r.obj, r.rel_type) for r in res.triples.collect()}
-            res.chunks.unpersist()
+            res.doc_rows.unpersist()
             assert got == expected, f"divergence at shuffle.partitions={parts}"
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -27,15 +27,15 @@ def test_resume_skips_and_matches(spark, corpus, tmp_path):
 
     # interrupted run: execute only the first stages, then "crash"
     wh = Warehouse(resumed_root)
-    from scrapontologies_spark.operators.extract import extract_chunks
+    from scrapontologies_spark.operators.extract import extract_document_rows
 
-    wh.run_stage(spark, "chunks", lambda: extract_chunks(corpus, 512))
-    assert wh.is_complete("chunks")
+    wh.run_stage(spark, "extracted", lambda: extract_document_rows(corpus, 512))
+    assert wh.is_complete("extracted")
 
-    # restart from scratch: chunks must be skipped, everything else computed
+    # restart from scratch: extraction must be skipped, everything else computed
     resumed = run_job(spark, corpus, resumed_root, chunk_bytes=512)
-    assert resumed["chunks"].skipped
-    assert not clean["chunks"].skipped
+    assert resumed["extracted"].skipped
+    assert not clean["extracted"].skipped
 
     for stage in clean:
         assert clean[stage].rows == resumed[stage].rows, stage
@@ -59,4 +59,4 @@ def test_metrics_lineage_rows(spark, corpus, tmp_path):
     stages = {r.stage for r in m.collect()}
     assert stages == set(infos.keys())
     rows = {r.stage: r.rows for r in m.collect()}
-    assert rows["chunks"] == infos["chunks"].rows
+    assert rows["extracted"] == infos["extracted"].rows
