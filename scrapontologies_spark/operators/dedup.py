@@ -89,15 +89,23 @@ def lsh_candidate_pairs(
     sharing any band become candidate pairs (a < b).  The join key is a
     32-char md5 — bucket-join, never O(n²)."""
     n_bands = num_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-        part = sigs.select(
-            "doc_id",
+    # One narrow pass: per-row array of (band_idx, band_key) structs,
+    # exploded — instead of n_bands unions that each recompute the
+    # signature aggregation subplan.
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                )
+            ).alias("band_key"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("doc_id", "_b.band_idx", "_b.band_key")
     left = bands.select(
         F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("doc_a")
     )

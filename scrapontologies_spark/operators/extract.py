@@ -39,9 +39,9 @@ from ..functions.code_gazetteer import (
 )
 from ..functions.semantics import (
     canonical_json,
-    combine_entities_data,
+    combine_entities_data_owned,
     is_na,
-    schema_union_all,
+    schema_union_owned,
     sha256_hex,
 )
 
@@ -187,8 +187,11 @@ def extract_document_rows(
                             None, None, None, None, None, None, None,
                         )
                     )
-                # A2 fold in chunk order (chunk_text yields offset order)
-                merged = combine_entities_data(payloads)
+                # A2 fold in chunk order (chunk_text yields offset order).
+                # Owned fast path: every payload was serialized to its chunk
+                # row above and is never read again — mutation-safe, values
+                # identical to the pure fold (property-tested).
+                merged = combine_entities_data_owned(payloads)
                 for name, attrs in merged.items():
                     if is_na(name):
                         continue
@@ -219,12 +222,15 @@ def extract_document_rows(
                     )
                 )
                 if with_schemas:
+                    doc_schema: dict = {}
+                    for dg in digests:  # owned union fold (digests already
+                        doc_schema = schema_union_owned(doc_schema, dg)  # serialized above)
                     rows.append(
                         (
                             "schema",
                             *base,
                             None, None,
-                            canonical_json(schema_union_all(digests)),
+                            canonical_json(doc_schema),
                             None, None, None, None, None, None, None, None,
                         )
                     )

@@ -12,6 +12,8 @@ results are reproducible and DuckDB-checkable to 1e-6.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -73,43 +75,48 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plane_signs(seed: str, p: int, dim: int) -> list:
+    """Deterministic ±1 hyperplane weights: +1 iff the first hex nibble of
+    md5("seed#p#d") is even — the driver-side twin of the previous in-plan
+    md5 expression, computed ONCE per (plane, dim) instead of per row."""
+    return [
+        1.0
+        if int(hashlib.md5(f"{seed}#{p}#{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
+    return embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+
 def hyperplane_bucket(
     embeddings: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "lsh",
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-LSH bucket per vector: plane p's weight for dimension d is
     +1/-1 from bit parity of md5(seed#p#d) — deterministic, no stored model.
     Returns (vec_id, bucket string of n_planes sign bits).
 
-    At scale: bucketing is a narrow transform; the downstream same-bucket
-    self-join replaces the full cross join (candidates only).
+    The weight matrix depends only on (plane, dim), so it is materialized
+    driver-side and embedded as array literals — the per-row work is a pure
+    dot product in whole-stage codegen, no hashing in the loop.  At scale:
+    bucketing is a narrow transform; the downstream same-bucket self-join
+    replaces the full cross join (candidates only).
     """
+    if dim is None:
+        dim = _vector_dim(embeddings, vec_col)
     vec = F.col(vec_col)
-    dims = F.size(vec)
     sign_bits = []
     for p in range(n_planes):
-        # weight_d = +1 if first hex nibble of md5("seed#p#d") is even
+        w = F.array(*[F.lit(s) for s in _plane_signs(seed, p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), dims - 1),
-                lambda x, d: x.cast("double")
-                * F.when(
-                    (
-                        F.conv(
-                            F.substring(F.md5(F.concat_ws("#", F.lit(seed), F.lit(p), d)), 1, 1),
-                            16,
-                            10,
-                        ).cast("int")
-                        % 2
-                    )
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(vec, w, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -137,15 +144,26 @@ def cosine_topk_lsh(
     same-bucket self-joins on short string keys; the distance computation
     touches candidates only.  Tuning n_planes trades bucket size (compute)
     against recall."""
-    buckets = None
+    # All tables' buckets in ONE narrow pass (explode of a per-row array)
+    # instead of n_tables unions that each rescan the input.
+    dim = _vector_dim(embeddings, vec_col)
+    vec = F.col(vec_col)
+    table_keys = []
     for t in range(n_tables):
-        bt = hyperplane_bucket(
-            embeddings, n_planes, id_col, vec_col, seed=f"lsh{t}"
-        ).select(
-            F.col("vec_id").alias("_bid"),
-            F.concat(F.lit(f"{t}|"), F.col("bucket")).alias("bucket"),
-        )
-        buckets = bt if buckets is None else buckets.unionByName(bt)
+        sign_bits = []
+        for p in range(n_planes):
+            w = F.array(*[F.lit(s) for s in _plane_signs(f"lsh{t}", p, dim)])
+            proj = F.aggregate(
+                F.zip_with(vec, w, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sign_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        table_keys.append(F.concat(F.lit(f"{t}|"), *sign_bits))
+    buckets = embeddings.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(F.array(*table_keys)).alias("bucket"),
+    )
     left = buckets.select(F.col("_bid").alias("query_id"), "bucket")
     right = buckets.select(F.col("_bid").alias("neighbor_id"), "bucket")
     cand = (

@@ -94,6 +94,124 @@ def queries() -> Q:
     )
     q["text_fingerprint"] = lambda spark, d: textops.fingerprint(_docs(spark, d))
 
+    # --- multimodal plumbing (binary payload columns over documents) ----------
+    # payload = utf-8 bytes of text; base64 + byte-length are the S2-parity
+    # kernels (multimodal.py) and are value-exact in DuckDB.
+    q["mm_base64_payload"] = lambda spark, d: (
+        _docs(spark, d)
+        .select(
+            "doc_id",
+            # Spark's base64 may emit MIME-chunked output (76-char lines,
+            # CRLF); strip the wrapping for the canonical unchunked form
+            F.regexp_replace(
+                F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+            ).alias("payload_b64"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("doc_id") < 200)
+    )
+
+    # frame-sampling plumbing: one row per sampled "timestamp" (duration
+    # stand-in = n_chars), mirroring multimodal.frame_sample's explode shape
+    q["mm_frame_sample"] = lambda spark, d: (
+        _docs(spark, d)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chars").cast("int"), F.lit(500))
+            ).alias("_ts"),
+        )
+        .select("doc_id", F.col("_ts").cast("long").alias("frame_ts"))
+    )
+
+    # --- P2/P3 — fence extraction variants (SURVEY §2.2/§2.6) -----------------
+    q["p2_python_fence"] = lambda spark, d: (
+        spark.read.parquet(f"{d}/events.parquet")
+        .select(
+            "event_id",
+            F.regexp_extract(
+                F.concat(F.lit("```python x = "), F.col("props"), F.lit(" ```")),
+                r"```python\s*([\s\S]*?)\s*```",
+                1,
+            ).alias("code"),
+        )
+        .filter(F.col("event_id") < 100)
+    )
+
+    # the strip('```json').strip('```') char-set quirk (semantics.strip_fences)
+    q["p3_strip_fences"] = lambda spark, d: (
+        spark.read.parquet(f"{d}/events.parquet")
+        .select(
+            "event_id",
+            F.btrim(
+                F.btrim(F.concat(F.lit("```json"), F.col("props"), F.lit("```"))),
+                F.lit("`json"),
+            ).alias("stripped"),
+        )
+        .filter(F.col("event_id") < 100)
+    )
+
+    # --- C2 — delete relation by composite (source, target, name) key ---------
+    def c2(spark, d):
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        rels = orders.select(
+            F.col("o_custkey").alias("source"),
+            F.col("o_orderkey").alias("target"),
+            F.col("o_orderpriority").alias("name"),
+        )
+        doomed = rels.filter(F.col("target") % 97 == 0).select(
+            "source", "target", "name"
+        )
+        return rels.join(
+            F.broadcast(doomed), ["source", "target", "name"], "left_anti"
+        )
+
+    q["c2_delete_relation_composite"] = c2
+
+    # --- J1/M6 — full reconcile with A1 attribute merge (value-exact) ---------
+    def reconcile_q(spark, d):
+        from ..operators.link import reconcile
+
+        docs = _docs(spark, d)
+        existing = docs.filter(F.col("doc_id") < 300).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.lit("doc").alias("type"),
+            F.concat(F.lit('{"lang":"'), F.col("lang"), F.lit('"}')).alias(
+                "attributes"
+            ),
+        )
+        new = docs.filter(F.col("doc_id") >= 200).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.lit("doc").alias("type"),
+            F.concat(F.lit('{"src":"'), F.col("source"), F.lit('"}')).alias(
+                "attributes"
+            ),
+        )
+        return reconcile(existing, new)
+
+    q["j1_reconcile_merge"] = reconcile_q
+
+    # --- K1 — schema → 3NF DDL (deterministic; rows-only) ----------------------
+    def ddl_q(spark, d):
+        from ..functions.code_gazetteer import document_schema
+        from ..operators.ddl import schema_to_tables, tables_to_ddl
+
+        docs = _docs(spark, d).filter(F.col("doc_id") < 20).collect()
+        from ..functions.semantics import schema_union_all
+
+        g = schema_union_all(
+            document_schema("text", r.text, 1024) for r in docs
+        )
+        tables = schema_to_tables({"properties": {"doc": g}})
+        stmts = tables_to_ddl(tables, using="iceberg")
+        return spark.createDataFrame(
+            [(t.name, s) for t, s in zip(tables, stmts)],
+            "table_name string, ddl string",
+        )
+
+    q["k1_schema_to_ddl"] = ddl_q
+
     # --- connected components (recursive-CTE oracle!) -------------------------
     def cc_components(spark, d):
         """Per-source doc chains (doc → next doc in the same source) — long
@@ -196,6 +314,44 @@ def oracle_sql() -> dict[str, str]:
     stop_pat = "\\b(" + "|".join(textops.ENGLISH_STOPWORDS) + ")\\b"
 
     return {
+        "mm_base64_payload": """
+            SELECT doc_id, base64(encode(text)) AS payload_b64,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id < 200
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id, unnest(generate_series(0, n_chars::INT, 500)) AS frame_ts
+            FROM documents WHERE doc_id < 50
+        """,
+        "p2_python_fence": """
+            SELECT event_id,
+                   COALESCE(regexp_extract('```python x = ' || props || ' ```',
+                                  '```python\\s*([\\s\\S]*?)\\s*```', 1), '') AS code
+            FROM events WHERE event_id < 100
+        """,
+        "p3_strip_fences": """
+            SELECT event_id,
+                   trim(trim('```json' || props || '```'), '`json') AS stripped
+            FROM events WHERE event_id < 100
+        """,
+        "c2_delete_relation_composite": """
+            SELECT o_custkey AS source, o_orderkey AS target,
+                   o_orderpriority AS name
+            FROM orders WHERE o_orderkey % 97 <> 0
+        """,
+        "j1_reconcile_merge": """
+            SELECT COALESCE(l.id, r.id) AS id, 'doc' AS type,
+              CASE
+                WHEN l.id IS NOT NULL AND r.id IS NOT NULL
+                  THEN '{"lang":"' || l.lang || '","src":"' || r.src || '"}'
+                WHEN l.id IS NOT NULL THEN '{"lang":"' || l.lang || '"}'
+                ELSE '{"src":"' || r.src || '"}'
+              END AS attributes
+            FROM (SELECT doc_id::VARCHAR AS id, lang FROM documents WHERE doc_id < 300) l
+            FULL OUTER JOIN
+                 (SELECT doc_id::VARCHAR AS id, source AS src FROM documents WHERE doc_id >= 200) r
+              ON l.id = r.id
+        """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dups

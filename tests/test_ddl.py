@@ -1,0 +1,149 @@
+"""K1 — deterministic JSON-schema → 3NF DDL generator (SURVEY §2.7 K1,
+§3 EP3).  The fixture is the reference's own JSON_SCHEMA_PROMPT exemplar
+(prompts.py:43-155, the Payslip schema): the LLM-mediated CREATE_TABLES
+step (extractor.py:304-387) demanded "the 3 forms of normalization"; the
+stand-in must decompose nested objects and arrays into child tables with
+FKs and map scalar types deterministically."""
+
+from __future__ import annotations
+
+from scrapontologies_spark.operators.ddl import (
+    schema_to_tables,
+    tables_to_ddl,
+)
+
+PAYSLIP_SCHEMA = {
+    "$schema": "http://json-schema.org/schema#",
+    "title": "Payslip",
+    "type": "object",
+    "properties": {
+        "payslip": {
+            "type": "object",
+            "properties": {
+                "employee": {
+                    "type": "object",
+                    "properties": {
+                        "name": {"type": "string"},
+                        "qualification": {"type": "string"},
+                        "position": {"type": "string"},
+                    },
+                },
+                "work_details": {
+                    "type": "object",
+                    "properties": {
+                        "worked_hours": {"type": "integer"},
+                        "holiday_hours": {"type": "integer"},
+                        "worked_days": {"type": "integer"},
+                    },
+                },
+                "base_pay": {"type": "number"},
+                "deductions": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "properties": {
+                            "description": {"type": "string"},
+                            "percentage": {"type": "number"},
+                        },
+                    },
+                },
+                "net_income": {"type": "number"},
+            },
+        }
+    },
+}
+
+
+def test_payslip_decomposes_to_3nf_tables():
+    tables = schema_to_tables(PAYSLIP_SCHEMA)
+    by_name = {t.name: t for t in tables}
+    # parent + two nested objects + one array-of-object child
+    assert set(by_name) == {
+        "payslip",
+        "payslip_employee",
+        "payslip_work_details",
+        "payslip_deductions",
+    }
+    parent = by_name["payslip"]
+    assert parent.primary_key == "payslip_id"
+    assert parent.foreign_key is None
+    # scalars stay on the parent; nested structures do NOT
+    cols = dict(parent.columns)
+    assert cols["base_pay"] == "DOUBLE"
+    assert cols["net_income"] == "DOUBLE"
+    assert "employee" not in cols and "deductions" not in cols
+
+    emp = by_name["payslip_employee"]
+    assert emp.foreign_key == ("payslip_id", "payslip")
+    assert dict(emp.columns)["name"] == "STRING"
+
+    wd = by_name["payslip_work_details"]
+    assert dict(wd.columns)["worked_hours"] == "BIGINT"
+
+    ded = by_name["payslip_deductions"]
+    assert ded.foreign_key == ("payslip_id", "payslip")
+    assert dict(ded.columns)["percentage"] == "DOUBLE"
+
+
+def test_array_of_scalars_gets_value_child_table():
+    schema = {
+        "properties": {
+            "doc": {
+                "type": "object",
+                "properties": {
+                    "tags": {"type": "array", "items": {"type": "string"}},
+                    "title": {"type": "string"},
+                },
+            }
+        }
+    }
+    tables = {t.name: t for t in schema_to_tables(schema)}
+    assert set(tables) == {"doc", "doc_tags"}
+    assert dict(tables["doc_tags"].columns)["value"] == "STRING"
+    assert tables["doc_tags"].foreign_key == ("doc_id", "doc")
+
+
+def test_ddl_rendering_idempotent_and_dialects():
+    tables = schema_to_tables(PAYSLIP_SCHEMA)
+    ddl = tables_to_ddl(tables, if_not_exists=True, using="iceberg")
+    assert all(s.startswith("CREATE TABLE IF NOT EXISTS ") for s in ddl)
+    assert all(s.endswith(" USING iceberg") for s in ddl)
+    ansi = tables_to_ddl(tables, if_not_exists=False, with_constraints=True)
+    assert any("FOREIGN KEY (payslip_id) REFERENCES payslip" in s for s in ansi)
+    # deterministic: same input → same output
+    assert ddl == tables_to_ddl(schema_to_tables(PAYSLIP_SCHEMA), using="iceberg")
+
+
+def test_date_format_maps_to_date_type():
+    schema = {
+        "properties": {
+            "invoice": {
+                "type": "object",
+                "properties": {"issued": {"type": "string", "format": "date"}},
+            }
+        }
+    }
+    (t,) = schema_to_tables(schema)
+    assert dict(t.columns)["issued"] == "DATE"
+
+
+def test_spark_create_tables_executes(spark, tmp_path):
+    """EP3 sink parity: the generated DDL is valid Spark SQL and re-running
+    it is idempotent (IF NOT EXISTS — no retry loop needed)."""
+    import uuid
+
+    from scrapontologies_spark.operators.ddl import create_tables
+
+    db = f"ddl_test_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        stmts = create_tables(spark, PAYSLIP_SCHEMA)
+        assert len(stmts) == 4
+        tables = {t.name for t in spark.catalog.listTables(db)}
+        assert "payslip" in tables and "payslip_deductions" in tables
+        # idempotent rerun
+        create_tables(spark, PAYSLIP_SCHEMA)
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE {db} CASCADE")

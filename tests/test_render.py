@@ -1,0 +1,68 @@
+"""K3 render parity (SURVEY §2.7): node/link/color construction must match
+the reference's PyechartsRenderer semantics (pyecharts_renderer.py:31-90)."""
+
+from __future__ import annotations
+
+import json
+
+from scrapontologies_spark.plans.render import (
+    COLOR_PALETTE,
+    assign_colors,
+    graph_option,
+    render_html,
+)
+
+ENTS = [
+    {"id": "payslip", "type": "object", "attributes": {"base_pay": "number"}},
+    {"id": "employee", "type": "object", "attributes": {"name": "string"}},
+    {"id": "mod.py", "type": "module", "attributes": '{"lang":"python"}'},
+]
+RELS = [
+    {"source": "payslip", "target": "employee"},
+    {"source": "mod.py", "target": "payslip"},
+]
+
+
+def test_assign_colors_first_seen_wins():
+    colors = assign_colors(["object", "module", "object", "thing"])
+    assert colors["object"] == COLOR_PALETTE[0]
+    assert colors["module"] == COLOR_PALETTE[1]
+    assert colors["thing"] == COLOR_PALETTE[2]
+    # palette cycles after 10 types (reference uses itertools.cycle)
+    many = assign_colors([f"t{i}" for i in range(12)])
+    assert many["t10"] == COLOR_PALETTE[0]
+
+
+def test_graph_option_node_and_link_shape():
+    opt = graph_option(ENTS, RELS, title="T")
+    series = opt["series"][0]
+    assert series["layout"] == "force"
+    assert series["edgeSymbol"] == ["none", "arrow"]
+    nodes = series["data"]
+    assert [n["name"] for n in nodes] == ["payslip", "employee", "mod.py"]
+    assert all(n["symbolSize"] == 50 for n in nodes)
+    # tooltip = "Type: <type>\n" + pretty attribute JSON (reference :39-41, :57-59)
+    assert nodes[0]["tooltip"]["formatter"] == (
+        "Type: object\n" + json.dumps({"base_pay": "number"}, indent=2)
+    )
+    # JSON-string attributes are parsed before pretty-printing
+    assert '"lang": "python"' in nodes[2]["tooltip"]["formatter"]
+    # same type → same color; module differs
+    assert nodes[0]["itemStyle"]["color"] == nodes[1]["itemStyle"]["color"]
+    assert nodes[2]["itemStyle"]["color"] != nodes[0]["itemStyle"]["color"]
+    links = series["links"]
+    assert links[0] == {
+        "source": "payslip",
+        "target": "employee",
+        "tooltip": {"show": False},
+    }
+
+
+def test_render_html_is_self_contained(tmp_path):
+    out = tmp_path / "g.html"
+    html = render_html(ENTS, RELS, output_path=str(out))
+    assert out.read_text() == html
+    embedded = html.split('id="graph-option">')[1].split("</script>")[0]
+    opt = json.loads(embedded)
+    assert len(opt["series"][0]["data"]) == 3
+    assert len(opt["series"][0]["links"]) == 2
