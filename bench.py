@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_lsh_candidates",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_cosine_topk_lsh",
     "text_lang_id",
@@ -95,7 +96,9 @@ def main() -> None:
     corpus.count()  # input materialization excluded (on a cluster the
     # corpus is an Iceberg table already on disk)
     t0 = time.time()
-    res = run_pipeline(corpus, chunk_bytes=1024, with_schemas=True)
+    # emit_chunks=False: measure the deliverables job (triples + entities +
+    # schemas); chunk rows are intermediate state, not an output table
+    res = run_pipeline(corpus, chunk_bytes=1024, with_schemas=True, emit_chunks=False)
     n_triples = res.triples.count()
     n_entities = res.entities.count()
     dt = time.time() - t0

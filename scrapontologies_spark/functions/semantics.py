@@ -499,3 +499,63 @@ def delete_relation(
         for r in relations
         if not (r.source == source and r.target == target and r.name == name)
     ]
+
+
+# ---------------------------------------------------------------------------
+# C3 — delete intent router (extractor.py:126-147, DELETE_PROMPT
+# prompts.py:170-185) — deterministic stand-in
+# ---------------------------------------------------------------------------
+
+
+def route_delete(
+    item_description: str,
+    entity_ids: Sequence[str],
+    relation_keys: Sequence[Tuple[str, str, str]],
+) -> Dict[str, str]:
+    """Classify a free-text delete request as Entity vs Relation and pick
+    the id — the deterministic stand-in for DELETE_PROMPT's LLM response
+    ``{Type, ID, Clarification}`` (extractor.py:139-147 consumes exactly
+    these keys; the relation ID is the stringified (source, target, name)
+    tuple the reference later evals, extractor.py:166).
+
+    Rules (exact-match lookup per SURVEY §2.8-C3):
+    1. relation wins when some key's source, target AND name all occur in
+       the description (most matched characters, then lexicographic key);
+    2. else entity wins on the longest entity id occurring in the
+       description (ties → lexicographic);
+    3. else unclear → Type 'None' + clarification question.
+    """
+    desc = item_description.lower()
+
+    best_rel = None
+    for key in relation_keys:
+        source, target, name = key
+        if all(p.lower() in desc for p in (source, target, name)):
+            score = len(source) + len(target) + len(name)
+            cand = (-score, str(key), key)
+            if best_rel is None or cand < best_rel:
+                best_rel = cand
+    if best_rel is not None:
+        return {
+            "Type": "Relation",
+            "ID": str(tuple(best_rel[2])),
+            "Clarification": "None",
+        }
+
+    best_ent = None
+    for eid in entity_ids:
+        if eid.lower() in desc:
+            cand = (-len(eid), eid)
+            if best_ent is None or cand < best_ent:
+                best_ent = cand
+    if best_ent is not None:
+        return {"Type": "Entity", "ID": best_ent[1], "Clarification": "None"}
+
+    return {
+        "Type": "None",
+        "ID": "None",
+        "Clarification": (
+            "No entity id or relation (source, target, name) from the "
+            "current graph matches the description; name the item exactly."
+        ),
+    }

@@ -205,3 +205,60 @@ def simhash(
     return votes.groupBy("doc_id").agg(
         F.sum(F.col("vote") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_tables: int = 0,
+    lsh_planes: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold.
+
+    ``lsh_tables=0`` (exact): full self-join — the small-scale oracle path.
+    ``lsh_tables>0`` (scale path): only pairs sharing a sign-LSH bucket in
+    at least one of the tables are scored, replacing the O(n²) pair space
+    with bucket-colliding candidates (same recall/cost trade as
+    similarity.cosine_topk_lsh).  Arithmetic is sequential float64
+    (zip_with + aggregate), DuckDB-checkable to 1e-6.
+    """
+    from .similarity import _dot, _norm, hyperplane_bucket
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if lsh_tables > 0:
+        buckets = None
+        for t in range(lsh_tables):
+            bt = hyperplane_bucket(
+                embeddings, n_planes=lsh_planes, id_col=id_col,
+                vec_col=vec_col, seed=f"neardup{t}",
+            ).select("vec_id", F.concat(F.lit(f"{t}#"), F.col("bucket")).alias("bucket"))
+            buckets = bt if buckets is None else buckets.unionByName(bt)
+        cand = (
+            buckets.alias("x")
+            .join(buckets.alias("y"), "bucket")
+            .select(
+                F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+        "cos_raw"
+    )
+    return (
+        pairs.select("id_a", "id_b", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )

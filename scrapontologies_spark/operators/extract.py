@@ -138,6 +138,7 @@ def extract_document_rows(
     corpus: DataFrame,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     with_schemas: bool = True,
+    emit_chunks: bool = True,
 ) -> DataFrame:
     """Fused chunk → extract → fold → schema → triples pass (narrow, one
     Python entry per batch).  Emits tall rows discriminated by ``kind``:
@@ -147,6 +148,12 @@ def extract_document_rows(
     - ``module`` — one module entity per document (id = repo/path)
     - ``schema`` — per-document A4 schema union
     - ``triple`` — deduplicated per-document M5 triples
+
+    ``emit_chunks=False`` skips the per-chunk rows (and their JSON
+    serialization) when only the pipeline deliverables — triples, entities,
+    schemas — are materialized.  Chunk rows are intermediate state ("page
+    answers", pdf_parser.py state IR), not a reference output; dropping them
+    cuts the Arrow transfer + cache volume by the size of the corpus itself.
 
     Semantics are byte-identical to the staged operators (fold_documents,
     document_schemas, triples_from_mentions): all call the same pure
@@ -176,17 +183,18 @@ def extract_document_rows(
                     if with_schemas:
                         digests.append(digest)
                     triples |= triples_for_mentions(module_id, mentions)
-                    rows.append(
-                        (
-                            "chunk",
-                            *base,
-                            cid,
-                            canonical_json(payload),
-                            canonical_json(digest),
-                            json.dumps(mentions),
-                            None, None, None, None, None, None, None,
+                    if emit_chunks:
+                        rows.append(
+                            (
+                                "chunk",
+                                *base,
+                                cid,
+                                canonical_json(payload),
+                                canonical_json(digest),
+                                json.dumps(mentions),
+                                None, None, None, None, None, None, None,
+                            )
                         )
-                    )
                 # A2 fold in chunk order (chunk_text yields offset order).
                 # Owned fast path: every payload was serialized to its chunk
                 # row above and is never read again — mutation-safe, values

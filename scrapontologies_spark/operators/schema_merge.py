@@ -79,3 +79,28 @@ def global_schema(chunks: DataFrame, fanin: int = 16) -> dict:
     )
     rows = partials.collect()  # ≤ fanin tiny rows
     return schema_union_all(json.loads(r["schema_json"]) for r in rows)
+
+
+def merge_external_schemas(global_schema_json: str, external: DataFrame) -> str:
+    """S5 — external-schema source merge (extractor.py:193-248,
+    examples/merge_schemas.py): union externally-supplied JSON-schema
+    documents into the global ontology.
+
+    ``external`` is a DataFrame of schema documents — either a
+    ``schema_json`` string column (one canonical-JSON schema per row), or
+    arbitrary JSON-struct rows from ``spark.read.json`` of a schema file
+    (converted with to_json).  Schema documents are tiny dimension rows, so
+    the collect is bounded; M3 union keeps rules 1-4 of UPDATE_SCHEMA_PROMPT
+    (same-key merge, new keys added, existing structure preserved).
+    Returns the merged schema as canonical JSON.
+    """
+    if "schema_json" in external.columns:
+        docs = external.select("schema_json")
+    else:
+        docs = external.select(F.to_json(F.struct(*external.columns)).alias("schema_json"))
+    merged = json.loads(global_schema_json) if global_schema_json else {}
+    for r in docs.collect():
+        if r["schema_json"] is None:
+            continue
+        merged = schema_union_all([merged, json.loads(r["schema_json"])])
+    return canonical_json(merged)

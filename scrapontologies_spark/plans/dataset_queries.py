@@ -65,6 +65,12 @@ def queries() -> Q:
 
     q["dedup_simhash"] = lambda spark, d: dedup.simhash(_docs(spark, d), bits=16)
 
+    # exact variant (SQL-checkable); the lsh_tables>0 scale path shares the
+    # scoring expression and is exercised in tests
+    q["dedup_embedding_cosine"] = lambda spark, d: dedup.embedding_near_dup_pairs(
+        _emb(spark, d), threshold=0.4
+    )
+
     # --- similarity ----------------------------------------------------------
     def sim_topk(spark, d):
         emb = _emb(spark, d)
@@ -410,6 +416,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(sum(vote * power(2.0, bit)) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "dedup_embedding_cosine": """
+            -- sequential float64 cosine (matches Spark's aggregate() fold)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_aggregate([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                     FOR i IN range(1, len(a.embedding) + 1)], 'sum')
+                     / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN a.embedding], 'sum'))
+                       * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
+                   , 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_aggregate([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                  FOR i IN range(1, len(a.embedding) + 1)], 'sum')
+                  / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN a.embedding], 'sum'))
+                    * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
+                  >= 0.4
         """,
         "sim_cosine_topk": """
             -- cosine in sequential float64 (matches Spark's aggregate() fold

@@ -50,6 +50,7 @@ def run_pipeline(
     corpus: DataFrame,
     chunk_bytes: int = 1024,
     with_schemas: bool = True,
+    emit_chunks: bool = True,
 ) -> PipelineResult:
     # Fused one-pass extraction (see operators/extract.py): every
     # per-document computation is row-local, so chunk/fold/schema/triple
@@ -58,8 +59,12 @@ def run_pipeline(
     # scale this stage is checkpointed to the warehouse instead
     # (io.write_stage, partitioned by kind), which also provides resume;
     # cache is the local-mode equivalent.
-    doc_rows = extract_document_rows(corpus, chunk_bytes, with_schemas).persist()
+    doc_rows = extract_document_rows(
+        corpus, chunk_bytes, with_schemas, emit_chunks
+    ).persist()
 
+    # chunk rows are intermediate "page answers"; with emit_chunks=False the
+    # views below are valid but empty DataFrames
     chunks = chunks_view(doc_rows)
     mentions = mentions_df(chunks)
     triples = triples_view(doc_rows)

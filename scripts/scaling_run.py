@@ -47,7 +47,10 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path)
 
     t0 = time.time()
-    res = run_pipeline(corpus, chunk_bytes=1024, with_schemas=True)
+    # emit_chunks=False: the measured job materializes the pipeline
+    # deliverables (triples + entity + schema tables, per north_rule); chunk
+    # rows are intermediate state, not an output table.
+    res = run_pipeline(corpus, chunk_bytes=1024, with_schemas=True, emit_chunks=False)
     n_triples = res.triples.count()
     n_entities = res.entities.count()
     wall = time.time() - t0

@@ -115,3 +115,21 @@ def test_partitioning_invariance(spark):
             assert got == expected, f"divergence at shuffle.partitions={parts}"
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_emit_chunks_false_same_deliverables(result, spark):
+    """The slim pass (no chunk rows) must produce byte-identical
+    deliverables — triples, entities, global schema — to the full pass."""
+    corpus, full = result
+    slim = run_pipeline(corpus, chunk_bytes=CHUNK_BYTES, emit_chunks=False)
+    try:
+        assert slim.chunks.count() == 0
+        assert set(map(tuple, slim.triples.collect())) == set(
+            map(tuple, full.triples.collect())
+        )
+        assert set(map(tuple, slim.entities.collect())) == set(
+            map(tuple, full.entities.collect())
+        )
+        assert slim.global_schema_json == full.global_schema_json
+    finally:
+        slim.doc_rows.unpersist()

@@ -1,0 +1,69 @@
+"""Physical-plan quality gates (the 100 TB criteria, asserted on .explain):
+
+- the fused extraction path must stay shuffle-free (no Exchange) — the
+  dominant stage at scale must be narrow;
+- parquet scans must show column pruning (ReadSchema) and filter pushdown
+  (PushedFilters) for selective queries;
+- the small side of the reconcile join must broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_fused_extract_is_shuffle_free(spark):
+    from scrapontologies_spark.operators.extract import (
+        extract_document_rows,
+        triples_view,
+    )
+    from scrapontologies_spark.sources.corpus import corpus_df
+
+    corpus = corpus_df(spark, 50)
+    plan = _plan(triples_view(extract_document_rows(corpus, 512)))
+    assert "Exchange" not in plan, plan
+
+
+def test_documents_scan_prunes_and_pushes(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "text")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan
+    # ReadSchema must carry only the two projected columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs, rs
+
+
+def test_integrity_semi_join_broadcasts_small_entity_side(spark):
+    from scrapontologies_spark.operators.link import referential_integrity
+
+    triples = spark.range(0, 10_000).select(
+        F.concat(F.lit("m"), (F.col("id") % 100)).alias("subj"),
+        F.lit("defines").alias("pred"),
+        F.concat(F.lit("m"), (F.col("id") % 100), F.lit("::f")).alias("obj"),
+        F.lit("defines").alias("rel_type"),
+    )
+    entities = spark.createDataFrame(
+        [(f"m{i}",) for i in range(100)] + [(f"m{i}::f",) for i in range(100)],
+        "id string",
+    )
+    df = referential_integrity(triples, entities)
+    # static plan can't see through the distinct() aggregate's size stats;
+    # the broadcast decision is AQE's at runtime — execute, then inspect the
+    # final adaptive plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # toString also prints the pre-adaptive subtrees, so assert only that
+    # the executed (isFinalPlan=true) section chose broadcast semi joins
+    assert "isFinalPlan=true" in final, final
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, final

@@ -228,3 +228,45 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.frame_sample(media, every_ms=500)
     n_videos = media.filter("kind = 'video'").count()
     assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_embedding_near_dup_exact_vs_numpy(spark, emb):
+    """Exact near-dup pairs == numpy oracle (cosine >= t, id_a < id_b)."""
+    t = 0.3
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=t).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cos[i, j] >= t - 1e-9:
+                want[(int(ids[i]), int(ids[j]))] = cos[i, j]
+    # allow boundary wobble at the threshold itself
+    assert set(want) - set(got) <= {k for k, v in want.items() if abs(v - t) < 1e-6}
+    for k, v in got.items():
+        assert k in want and abs(want[k] - v) < 1e-5
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
+    """Scale path: LSH-bucketed pairs ⊆ exact pairs (precision 1.0) with
+    usable recall on the sf0.001 vectors."""
+    t = 0.25
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=t).collect()
+    )
+    approx = set(
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=t, lsh_tables=8, lsh_planes=4
+        ).collect()
+    )
+    assert approx <= exact
+    assert len(exact) > 0
+    assert len(approx) / len(exact) >= 0.5  # recall floor at 8 tables
