@@ -232,8 +232,24 @@ def embedding_near_dup_pairs(
     """
     from .similarity import _dot, _norm, hyperplane_bucket
 
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-row norms precomputed before the pair join: each pair pays one
+    # dot-product fold, not three (bitwise-identical cosine)
+    # repartition the scored side by id with an EXPLICIT partition count:
+    # the O(n²·d) pair compute must not inherit the (possibly single-split)
+    # scan partitioning, and AQE would coalesce a column-only repartition
+    # back to 1 partition because the shuffled rows are tiny — it sizes by
+    # shuffle bytes, blind to downstream quadratic work
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    a = embeddings.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     if lsh_tables > 0:
         buckets = None
         for t in range(lsh_tables):
@@ -254,7 +270,7 @@ def embedding_near_dup_pairs(
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+    cos = (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
         "cos_raw"
     )
     return (

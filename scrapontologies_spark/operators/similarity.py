@@ -48,11 +48,22 @@ def cosine_topk_bruteforce(
     schema).  Broadcast the (small) query side; rank deterministically by
     (-similarity, neighbor id).  Returns (query_id, neighbor_id, cosine,
     rank)."""
+    # precompute each row's norm ONCE before the join: the pair loop then
+    # pays one dot-product fold instead of three (bitwise-identical result —
+    # cos = dot / (na * nb) with na/nb computed by the same expression)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
     )
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    # repartition the big side by id with an explicit count: the O(n·q·d)
+    # scoring must not inherit a single-split scan partitioning, and AQE
+    # would coalesce a column-only repartition of tiny rows back to 1
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    e = embeddings.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nnorm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -62,7 +73,7 @@ def cosine_topk_bruteforce(
             "neighbor_id",
             (
                 _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec")))
+                / (F.col("qnorm") * F.col("nnorm"))
             ).alias("cosine"),
         )
     )
@@ -166,15 +177,26 @@ def cosine_topk_lsh(
     )
     left = buckets.select(F.col("_bid").alias("query_id"), "bucket")
     right = buckets.select(F.col("_bid").alias("neighbor_id"), "bucket")
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     cand = (
         left.join(right, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+        # explicit spread for the per-pair O(d) scoring below — AQE would
+        # coalesce the small candidate rows into too few partitions
+        .repartition(n_parts, F.col("query_id"), F.col("neighbor_id"))
     )
-    e_q = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # norms precomputed per row, not per candidate pair (see bruteforce)
+    e_q = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
     e_n = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nnorm"),
     )
     scored = (
         cand.join(e_q, "query_id")
@@ -184,7 +206,7 @@ def cosine_topk_lsh(
             "neighbor_id",
             (
                 _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec")))
+                / (F.col("qnorm") * F.col("nnorm"))
             ).alias("cosine"),
         )
     )
