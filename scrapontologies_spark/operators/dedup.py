@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -54,7 +56,9 @@ def _tokens(text_col: str):
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct k-gram token shingles per doc (narrow transform + explode)."""
+    """Distinct k-gram token shingles per doc (narrow transform + explode;
+    input spread across cores first if the scan is under-partitioned)."""
+    df = spread(df, id_col)
     toks = _tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)) ),
@@ -184,7 +188,7 @@ def simhash(
     bit j.  Explodes (token, bit) pairs — bounded by tokens × bits — and
     aggregates map-side.
     """
-    toks = df.select(
+    toks = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(text_col)).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -234,13 +238,11 @@ def embedding_near_dup_pairs(
 
     # per-row norms precomputed before the pair join: each pair pays one
     # dot-product fold, not three (bitwise-identical cosine)
-    # repartition the scored side by id with an EXPLICIT partition count:
-    # the O(n²·d) pair compute must not inherit the (possibly single-split)
-    # scan partitioning, and AQE would coalesce a column-only repartition
-    # back to 1 partition because the shuffled rows are tiny — it sizes by
-    # shuffle bytes, blind to downstream quadratic work
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
-    a = embeddings.repartition(n_parts, F.col(id_col)).select(
+    # spread the scored side across cores: the O(n²·d) pair compute must not
+    # inherit a single-split scan partitioning (see util.spread — explicit
+    # count because AQE coalesces by shuffle bytes, blind to downstream
+    # quadratic work)
+    a = spread(embeddings, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         _norm(F.col(vec_col)).alias("na"),

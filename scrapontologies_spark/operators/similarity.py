@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -56,11 +58,9 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
     )
-    # repartition the big side by id with an explicit count: the O(n·q·d)
-    # scoring must not inherit a single-split scan partitioning, and AQE
-    # would coalesce a column-only repartition of tiny rows back to 1
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
-    e = embeddings.repartition(n_parts, F.col(id_col)).select(
+    # spread the big side across cores: the O(n·q·d) scoring must not
+    # inherit a single-split scan partitioning (util.spread)
+    e = spread(embeddings, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         _norm(F.col(vec_col)).alias("nnorm"),
@@ -156,7 +156,9 @@ def cosine_topk_lsh(
     touches candidates only.  Tuning n_planes trades bucket size (compute)
     against recall."""
     # All tables' buckets in ONE narrow pass (explode of a per-row array)
-    # instead of n_tables unions that each rescan the input.
+    # instead of n_tables unions that each rescan the input.  Spread first:
+    # the n_tables × n_planes projection folds are the heavy narrow work.
+    embeddings = spread(embeddings, id_col)
     dim = _vector_dim(embeddings, vec_col)
     vec = F.col(vec_col)
     table_keys = []
@@ -177,14 +179,16 @@ def cosine_topk_lsh(
     )
     left = buckets.select(F.col("_bid").alias("query_id"), "bucket")
     right = buckets.select(F.col("_bid").alias("neighbor_id"), "bucket")
+    # unconditional explicit repartition (not util.spread): the distinct's
+    # static partition count reads as spark.sql.shuffle.partitions, but AQE
+    # still coalesces the small candidate rows at runtime — blind to the
+    # per-pair O(d) scoring below.  An explicit count pins it.
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     cand = (
         left.join(right, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
-        # explicit spread for the per-pair O(d) scoring below — AQE would
-        # coalesce the small candidate rows into too few partitions
         .repartition(n_parts, F.col("query_id"), F.col("neighbor_id"))
     )
     # norms precomputed per row, not per candidate pair (see bruteforce)

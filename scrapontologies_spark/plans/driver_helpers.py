@@ -10,7 +10,11 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → the corpus shape
     (repo, path, commit, lang, content) per BASELINE input_hint, with
     lang='text' so the prose gazetteer applies."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..operators.util import spread
+
+    # the driver tables are single parquet files — spread so the fused
+    # Python extraction pass downstream isn't serialized on one split
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return docs.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
