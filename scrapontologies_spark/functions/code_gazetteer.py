@@ -98,6 +98,18 @@ _JAVA_METHOD = re.compile(r"^\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
 _DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
 
+# One alternation fusing the four per-line decl probes of _calls(); the
+# alternatives appear in the same order as the sequential matches they
+# replace, and .match anchoring makes alternation order ≡ sequential-or, so
+# results are identical with 1/4 of the regex-engine entries.  lastindex
+# still names the captured symbol (py contributes two groups; the rest one).
+_ANY_DECL = re.compile(
+    r"(?:(\s*)def\s+(\w+)\s*\("
+    r"|\s*function\s+(\w+)\s*\("
+    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*\("
+    r"|\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{)"
+)
+
 # Natural-language gazetteer for prose corpora (the driver's ``documents``
 # table): fixed analytics-term vocabulary; a 'term' mention per occurrence.
 TEXT_TERMS = (
@@ -180,12 +192,11 @@ def _calls(text: str) -> List[Dict[str, str]]:
     calls: List[Dict[str, str]] = []
     current = ""
     for line in text.split("\n"):
-        dm = (
-            _PY_DEF.match(line)
-            or _JS_FUNC.match(line)
-            or _GO_FUNC.match(line)
-            or _JAVA_METHOD.match(line)
-        )
+        # every decl pattern and _CALL require a '(' — paren-free lines can
+        # neither update `current` nor yield calls
+        if "(" not in line:
+            continue
+        dm = _ANY_DECL.match(line)
         if dm:
             current = dm.group(dm.lastindex)
             continue
@@ -259,13 +270,45 @@ def induce_schema(value: Any) -> Dict[str, Any]:
     return {}
 
 
+def _structural_key(v: Any) -> Any:
+    """Hashable key such that equal keys ⇒ equal ``induce_schema`` output:
+    scalars reduce to their type tag; lists to the SET of element keys
+    (induce_schema unions element schemas — order-free, duplicate-free);
+    dicts to sorted (key, child) pairs with NA-valued keys dropped exactly
+    as induce_schema drops them."""
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, list):
+        return ("l",) + tuple(sorted({repr(_structural_key(x)) for x in v}))
+    if isinstance(v, dict):
+        return ("d",) + tuple(
+            sorted((k, repr(_structural_key(x))) for k, x in v.items() if not is_na(x))
+        )
+    return "o"
+
+
 def chunk_schema_digest(payload: Dict[str, Any]) -> Dict[str, Any]:
     """Per-chunk ontology digest: union of the induced schemas of each
-    extracted symbol's attributes, keyed under the symbol's kind."""
+    extracted symbol's attributes, keyed under the symbol's kind.
+
+    Symbols with structurally identical attributes induce identical schemas,
+    and M3 union is idempotent (property-tested) — so each distinct
+    (kind, structure) pair is unioned once, not once per symbol."""
     digest: Dict[str, Any] = {}
+    seen: set = set()
     for name, attrs in payload.items():
         kind = attrs.get("kind") if isinstance(attrs, dict) else None
         key = kind if not is_na(kind) else "unknown"
+        skey = (key, _structural_key(attrs))
+        if skey in seen:
+            continue
+        seen.add(skey)
         # owned union: the right side is freshly built (induce_schema never
         # references ``attrs``), the accumulator is local — zero copies
         digest = schema_union_owned(

@@ -108,3 +108,55 @@ def test_union_rules_golden():
     conflicts: list = []
     u2 = schema_union({"type": "integer"}, {"type": "string"}, conflicts)
     assert u2["type"] == "string" and conflicts
+
+
+# ---------------------------------------------------------------------------
+# chunk_schema_digest structural dedup == naive per-symbol fold
+# ---------------------------------------------------------------------------
+
+_attr_value = st.recursive(
+    st.one_of(
+        st.booleans(),
+        st.integers(-5, 5),
+        st.text(alphabet="abNA", max_size=3),
+        st.just("NA"),
+        st.none(),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.sampled_from(["kind", "owner", "calls", "called_by", "x"]), children, max_size=4),
+    ),
+    max_leaves=8,
+)
+
+
+def _realistic(payload):
+    # chunk_payload only ever emits dict attrs whose "kind" is a string —
+    # keep the property inside the function's domain
+    for attrs in payload.values():
+        if isinstance(attrs, dict) and "kind" in attrs and not isinstance(attrs["kind"], str):
+            attrs["kind"] = "function"
+    return payload
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=3), _attr_value, max_size=6
+    ).map(_realistic)
+)
+@settings(max_examples=200, deadline=None)
+def test_digest_dedup_equals_naive_fold(payload):
+    from scrapontologies_spark.functions.code_gazetteer import (
+        chunk_schema_digest,
+        induce_schema,
+    )
+    from scrapontologies_spark.functions.semantics import is_na, schema_union
+
+    naive = {}
+    for name, attrs in payload.items():
+        kind = attrs.get("kind") if isinstance(attrs, dict) else None
+        key = kind if not is_na(kind) else "unknown"
+        naive = schema_union(
+            naive, {"type": "object", "properties": {key: induce_schema(attrs)}}
+        )
+    assert canonical_json(chunk_schema_digest(payload)) == canonical_json(naive)
