@@ -12,9 +12,14 @@ an Iceberg catalog (``df.writeTo(table).using("iceberg")``) is a config
 switch, not a rewrite — no Iceberg jars ship in this container.
 
 Metrics: one row per completed stage (stage, rows, wall_ms, fingerprint)
-appended to ``_metrics`` — the per-partition lineage analog; fingerprint is
-an order-independent xor of row hashes so cross-run output equality is
-checkable without a diff.
+appended to ``_metrics``; fingerprint is an order-independent xor of row
+hashes so cross-run output equality is checkable without a diff.
+
+Lineage: one row per checkpoint FILE (stage, file, rows, fingerprint)
+appended to ``_lineage`` — the per-partition lineage rows of the north_rule.
+The file is the durable partition unit (what a restarted reader re-reads);
+stage totals are derived from the same aggregation (count sums, bit_xor is
+associative), so lineage and metrics can never disagree.
 """
 
 from __future__ import annotations
@@ -84,13 +89,31 @@ class Warehouse:
         w.save(self.path(name))
         spark = df.sparkSession
         out = spark.read.format(self.fmt).load(self.path(name))
-        agg = out.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64(*out.columns)).alias("h"),
+        # per-file lineage rows; stage totals fold out of the SAME rows
+        # (count sums, bit_xor is associative), so _lineage and _metrics
+        # cannot disagree.  Totals come from this in-memory frame — never
+        # from re-reading _lineage, whose rows from a crashed earlier
+        # attempt (marker not yet committed) would double-count; such
+        # orphans reference files the overwrite has already deleted and are
+        # superseded by the marker being the single commit point.
+        lin = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.bit_xor(F.xxhash64(*out.columns)).alias("fingerprint"),
+            )
+            .select(F.lit(name).alias("stage"), "file", "rows", "fingerprint")
+            .persist()
+        )
+        lin.write.mode("append").format(self.fmt).save(f"{self.root}/_lineage")
+        agg = lin.agg(
+            F.sum("rows").alias("n"),
+            F.bit_xor("fingerprint").alias("h"),
         ).collect()[0]
+        lin.unpersist()
         info = StageInfo(
             name=name,
-            rows=agg["n"],
+            rows=agg["n"] if agg["n"] is not None else 0,
             wall_ms=int((time.monotonic() - t0) * 1000),
             fingerprint=agg["h"] if agg["h"] is not None else 0,
         )
@@ -109,6 +132,9 @@ class Warehouse:
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.format(self.fmt).load(f"{self.root}/_metrics")
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.format(self.fmt).load(f"{self.root}/_lineage")
 
     # -- resumable orchestration ----------------------------------------------
 

@@ -60,3 +60,27 @@ def test_metrics_lineage_rows(spark, corpus, tmp_path):
     assert stages == set(infos.keys())
     rows = {r.stage: r.rows for r in m.collect()}
     assert rows["extracted"] == infos["extracted"].rows
+
+
+def test_per_partition_lineage_consistent_with_metrics(spark, corpus, tmp_path):
+    """north_rule: per-partition lineage rows — one per checkpoint file,
+    whose counts sum (and fingerprints xor) to the stage metrics row."""
+    from functools import reduce
+
+    root = str(tmp_path / "wh")
+    infos = run_job(spark, corpus, root, chunk_bytes=512, with_schemas=True)
+    wh = Warehouse(root)
+    lin = wh.lineage(spark).collect()
+    by_stage: dict = {}
+    for r in lin:
+        by_stage.setdefault(r.stage, []).append(r)
+    for stage, info in infos.items():
+        rows = by_stage[stage]
+        assert all(r.file for r in rows)
+        assert sum(r.rows for r in rows) == info.rows, stage
+        assert reduce(lambda a, b: a ^ b, (r.fingerprint for r in rows), 0) == (
+            info.fingerprint
+        ), stage
+    # multi-partition stage really has >1 lineage row (per-partition, not
+    # per-stage)
+    assert len(by_stage["extracted"]) > 1
