@@ -46,6 +46,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "events_user_rollup",
+    "events_sessionize",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus

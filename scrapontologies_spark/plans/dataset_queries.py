@@ -293,6 +293,13 @@ def queries() -> Q:
 
     q["events_user_rollup"] = events_rollup
 
+    def events_sessions(spark, d):
+        from ..operators.events import sessionize
+
+        return sessionize(spark.read.parquet(f"{d}/events.parquet"), gap_minutes=30)
+
+    q["events_sessionize"] = events_sessions
+
     return q
 
 
@@ -532,5 +539,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY user_id, event_type
+        """,
+        "events_sessionize": """
+            -- gap-based sessions, 30-min threshold; INTEGER microsecond
+            -- epochs (epoch_us ↔ Spark unix_micros) — no float rounding
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM sess GROUP BY user_id, session_idx
         """,
     }

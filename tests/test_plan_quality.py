@@ -67,3 +67,17 @@ def test_integrity_semi_join_broadcasts_small_entity_side(spark):
     # the executed (isFinalPlan=true) section chose broadcast semi joins
     assert "isFinalPlan=true" in final, final
     assert "BroadcastHashJoin" in final and "LeftSemi" in final, final
+
+
+def test_sessionize_is_single_shuffle(spark):
+    """lag window, running-sum window, and both aggregate phases must all
+    reuse the hash(user_id) exchange (subset-satisfies-ClusteredDistribution)
+    — sessionize costs exactly one shuffle."""
+    from scrapontologies_spark.operators.events import sessionize
+
+    df = sessionize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    plan = _plan(df)
+    ops = [l.split(") ", 1)[1].split(" ")[0]
+           for l in plan.splitlines()
+           if l.startswith("(") and ") " in l]
+    assert ops.count("Exchange") == 1, plan
