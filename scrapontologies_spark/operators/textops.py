@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 # marker vocabularies per language (fixed gazetteer — the n-gram-heuristic
 # stand-in for a real langid model; deterministic + SQL-expressible)
 LANG_MARKERS: dict[str, tuple] = {
@@ -36,6 +38,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Predicted language = argmax marker-hit count, ties broken by
     language code order (deterministic).  Returns (doc_id, pred_lang,
     marker_hits)."""
+    df = spread(df, id_col)
     text = F.col(text_col)
     langs = sorted(LANG_MARKERS)  # fixed tie order: first in sorted order wins
     hits = {lang: _count_markers(text, LANG_MARKERS[lang]) for lang in langs}
@@ -55,6 +58,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count, distinct-token count, and a BPE-ish subword
     count (alnum runs + punctuation marks as separate tokens)."""
+    df = spread(df, id_col)
     toks = F.split(F.col(text_col), r"\s+")
     bpe = F.regexp_extract_all(F.col(text_col), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
     return df.select(
@@ -69,6 +73,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
     heuristics (the deterministic analog of an LLM quality filter).
     Ratios are double divisions with fixed operand order → SQL-exact."""
+    df = spread(df, id_col)
     text = F.col(text_col)
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     n_tok = F.size(toks)
@@ -99,6 +104,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     text (collapse runs, trim) — the rolling-hash/winnowing stand-in that
     stays exactly SQL-expressible.  Equal fingerprints ⇒ normalized-equal
     docs."""
+    df = spread(df, id_col)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(
         F.col(id_col).alias("doc_id"),

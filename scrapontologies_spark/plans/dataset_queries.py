@@ -82,7 +82,9 @@ def queries() -> Q:
 
     q["sim_cosine_topk"] = sim_topk
 
-    # approximate path is NOT SQL-expressible cheaply → rows-only
+    # approximate — but DETERMINISTICALLY approximate, so the oracle
+    # replicates the same sign-LSH buckets (see _lsh_bucket_sql) and the
+    # result is value-checked like the exact path
     q["sim_cosine_topk_lsh"] = lambda spark, d: similarity.cosine_topk_lsh(
         _emb(spark, d), k=3, n_planes=4, n_tables=8
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
@@ -303,6 +305,31 @@ def queries() -> Q:
     return q
 
 
+def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
+    """Per-table bucket SELECTs replicating similarity.cosine_topk_lsh's
+    sign-LSH: the SAME md5-derived ±1 sign literals (similarity._plane_signs)
+    are embedded here, so Spark and DuckDB compute identical buckets —
+    sequential float64 projections on both sides."""
+    from ..operators.similarity import _plane_signs
+
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            w = "[" + ",".join(
+                "1.0" if s > 0 else "-1.0" for s in _plane_signs(f"lsh{t}", p, dim)
+            ) + "]"
+            proj = (
+                f"list_aggregate([embedding[i]::DOUBLE * ({w})[i] "
+                f"FOR i IN range(1, {dim} + 1)], 'sum')"
+            )
+            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        selects.append(
+            f"SELECT vec_id, '{t}|' || " + " || ".join(bits) + " AS bucket FROM embeddings"
+        )
+    return "\n              UNION ALL\n              ".join(selects)
+
+
 def oracle_sql() -> dict[str, str]:
     sig = lambda i: f"min(md5(shingle || '#{i}')) AS sig_{i}"
     bands8 = "\n      UNION ALL\n".join(
@@ -439,6 +466,41 @@ def oracle_sql() -> dict[str, str]:
                   / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN a.embedding], 'sum'))
                     * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
                   >= 0.4
+        """,
+        "sim_cosine_topk_lsh": f"""
+            -- exact replica of the approximate path: same md5-derived
+            -- hyperplane sign literals, same candidate join, same sequential
+            -- float64 cosine — value-checkable BECAUSE the approximation is
+            -- deterministic (k=3, n_planes=4, n_tables=8, dim=64)
+            WITH buckets AS (
+              {_lsh_bucket_sql(4, 8, 64)}
+            ),
+            cand AS (
+              SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+              FROM buckets l JOIN buckets r
+                ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_aggregate([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                                     FOR i IN range(1, len(q.embedding) + 1)], 'sum')
+                     / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN q.embedding], 'sum'))
+                       * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum')) )
+                     AS cos_raw
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
         "sim_cosine_topk": """
             -- cosine in sequential float64 (matches Spark's aggregate() fold

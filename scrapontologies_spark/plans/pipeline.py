@@ -102,6 +102,53 @@ def run_pipeline(
     )
 
 
+def pipeline_summary(
+    corpus: DataFrame, chunk_bytes: int = 1024
+) -> "tuple[dict, str]":
+    """One-pass deliverables summary: (kind → row count, global schema
+    canonical JSON).
+
+    The fused extraction computes every triple / entity / module / schema
+    row (emit_chunks=False); a CHAINED narrow mapInPandas reduces each Arrow
+    batch to kind-counts plus a partial M3 schema union, and the driver
+    folds the ≤#partitions partials (M3 is commutative/associative/
+    idempotent — the same license as the A5 tree reduce).  Zero shuffles,
+    no cache: this is the scaling bench's measured job, and tests pin its
+    outputs to run_pipeline's."""
+    import json as _json
+    from collections import Counter
+
+    import pandas as pd
+
+    from ..functions.semantics import schema_union_all, schema_union_owned
+    from ..operators.extract import extract_document_rows
+
+    doc_rows = extract_document_rows(
+        corpus, chunk_bytes=chunk_bytes, with_schemas=True, emit_chunks=False
+    )
+
+    def reduce_batches(batches):
+        counts: Counter = Counter()
+        schema: dict = {}
+        for b in batches:
+            counts.update(b["kind"].value_counts().to_dict())
+            for s in b.loc[b["kind"] == "schema", "schema_json"]:
+                schema = schema_union_owned(schema, _json.loads(s))
+        yield pd.DataFrame(
+            [(_json.dumps(counts), canonical_json(schema))],
+            columns=["counts_json", "schema_json"],
+        )
+
+    partials = doc_rows.mapInPandas(
+        reduce_batches, "counts_json string, schema_json string"
+    ).collect()
+    counts: Counter = Counter()
+    for r in partials:
+        counts.update(_json.loads(r["counts_json"]))
+    gschema = schema_union_all(_json.loads(r["schema_json"]) for r in partials)
+    return dict(counts), canonical_json(gschema)
+
+
 def verify_content_invariant(corpus: DataFrame, chunks: DataFrame) -> int:
     """Per-row sha256 equality between source content and what every chunk
     row carries (BASELINE input_hint).  Returns the number of violating

@@ -133,3 +133,15 @@ def test_emit_chunks_false_same_deliverables(result, spark):
         assert slim.global_schema_json == full.global_schema_json
     finally:
         slim.doc_rows.unpersist()
+
+
+def test_pipeline_summary_matches_run_pipeline(result):
+    """The scaling bench's one-pass summary must report the same deliverable
+    counts and the same global schema as the staged pipeline."""
+    from scrapontologies_spark.plans.pipeline import pipeline_summary
+
+    corpus, full = result
+    counts, gschema_json = pipeline_summary(corpus, chunk_bytes=CHUNK_BYTES)
+    assert counts["triple"] == full.triples.count()
+    assert counts["entity"] + counts["module"] == full.entities.count()
+    assert gschema_json == full.global_schema_json
