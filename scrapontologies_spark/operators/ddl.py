@@ -21,6 +21,7 @@ table specs render to ANSI for the pytest oracle.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -41,13 +42,28 @@ def _sql_type(prop: Dict[str, Any]) -> str:
 
 
 def _ident(name: str) -> str:
-    """Lower-snake identifier, deterministic; collisions impossible for
-    distinct inputs because non-alnum maps to '_' plus a length suffix only
-    when the raw name was mangled."""
+    """Lower-snake identifier, deterministic.  Distinct raw names CAN map to
+    the same identifier ('Foo-Bar' and 'foo_bar' → 'foo_bar'); collisions
+    are resolved at emission time by :func:`_uniq`, which appends a short
+    hash of the raw name — never silently, never order-dependent beyond the
+    canonical schema order."""
     clean = re.sub(r"[^A-Za-z0-9_]", "_", name).lower()
     if not clean or clean[0].isdigit():
         clean = f"t_{clean}"
     return clean
+
+
+def _uniq(ident: str, raw: str, used: set) -> str:
+    """Disambiguate ``ident`` against ``used`` (mutated): first occupant
+    keeps the clean name; later raw names that sanitize to the same
+    identifier get a deterministic 6-hex suffix derived from the RAW name,
+    so the result is stable across runs and input orderings of other keys."""
+    if ident not in used:
+        used.add(ident)
+        return ident
+    suffixed = f"{ident}_{hashlib.md5(raw.encode('utf-8')).hexdigest()[:6]}"
+    used.add(suffixed)
+    return suffixed
 
 
 @dataclass
@@ -63,31 +79,35 @@ def schema_to_tables(schema: Dict[str, Any]) -> List[TableSpec]:
     parents before children, properties in schema order)."""
     props = schema.get("properties", schema) if isinstance(schema, dict) else {}
     tables: List[TableSpec] = []
+    used_tables: set = set()
 
     def walk(tname: str, node: Dict[str, Any], parent: Optional[str]) -> None:
         pk = f"{tname}_id"
         cols: List[Tuple[str, str]] = [(pk, "BIGINT")]
+        used_cols: set = {pk}
         fk = None
         if parent:
             fk_col = f"{parent}_id"
             cols.append((fk_col, "BIGINT"))
+            used_cols.add(fk_col)
             fk = (fk_col, parent)
-        children: List[Tuple[str, Dict[str, Any]]] = []
+        children: List[Tuple[str, str, Dict[str, Any]]] = []  # (ident, raw, sub)
         for cname, sub in (node.get("properties") or {}).items():
             if not isinstance(sub, dict):
-                cols.append((_ident(cname), "STRING"))
+                cols.append((_uniq(_ident(cname), cname, used_cols), "STRING"))
                 continue
             t = sub.get("type")
             if t == "object" or "properties" in sub:
-                children.append((_ident(cname), sub))
+                children.append((_ident(cname), cname, sub))
             elif t == "array":
                 items = sub.get("items") or {}
                 if items.get("type") == "object" or "properties" in items:
-                    children.append((_ident(cname), items))
+                    children.append((_ident(cname), cname, items))
                 else:
                     children.append(
                         (
                             _ident(cname),
+                            cname,
                             {
                                 "type": "object",
                                 "properties": {"value": items or {"type": "string"}},
@@ -95,14 +115,14 @@ def schema_to_tables(schema: Dict[str, Any]) -> List[TableSpec]:
                         )
                     )
             else:
-                cols.append((_ident(cname), _sql_type(sub)))
+                cols.append((_uniq(_ident(cname), cname, used_cols), _sql_type(sub)))
         tables.append(TableSpec(tname, cols, pk, fk))
-        for cname, sub in children:
-            walk(f"{tname}_{cname}", sub, tname)
+        for cident, craw, sub in children:
+            walk(_uniq(f"{tname}_{cident}", craw, used_tables), sub, tname)
 
     for name, sub in props.items():
         if isinstance(sub, dict):
-            walk(_ident(name), sub, None)
+            walk(_uniq(_ident(name), name, used_tables), sub, None)
     return tables
 
 

@@ -13,8 +13,12 @@ Scale design:
 - MinHash/LSH: shingle explode is a narrow op; signatures reduce via
   min() (map-side partial); the band join touches only bucket-colliding
   candidates, never the O(n²) pair space.
-- SimHash: per-token hash → per-bit majority vote via explode over bit
-  positions, sums aggregate map-side.
+- SimHash: per-token hash → per-bit majority vote as ``bits`` aggregate
+  expressions over ONE row per token (no bit explode), sums combining
+  map-side.
+- n-gram Jaccard defaults to the LSH candidate pair space (never all
+  pairs sharing a shingle); the exhaustive path requires an explicit
+  shingle document-frequency cap.
 - verification joins bring text together ONLY for candidate pairs.
 """
 
@@ -130,13 +134,45 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    candidates: DataFrame | None = None,
+    candidates: "DataFrame | str | None" = "lsh",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (all pairs sharing ≥1
-    shingle when ``candidates`` is None — still bucket-joined by shingle,
-    not a cross join).  Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """Exact n-gram Jaccard over candidate pairs.  Returns
+    (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b.
+
+    ``candidates`` selects the pair space:
+    - ``"lsh"`` (DEFAULT — the 100 TB path): MinHash+LSH candidate pairs
+      built from the SAME shingle set (``num_hashes``/``band_size``);
+      Jaccard is then computed exactly, but only for bucket-colliding
+      pairs.  Deterministic (md5 buckets), so the approximation is still
+      value-checkable against a SQL oracle embedding the same bands.
+    - ``None``: exhaustive — every pair sharing ≥1 shingle.  A shingle
+      shared by n docs makes that join group O(n²): ONLY safe when
+      ``max_shingle_df`` caps the shingle document frequency (shingles in
+      more than ``max_shingle_df`` docs are dropped from the Jaccard space
+      entirely — intersections AND sizes — so stop-phrase shingles cannot
+      blow up the join; values then reflect the capped space) or the
+      corpus is known small.
+    - a DataFrame of (doc_a, doc_b): caller-supplied candidate pairs.
     """
     sh = shingles(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        # heavy hitters are few by construction — broadcast the anti side
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if isinstance(candidates, str):
+        if candidates != "lsh":
+            raise ValueError(f"unknown candidates mode: {candidates!r}")
+        candidates = lsh_candidate_pairs(
+            minhash_signatures(sh, num_hashes), num_hashes, band_size
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -151,9 +187,14 @@ def ngram_jaccard_pairs(
         a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
         b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
         inter = (
-            candidates.join(a, "doc_a")
-            .join(b, (F.col("doc_b") == b.doc_b) & (F.col("sh_a") == F.col("sh_b")))
-            .groupBy("doc_a", "doc_b")
+            candidates.alias("c")
+            .join(a.alias("x"), F.col("c.doc_a") == F.col("x.doc_a"))
+            .join(
+                b.alias("y"),
+                (F.col("c.doc_b") == F.col("y.doc_b"))
+                & (F.col("x.sh_a") == F.col("y.sh_b")),
+            )
+            .groupBy(F.col("c.doc_a"), F.col("c.doc_b"))
             .agg(F.count("*").alias("n_inter"))
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -185,8 +226,11 @@ def simhash(
 
     token hash = first 15 hex chars of md5 (60 bits, cross-engine exact via
     conv/hex-cast); bit j of the fingerprint = majority vote of token-hash
-    bit j.  Explodes (token, bit) pairs — bounded by tokens × bits — and
-    aggregates map-side.
+    bit j.  Single pass: ONE row per token carrying ``bits`` aggregate
+    expressions (±1 vote sums, all combining map-side in one groupBy) — no
+    (token × bit) explode, so the stage materializes tokens rows, not
+    tokens×bits (the round-1 version allocated 16-64× more rows for the
+    same shuffle volume).
     """
     toks = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
@@ -194,21 +238,20 @@ def simhash(
     ).filter(F.col("tok") != "")
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     toks = toks.select("doc_id", h.alias("h"))
-    bits_df = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.expr("(h >> bit) & 1").alias("b"),
-    )
-    votes = bits_df.groupBy("doc_id", "bit").agg(
-        (F.sum(F.col("b") * 2 - 1) > 0).cast("int").alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.col("vote") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("simhash")
-    )
+    vote_aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*vote_aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

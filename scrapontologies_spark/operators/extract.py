@@ -149,6 +149,13 @@ def extract_document_rows(
     - ``schema`` — per-document A4 schema union
     - ``triple`` — deduplicated per-document M5 triples
 
+    Precondition: ``(repo, path)`` is unique in ``corpus`` (BASELINE
+    input_hint — one row per file).  Triple dedup here is per-document;
+    duplicate corpus rows for the same document would emit duplicate
+    triples that the staged path's global distinct() used to collapse.
+    Run exact_dedup / dropDuplicates upstream if the source may repeat
+    documents.
+
     ``emit_chunks=False`` skips the per-chunk rows (and their JSON
     serialization) when only the pipeline deliverables — triples, entities,
     schemas — are materialized.  Chunk rows are intermediate state ("page

@@ -48,6 +48,12 @@ def reconcile(existing: DataFrame, new: DataFrame) -> DataFrame:
     Rules (prompts.py:230-250): same id → A1-merge attributes (existing
     wins conflicts); unmatched new → append; empty existing → copy new.
     Returns (id, type, attributes) with canonical-JSON attributes.
+
+    Only rows where BOTH sides carry a non-empty attribute payload go
+    through the Python merge UDF; single-sided rows (the vast majority in
+    incremental runs) resolve with a JVM-side pick of the present side —
+    identical values (``merge_one`` returns the other side verbatim when
+    one side is None/''), asserted by the plan test and the value oracle.
     """
     e = existing.select(
         F.col("id"),
@@ -60,11 +66,17 @@ def reconcile(existing: DataFrame, new: DataFrame) -> DataFrame:
         F.col("attributes").alias("_attrs_n"),
     )
     joined = e.join(n, "id", "full_outer")
-    return joined.select(
-        "id",
-        F.coalesce("_type_e", "_type_n").alias("type"),
-        _merge_attrs_udf(F.col("_attrs_e"), F.col("_attrs_n")).alias("attributes"),
+    a, b = F.col("_attrs_e"), F.col("_attrs_n")
+    a_absent = a.isNull() | (a == "")
+    b_absent = b.isNull() | (b == "")
+    typ = F.coalesce("_type_e", "_type_n").alias("type")
+    simple = joined.filter(a_absent | b_absent).select(
+        "id", typ, F.when(a_absent, b).otherwise(a).alias("attributes")
     )
+    merged = joined.filter((~a_absent) & (~b_absent)).select(
+        "id", typ, _merge_attrs_udf(a, b).alias("attributes")
+    )
+    return simple.unionByName(merged)
 
 
 def salted_join(

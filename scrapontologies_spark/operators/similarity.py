@@ -99,7 +99,11 @@ def _plane_signs(seed: str, p: int, dim: int) -> list:
 
 
 def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
-    return embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    """Dimension of the embedding column, 0 for an EMPTY input DataFrame —
+    callers then build zero-plane bucket expressions over no rows, so every
+    downstream result is correctly empty instead of raising."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    return 0 if row is None else row["d"]
 
 
 def hyperplane_bucket(

@@ -417,12 +417,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
         """,
         "dedup_ngram_jaccard": f"""
+            -- DEFAULT path = exact Jaccard over the DETERMINISTIC MinHash-LSH
+            -- candidate pair space (8 hashes, 2-per-band) — the same bands the
+            -- Spark operator derives, so the approximation is value-exact
             WITH {_SH_CTE},
+            sigs AS (
+              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands8}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+              GROUP BY c.doc_a, c.doc_b
             )
             SELECT doc_a, doc_b,
                    round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -614,11 +632,13 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             sess AS (
+              -- CAST: DuckDB's sum(int) is HUGEINT/DECIMAL — the value-hash
+              -- would differ from Spark's BIGINT session_idx (1.0 vs 1)
               SELECT user_id, ts, value,
-                     sum(is_new) OVER (
+                     CAST(sum(is_new) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
-                     ) AS session_idx
+                     ) AS BIGINT) AS session_idx
               FROM flagged
             )
             SELECT user_id, session_idx,

@@ -17,6 +17,7 @@ drop-in renderable by any ECharts runtime; when pyecharts IS importable the
 
 from __future__ import annotations
 
+import html as _html
 import json
 from itertools import cycle
 from typing import Any, Dict, List, Optional, Sequence
@@ -108,10 +109,13 @@ def render_html(
     loads ECharts from its standard CDN path when online and otherwise
     leaves the option inspectable in-page — no hard dependency."""
     option = graph_option(entities, relations, title, repulsion)
-    opt_json = json.dumps(option)
+    # '<' must not appear literally inside the embedded JSON: an entity id
+    # containing '</script>' would terminate the application/json block
+    opt_json = json.dumps(option).replace("<", "\\u003c")
+    safe_title = _html.escape(title)
     html = f"""<!DOCTYPE html>
 <html>
-<head><meta charset="utf-8"><title>{title}</title></head>
+<head><meta charset="utf-8"><title>{safe_title}</title></head>
 <body>
 <div id="graph" style="width:100%;height:900px;"></div>
 <script type="application/json" id="graph-option">{opt_json}</script>

@@ -127,6 +127,42 @@ def test_date_format_maps_to_date_type():
     assert dict(t.columns)["issued"] == "DATE"
 
 
+def test_colliding_sanitized_names_stay_distinct():
+    """'Foo-Bar' and 'foo_bar' both sanitize to 'foo_bar'; the second must
+    get a deterministic hash suffix instead of silently shadowing the first
+    (CREATE TABLE IF NOT EXISTS would drop its columns)."""
+    schema = {
+        "properties": {
+            "Foo-Bar": {"type": "object", "properties": {"a": {"type": "string"}}},
+            "foo_bar": {"type": "object", "properties": {"b": {"type": "integer"}}},
+        }
+    }
+    tables = schema_to_tables(schema)
+    names = [t.name for t in tables]
+    assert len(names) == len(set(names)) == 2
+    assert "foo_bar" in names
+    other = next(n for n in names if n != "foo_bar")
+    assert other.startswith("foo_bar_") and len(other) == len("foo_bar_") + 6
+    # deterministic across runs
+    assert [t.name for t in schema_to_tables(schema)] == names
+
+    # colliding COLUMN names within one table disambiguate the same way
+    schema2 = {
+        "properties": {
+            "doc": {
+                "type": "object",
+                "properties": {
+                    "My-Field": {"type": "string"},
+                    "my_field": {"type": "integer"},
+                },
+            }
+        }
+    }
+    (t,) = schema_to_tables(schema2)
+    colnames = [c for c, _ in t.columns]
+    assert len(colnames) == len(set(colnames)) == 3  # pk + 2 distinct
+
+
 def test_spark_create_tables_executes(spark, tmp_path):
     """EP3 sink parity: the generated DDL is valid Spark SQL and re-running
     it is idempotent (IF NOT EXISTS — no retry loop needed)."""

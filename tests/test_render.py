@@ -66,3 +66,16 @@ def test_render_html_is_self_contained(tmp_path):
     opt = json.loads(embedded)
     assert len(opt["series"][0]["data"]) == 3
     assert len(opt["series"][0]["links"]) == 2
+
+
+def test_render_html_escapes_hostile_ids_and_title():
+    """An entity id containing '</script>' must not terminate the embedded
+    JSON block, and the title must not inject markup into <title>."""
+    hostile = [{"id": "x</script><script>alert(1)</script>", "type": "object",
+                "attributes": {}}]
+    html = render_html(hostile, [], title="<b>T</b>")
+    embedded = html.split('id="graph-option">')[1].split("</script>")[0]
+    opt = json.loads(embedded)  # still one intact JSON document
+    assert opt["series"][0]["data"][0]["name"].startswith("x</script>")
+    assert "</script><script>alert" not in embedded  # '<' is <-escaped
+    assert "<title>&lt;b&gt;T&lt;/b&gt;</title>" in html

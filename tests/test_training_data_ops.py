@@ -82,10 +82,12 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, docs, docs_pd):
                 assert (a, b) in cands, f"missed near-dup pair ({a},{b}) j={j}"
 
 
-def test_ngram_jaccard_pairs(spark, docs, docs_pd):
+def test_ngram_jaccard_pairs_exhaustive(spark, docs, docs_pd):
     got = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, candidates=None
+        ).collect()
     }
     sh_map = {row.doc_id: _shingles(row.text) for _, row in docs_pd.iterrows()}
     ids = sorted(sh_map)
@@ -97,6 +99,58 @@ def test_ngram_jaccard_pairs(spark, docs, docs_pd):
                 j = len(sa & sb) / len(sa | sb)
                 if j >= 0.2:
                     expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert got[pair] == pytest.approx(j, abs=1e-12)
+
+
+def test_ngram_jaccard_default_lsh_path(spark, docs, docs_pd):
+    """DEFAULT = LSH candidate space: output ⊆ exhaustive with identical
+    jaccard values, and every high-similarity pair (j ≥ 0.9 — the banding
+    guarantee direction) is present."""
+    exhaustive = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, candidates=None
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert set(got) <= set(exhaustive)
+    for pair, j in got.items():
+        assert j == pytest.approx(exhaustive[pair], abs=1e-12)
+    for pair, j in exhaustive.items():
+        if j >= 0.9:
+            assert pair in got, f"LSH default missed near-dup {pair} j={j}"
+
+
+def test_ngram_jaccard_shingle_df_cap(spark, docs, docs_pd):
+    """max_shingle_df drops stop-phrase shingles from the Jaccard space
+    (intersections AND sizes) — matches a python oracle on the capped sets."""
+    cap = 3
+    sh_map = {row.doc_id: _shingles(row.text) for _, row in docs_pd.iterrows()}
+    df_count: dict = {}
+    for s in sh_map.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    capped = {d: {g for g in s if df_count[g] <= cap} for d, s in sh_map.items()}
+    ids = sorted(capped)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = capped[a], capped[b]
+            if sa and sb and (sa & sb):
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.2:
+                    expected[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, candidates=None, max_shingle_df=cap
+        ).collect()
+    }
     assert set(got) == set(expected)
     for pair, j in expected.items():
         assert got[pair] == pytest.approx(j, abs=1e-12)
@@ -270,3 +324,17 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
     assert approx <= exact
     assert len(exact) > 0
     assert len(approx) / len(exact) >= 0.5  # recall floor at 8 tables
+
+
+def test_lsh_ops_tolerate_empty_embeddings(spark, emb):
+    """_vector_dim must not raise on an empty input: every LSH-backed
+    operator returns an empty result instead of TypeError."""
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert similarity.hyperplane_bucket(empty, n_planes=2).count() == 0
+    assert similarity.cosine_topk_lsh(empty, k=3, n_planes=2, n_tables=2).count() == 0
+    assert (
+        dedup.embedding_near_dup_pairs(
+            empty, threshold=0.5, lsh_tables=2, lsh_planes=2
+        ).count()
+        == 0
+    )
