@@ -119,13 +119,27 @@ TEXT_TERMS = (
 _TEXT_TERM_RE = re.compile(r"\b(" + "|".join(TEXT_TERMS) + r")\b")
 
 
-def extract_mentions(lang: str, text: str) -> List[Dict[str, str]]:
+def extract_mentions(
+    lang: str,
+    text: str,
+    allowed_kinds: "frozenset | set | None" = None,
+    allowed_terms: "frozenset | set | None" = None,
+) -> List[Dict[str, str]]:
     """Extract mention rows from one chunk.
 
     Each mention: ``{"kind": function|class|method|import|call,
     "name": symbol, "owner": enclosing class/function or ''}``.
     Deterministic order: document order of the match start.  Markdown (and
     any unknown lang) yields no mentions — the no-match path.
+
+    P8 — ``allowed_kinds`` / ``allowed_terms`` are the deterministic
+    stand-in for the reference's ``user_prompt_for_filter``
+    (pdf_parser.py:399-401, 668-669: a user instruction narrowing what the
+    extraction prompt may return).  ``allowed_kinds`` keeps only mentions
+    of the listed kinds; ``allowed_terms`` restricts the prose gazetteer to
+    the listed term names.  Filtering happens AT extraction, like the
+    reference's prompt — payloads, schemas, entities and triples downstream
+    all reflect the restricted extraction.
     """
     out: List[Dict[str, str]] = []
     if lang == "python":
@@ -178,6 +192,10 @@ def extract_mentions(lang: str, text: str) -> List[Dict[str, str]]:
     elif lang == "text":
         for m in _TEXT_TERM_RE.finditer(text):
             out.append({"kind": "term", "name": m.group(1), "owner": ""})
+    if allowed_kinds is not None:
+        out = [m for m in out if m["kind"] in allowed_kinds]
+    if allowed_terms is not None:
+        out = [m for m in out if m["kind"] != "term" or m["name"] in allowed_terms]
     return out
 
 
@@ -323,23 +341,34 @@ def chunk_schema_digest(payload: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def document_payload(
-    lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+    lang: str,
+    content: str,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    allowed_kinds=None,
+    allowed_terms=None,
 ) -> Dict[str, Any]:
     """The reference-shaped sequential path for ONE document: chunk → per-
     chunk payload → A2 left fold in chunk order.  This is the oracle the
     distributed fold must match exactly (SURVEY §5.3)."""
     payloads = [
-        chunk_payload(extract_mentions(lang, text)) for _, text in chunk_text(content, chunk_bytes)
+        chunk_payload(extract_mentions(lang, text, allowed_kinds, allowed_terms))
+        for _, text in chunk_text(content, chunk_bytes)
     ]
     return combine_entities_data(payloads)
 
 
 def document_schema(
-    lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+    lang: str,
+    content: str,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    allowed_kinds=None,
+    allowed_terms=None,
 ) -> Dict[str, Any]:
     """Per-document schema: union of per-chunk digests (A4)."""
     return schema_union_all(
-        chunk_schema_digest(chunk_payload(extract_mentions(lang, text)))
+        chunk_schema_digest(
+            chunk_payload(extract_mentions(lang, text, allowed_kinds, allowed_terms))
+        )
         for _, text in chunk_text(content, chunk_bytes)
     )
 

@@ -62,9 +62,18 @@ CHUNK_SCHEMA = T.StructType(
 MENTION_STRUCT = "array<struct<kind:string,name:string,owner:string>>"
 
 
-def extract_chunks(corpus: DataFrame, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> DataFrame:
+def extract_chunks(
+    corpus: DataFrame,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    allowed_kinds=None,
+    allowed_terms=None,
+) -> DataFrame:
     """corpus(repo,path,commit,lang,content) → chunk rows with payload,
-    schema digest and mentions.  Narrow transformation (no shuffle)."""
+    schema digest and mentions.  Narrow transformation (no shuffle).
+    ``allowed_kinds``/``allowed_terms`` — P8 extraction allowlist
+    (code_gazetteer.extract_mentions)."""
+    allowed_kinds = frozenset(allowed_kinds) if allowed_kinds is not None else None
+    allowed_terms = frozenset(allowed_terms) if allowed_terms is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -74,7 +83,7 @@ def extract_chunks(corpus: DataFrame, chunk_bytes: int = DEFAULT_CHUNK_BYTES) ->
             ):
                 sha = sha256_hex(content)
                 for cid, text in chunk_text(content, chunk_bytes):
-                    mentions = extract_mentions(lang, text)
+                    mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
                     payload = chunk_payload(mentions)
                     digest = chunk_schema_digest(payload)
                     rows.append(
@@ -139,6 +148,8 @@ def extract_document_rows(
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     with_schemas: bool = True,
     emit_chunks: bool = True,
+    allowed_kinds=None,
+    allowed_terms=None,
 ) -> DataFrame:
     """Fused chunk → extract → fold → schema → triples pass (narrow, one
     Python entry per batch).  Emits tall rows discriminated by ``kind``:
@@ -166,7 +177,14 @@ def extract_document_rows(
     document_schemas, triples_from_mentions): all call the same pure
     functions, and the equivalence suite pins both paths to the sequential
     oracle.
+
+    ``allowed_kinds``/``allowed_terms`` — P8 extraction allowlist
+    (user_prompt_for_filter stand-in, code_gazetteer.extract_mentions):
+    the restriction applies AT extraction, so every emitted row kind
+    (entity/schema/triple) reflects the filtered mention set.
     """
+    allowed_kinds = frozenset(allowed_kinds) if allowed_kinds is not None else None
+    allowed_terms = frozenset(allowed_terms) if allowed_terms is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -183,7 +201,7 @@ def extract_document_rows(
                 n_chunks = 0
                 for cid, text in chunk_text(content, chunk_bytes):
                     n_chunks += 1
-                    mentions = extract_mentions(lang, text)
+                    mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
                     payload = chunk_payload(mentions)
                     payloads.append(payload)
                     digest = chunk_schema_digest(payload)
@@ -299,9 +317,44 @@ def doc_schemas_view(doc_rows: DataFrame) -> DataFrame:
     )
 
 
-def mentions_df(chunks: DataFrame) -> DataFrame:
-    """Chunk rows → one row per mention (JVM-side from_json + explode)."""
-    return (
+def containment_triples_from_doc_schemas(doc_schemas: DataFrame) -> DataFrame:
+    """M5(a) — per-document containment triples mirroring the reference's
+    Digraph exemplar (prompts.py:1-38: ROOT→portfolio→fees→fundExpenses) and
+    the rendered containment arrows (renderers/pyecharts_renderer.py:65-67):
+    each document's A4 schema → M4 entities → ``has_<child>`` edges rooted
+    at the module id.
+
+    Narrow mapInPandas over the (one-row-per-document) schema table — tiny
+    rows, no shuffle; the global-schema variant lives in plans/job.py's
+    ``containment_triples`` stage."""
+    from ..functions.semantics import derive_containment_relations, schema_to_entities
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for repo, path, sjson in zip(b["repo"], b["path"], b["schema_json"]):
+                mod = f"{repo}/{path}"
+                ents = schema_to_entities(json.loads(sjson) if sjson else {})
+                for r in derive_containment_relations(ents, root=mod):
+                    rows.append((r.source, r.name, r.target, r.type))
+            yield pd.DataFrame(rows, columns=["subj", "pred", "obj", "rel_type"])
+
+    return doc_schemas.mapInPandas(
+        run, "subj string, pred string, obj string, rel_type string"
+    )
+
+
+def mentions_df(
+    chunks: DataFrame, allowed_kinds=None, allowed_terms=None
+) -> DataFrame:
+    """Chunk rows → one row per mention (JVM-side from_json + explode).
+
+    ``allowed_kinds``/``allowed_terms`` apply the P8 allowlist as a
+    JVM-side ``filter(col.isin(...))`` AFTER the explode — for restricting
+    an already-extracted chunk table without re-running the Python pass
+    (same predicate semantics as extract_mentions' at-extraction filter).
+    """
+    m = (
         chunks.select(
             "repo",
             "path",
@@ -311,6 +364,13 @@ def mentions_df(chunks: DataFrame) -> DataFrame:
         )
         .select("repo", "path", "lang", "chunk_id", "m.kind", "m.name", "m.owner")
     )
+    if allowed_kinds is not None:
+        m = m.filter(F.col("kind").isin(*sorted(allowed_kinds)))
+    if allowed_terms is not None:
+        m = m.filter(
+            (F.col("kind") != "term") | F.col("name").isin(*sorted(allowed_terms))
+        )
+    return m
 
 
 def triples_from_mentions(mentions: DataFrame) -> DataFrame:

@@ -42,7 +42,7 @@ def _merge_attrs_udf(existing: pd.Series, new: pd.Series) -> pd.Series:
     return pd.Series([merge_one(a, b) for a, b in zip(existing, new)])
 
 
-def reconcile(existing: DataFrame, new: DataFrame) -> DataFrame:
+def reconcile(existing: DataFrame, new: DataFrame, salt: int = 0) -> DataFrame:
     """Full-outer reconcile of two entity tables (id, type, attributes).
 
     Rules (prompts.py:230-250): same id → A1-merge attributes (existing
@@ -54,6 +54,14 @@ def reconcile(existing: DataFrame, new: DataFrame) -> DataFrame:
     incremental runs) resolve with a JVM-side pick of the present side —
     identical values (``merge_one`` returns the other side verbatim when
     one side is None/''), asserted by the plan test and the value oracle.
+
+    ``salt > 0`` — the BASELINE north_star skew path for the entity-linking
+    join: the full outer is decomposed into matched ∪ left-only ∪
+    right-only, with the matched inner join and the new-side anti join
+    running through :func:`salted_join` (new = fact, existing = dim ×salt),
+    so a hot entity id whose ``new`` rows all hash to one reducer spreads
+    across ``salt`` partitions.  Value-identical to the plain path
+    (equivalence-tested at the job stage).
     """
     e = existing.select(
         F.col("id"),
@@ -65,7 +73,19 @@ def reconcile(existing: DataFrame, new: DataFrame) -> DataFrame:
         F.col("type").alias("_type_n"),
         F.col("attributes").alias("_attrs_n"),
     )
-    joined = e.join(n, "id", "full_outer")
+    if salt > 0:
+        null_s = F.lit(None).cast("string")
+        matched = salted_join(n, e, "id", how="inner", salt=salt)
+        right_only = salted_join(
+            n, e.select("id"), "id", how="left_anti", salt=salt
+        ).withColumns({"_type_e": null_s, "_attrs_e": null_s})
+        # existing side is one row per id (dimension-shaped) — no hot keys
+        left_only = e.join(n.select("id"), "id", "left_anti").withColumns(
+            {"_type_n": null_s, "_attrs_n": null_s}
+        )
+        joined = matched.unionByName(right_only).unionByName(left_only)
+    else:
+        joined = e.join(n, "id", "full_outer")
     a, b = F.col("_attrs_e"), F.col("_attrs_n")
     a_absent = a.isNull() | (a == "")
     b_absent = b.isNull() | (b == "")

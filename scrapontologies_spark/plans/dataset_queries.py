@@ -202,15 +202,18 @@ def queries() -> Q:
 
     # --- K1 — schema → 3NF DDL (deterministic; rows-only) ----------------------
     def ddl_q(spark, d):
-        from ..functions.code_gazetteer import document_schema
         from ..operators.ddl import schema_to_tables, tables_to_ddl
+        from ..operators.extract import extract_chunks
+        from ..operators.schema_merge import global_schema
+        from .driver_helpers import documents_as_corpus
 
-        docs = _docs(spark, d).filter(F.col("doc_id") < 20).collect()
-        from ..functions.semantics import schema_union_all
-
-        g = schema_union_all(
-            document_schema("text", r.text, 1024) for r in docs
+        # through the ENGINE: distributed chunk extraction + A5 tree-reduced
+        # global schema (never a driver-side collect of documents) — M3 is
+        # associative, so union-of-per-doc == union-of-per-chunk digests
+        corpus = documents_as_corpus(spark, d).filter(
+            F.regexp_extract("path", r"doc_(\d+)", 1).cast("int") < 20
         )
+        g = global_schema(extract_chunks(corpus, 1024))
         tables = schema_to_tables({"properties": {"doc": g}})
         stmts = tables_to_ddl(tables, using="iceberg")
         return spark.createDataFrame(

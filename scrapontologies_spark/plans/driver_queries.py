@@ -142,8 +142,51 @@ def queries() -> Q:
 
     q["m1_term_mentions"] = flagship
 
-    # rows-only entries (non-SQL-expressible: order-sensitive fold, schema
-    # union — pinned by the pytest oracles instead, SURVEY §5 layers 1+3)
+    # M5(a) — per-document containment triples: A4 doc schema → M4 entities
+    # → has_<child> edges rooted at the module id (value-exact: on the prose
+    # corpus a document's schema has the single top-level 'term' entity iff
+    # the document mentions any gazetteer term)
+    def m5_containment(spark: SparkSession, d: str) -> DataFrame:
+        from ..operators.extract import (
+            containment_triples_from_doc_schemas,
+            doc_schemas_view,
+            extract_document_rows,
+        )
+        from .driver_helpers import documents_as_corpus
+
+        doc_rows = extract_document_rows(
+            documents_as_corpus(spark, d), 1024, with_schemas=True, emit_chunks=False
+        )
+        return containment_triples_from_doc_schemas(doc_schemas_view(doc_rows))
+
+    q["m5_containment_triples"] = m5_containment
+
+    # P8 — user_prompt_for_filter stand-in: extraction allowlist.  The
+    # gazetteer is restricted to 3 of the 12 terms AT extraction (the
+    # reference threads the user filter into every extraction prompt,
+    # pdf_parser.py:399-401) — mention counts reflect only allowed terms.
+    def p8_filtered(spark: SparkSession, d: str) -> DataFrame:
+        from ..operators.extract import extract_chunks, mentions_df
+        from .driver_helpers import documents_as_corpus
+
+        chunks = extract_chunks(
+            documents_as_corpus(spark, d), 1024,
+            allowed_terms=("join", "hash", "query"),
+        )
+        return (
+            mentions_df(chunks)
+            .groupBy("repo", "path", "name")
+            .agg(F.count("*").alias("n_mentions"))
+        )
+
+    q["p8_filtered_mentions"] = p8_filtered
+
+    # Flagship KG queries.  On the PROSE corpus the per-chunk payloads are
+    # flat ({term: {"kind":"term"}}), so the order-sensitive A2 fold
+    # degenerates to first-wins over identical values == distinct terms per
+    # document — SQL-expressible, so these carry VALUE oracles (the general
+    # code-corpus fold stays pinned by the pytest sequential oracle,
+    # SURVEY §5 layers 1+3).
     def kg_fold_entities(spark: SparkSession, d: str) -> DataFrame:
         from .. import plans  # noqa: F401  (package anchor)
         from ..plans.pipeline import run_pipeline
@@ -242,5 +285,54 @@ def _base_oracles() -> dict[str, str]:
               FROM documents
             )
             GROUP BY doc_id, term
+        """,
+        "p8_filtered_mentions": """
+            SELECT source AS repo, 'doc_' || doc_id AS path, term AS name,
+                   count(*) AS n_mentions
+            FROM (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(text,
+                       '\\b(join|hash|query)\\b', 1)) AS term
+              FROM documents
+            )
+            GROUP BY source, doc_id, term
+        """,
+        "kg_fold_entities": """
+            -- prose-corpus A2 fold == distinct (doc, term): every chunk
+            -- payload maps term -> {"kind":"term"}, so first-non-NA-wins
+            -- merges identical values and the fold is order-free here
+            SELECT source AS repo, 'doc_' || doc_id AS path,
+                   term AS entity_name, 'object' AS entity_type,
+                   '{"kind":"term"}' AS attributes
+            FROM (
+              SELECT DISTINCT doc_id, source,
+                     unnest(regexp_extract_all(text,
+                       '\\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\\b', 1)) AS term
+              FROM documents
+            )
+        """,
+        "kg_global_schema": """
+            -- prose-corpus A5: every chunk digest is {} or the one 'term'
+            -- object schema; M3 union of those is constant iff any document
+            -- mentions a gazetteer term
+            SELECT 'global' AS scope,
+              CASE WHEN EXISTS (
+                SELECT 1 FROM documents WHERE regexp_matches(text,
+                  '\\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\\b')
+              )
+              THEN '{"properties":{"term":{"properties":{"kind":{"type":"string"}},"type":"object"}},"type":"object"}'
+              ELSE '{}' END AS schema_json
+        """,
+        "m5_containment_triples": """
+            -- a prose document's A4 schema is {'term': {kind: string}} iff it
+            -- mentions >=1 gazetteer term; M4 lifts 'term' to the one entity,
+            -- M5(a) emits module --has_term--> term; kind:string nests no
+            -- object, so there are no deeper containment edges
+            SELECT source || '/doc_' || doc_id AS subj,
+                   'has_term' AS pred, 'term' AS obj,
+                   'containment' AS rel_type
+            FROM documents
+            WHERE regexp_matches(text,
+              '\\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\\b')
         """,
     }

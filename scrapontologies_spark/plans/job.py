@@ -12,7 +12,10 @@ so a killed run resumes mid-pipeline with identical output — north_rule):
 Shuffle layout per BASELINE north_star: explicit repartition(repo, lang)
 before the link stage; AQE + skew-join on (session.py); the deleted-ids /
 alias dimension sides broadcast; the entity reconcile join runs salted when
-a skew factor is configured.
+``salt > 0`` is passed to :func:`run_job` (default 8 whenever an
+``entities_prev`` table exists — the incremental-merge case where a
+mega-repo's new entities can hash-skew the link join; ``salt=0`` forces
+the plain full-outer path, and both paths are equivalence-tested).
 
 Usage (cluster):  spark-submit --py-files scrapontologies_spark.zip \
     -m scrapontologies_spark.plans.job <warehouse_root> <n_rows>
@@ -54,7 +57,17 @@ def run_job(
     with_cc: bool = True,
     with_schemas: bool = True,
     fmt: str = "parquet",
+    salt: Optional[int] = None,
+    allowed_kinds=None,
+    allowed_terms=None,
 ) -> Dict[str, StageInfo]:
+    """``salt``: skew factor for the entity reconcile join (None → default:
+    8 when an entities_prev table is present, else unsalted; 0 → force
+    plain full-outer).  See operators/link.reconcile.
+
+    ``allowed_kinds``/``allowed_terms``: P8 extraction allowlist
+    (user_prompt_for_filter stand-in) — restricts mention extraction, so
+    every downstream stage reflects the filter."""
     wh = Warehouse(warehouse_root, fmt)
     infos: Dict[str, StageInfo] = {}
 
@@ -65,7 +78,10 @@ def run_job(
     extracted, infos["extracted"] = wh.run_stage(
         spark,
         "extracted",
-        lambda: extract_document_rows(corpus, chunk_bytes, with_schemas),
+        lambda: extract_document_rows(
+            corpus, chunk_bytes, with_schemas,
+            allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
+        ),
     )
 
     triples_raw, infos["triples_raw"] = wh.run_stage(
@@ -92,10 +108,11 @@ def run_job(
             .unionByName(symbols)
         )
         # MERGE-INTO analog: reconcile against a previous run's entities
-        # table when present (J1 full-outer + A1 attribute merge)
+        # table when present (J1 full-outer + A1 attribute merge), salted
+        # per the north_star skew mandate unless explicitly disabled
         if wh.is_complete("entities_prev"):
             existing = wh.read_stage(spark, "entities_prev")
-            return reconcile(existing, new)
+            return reconcile(existing, new, salt=8 if salt is None else salt)
         return new
 
     entities, infos["entities"] = wh.run_stage(spark, "entities", build_entities)
@@ -135,7 +152,32 @@ def run_job(
                 [("global", canonical_json(g))], "scope string, schema_json string"
             )
 
-        _, infos["global_schema"] = wh.run_stage(spark, "global_schema", build_global)
+        gdf, infos["global_schema"] = wh.run_stage(spark, "global_schema", build_global)
+
+        # M5(a) — containment triples from the global ontology (the Digraph
+        # exemplar, prompts.py:1-38; rendered arrows pyecharts_renderer.py:
+        # 65-67): ROOT → top-level entity → nested-object attribute.  The
+        # global schema is ONE tiny row, so derivation is driver-side.
+        def build_containment() -> DataFrame:
+            import json as _json
+
+            from ..functions.semantics import (
+                derive_containment_relations,
+                schema_to_entities,
+            )
+
+            gjson = gdf.collect()[0]["schema_json"]
+            rels = derive_containment_relations(
+                schema_to_entities(_json.loads(gjson) if gjson else {})
+            )
+            return spark.createDataFrame(
+                [(r.source, r.name, r.target, r.type) for r in rels],
+                "subj string, pred string, obj string, rel_type string",
+            )
+
+        _, infos["containment_triples"] = wh.run_stage(
+            spark, "containment_triples", build_containment
+        )
 
     return infos
 

@@ -20,7 +20,11 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.semantics import canonical_json, schema_to_entities
+from ..functions.semantics import (
+    canonical_json,
+    derive_containment_relations,
+    schema_to_entities,
+)
 from ..operators.extract import (
     chunks_view,
     doc_entities_view,
@@ -44,6 +48,7 @@ class PipelineResult:
     doc_schemas: DataFrame
     global_schema_json: str
     schema_entities: list  # M4-derived Entity dataclasses from the global schema
+    containment_relations: list  # M5(a) Relation dataclasses (ROOT-rooted)
 
 
 def run_pipeline(
@@ -51,7 +56,12 @@ def run_pipeline(
     chunk_bytes: int = 1024,
     with_schemas: bool = True,
     emit_chunks: bool = True,
+    allowed_kinds=None,
+    allowed_terms=None,
 ) -> PipelineResult:
+    """``allowed_kinds``/``allowed_terms``: P8 extraction allowlist — the
+    user_prompt_for_filter stand-in, applied at extraction so entities,
+    schemas and triples all reflect the restriction."""
     # Fused one-pass extraction (see operators/extract.py): every
     # per-document computation is row-local, so chunk/fold/schema/triple
     # rows all come out of ONE narrow mapInPandas — zero shuffles.  One
@@ -60,7 +70,8 @@ def run_pipeline(
     # (io.write_stage, partitioned by kind), which also provides resume;
     # cache is the local-mode equivalent.
     doc_rows = extract_document_rows(
-        corpus, chunk_bytes, with_schemas, emit_chunks
+        corpus, chunk_bytes, with_schemas, emit_chunks,
+        allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
     ).persist()
 
     # chunk rows are intermediate "page answers"; with emit_chunks=False the
@@ -84,10 +95,12 @@ def run_pipeline(
         gschema = global_schema(doc_schemas)
         gschema_json = canonical_json(gschema)
         schema_ents = schema_to_entities(gschema)
+        containment = derive_containment_relations(schema_ents)
     else:
         doc_schemas = None
         gschema_json = "{}"
         schema_ents = []
+        containment = []
 
     return PipelineResult(
         doc_rows=doc_rows,
@@ -99,6 +112,7 @@ def run_pipeline(
         doc_schemas=doc_schemas,
         global_schema_json=gschema_json,
         schema_entities=schema_ents,
+        containment_relations=containment,
     )
 
 

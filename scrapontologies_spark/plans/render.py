@@ -11,8 +11,10 @@ Non-distributed by design (SURVEY §2.7 K3): the caller collect()s the
 (small, canonical) entity/edge dimension tables.  pyecharts is not in this
 container, so the default backend emits a self-contained HTML document
 embedding the ECharts graph *option* JSON — byte-stable, testable, and
-drop-in renderable by any ECharts runtime; when pyecharts IS importable the
-``backend='pyecharts'`` path builds the same Graph the reference does.
+drop-in renderable by any ECharts runtime; :func:`render_pyecharts`
+(``backend='pyecharts'`` on render_from_tables) builds the same Graph the
+reference does when pyecharts is importable (guarded import, injectable
+for tests).
 """
 
 from __future__ import annotations
@@ -39,16 +41,13 @@ def assign_colors(types_in_order: Sequence[str]) -> Dict[str, str]:
     return out
 
 
-def graph_option(
-    entities: List[Dict[str, Any]],
-    relations: List[Dict[str, Any]],
-    title: str = "Entity-Relationship Graph",
-    repulsion: int = 2000,
-) -> Dict[str, Any]:
-    """Build the ECharts option dict (the reference's Graph.add arguments,
-    pyecharts_renderer.py:72-90).  ``entities`` rows need id/type/attributes
-    (attributes as dict or canonical-JSON string); ``relations`` rows need
-    source/target."""
+def _nodes_and_links(
+    entities: List[Dict[str, Any]], relations: List[Dict[str, Any]]
+) -> "tuple[list, list]":
+    """The reference's node/link dicts (pyecharts_renderer.py:48-68), shared
+    by both backends: label = entity id, value = type, tooltip = 'Type: ' +
+    pretty attribute JSON, first-seen color per type; links arrowed
+    source→target with tooltips off."""
     type_to_color = assign_colors([e["type"] for e in entities])
 
     def attrs_of(e: Dict[str, Any]) -> Any:
@@ -78,6 +77,20 @@ def graph_option(
         {"source": r["source"], "target": r["target"], "tooltip": {"show": False}}
         for r in relations
     ]
+    return nodes, links
+
+
+def graph_option(
+    entities: List[Dict[str, Any]],
+    relations: List[Dict[str, Any]],
+    title: str = "Entity-Relationship Graph",
+    repulsion: int = 2000,
+) -> Dict[str, Any]:
+    """Build the ECharts option dict (the reference's Graph.add arguments,
+    pyecharts_renderer.py:72-90).  ``entities`` rows need id/type/attributes
+    (attributes as dict or canonical-JSON string); ``relations`` rows need
+    source/target."""
+    nodes, links = _nodes_and_links(entities, relations)
     return {
         "title": {"text": title},
         "series": [
@@ -96,6 +109,60 @@ def graph_option(
             }
         ],
     }
+
+
+def render_pyecharts(
+    entities: List[Dict[str, Any]],
+    relations: List[Dict[str, Any]],
+    output_path: Optional[str] = None,
+    title: str = "Entity-Relationship Graph",
+    repulsion: int = 2000,
+    pyecharts_module: Any = None,
+):
+    """K3 pyecharts backend — builds the SAME Graph the reference does
+    (pyecharts_renderer.py:72-90: Graph().add('', nodes, links,
+    layout='force', repulsion, is_roam, is_draggable, edge_symbol arrows,
+    linestyle width/curve/opacity, right-positioned labels) with the shared
+    node/link dicts.  pyecharts is not bundled in this container: the import
+    is guarded (ImportError names the dependency-free ``render_html``
+    fallback), and ``pyecharts_module`` injects a stand-in for tests."""
+    if pyecharts_module is None:
+        try:
+            import importlib
+
+            pyecharts_module = importlib.import_module("pyecharts")
+            importlib.import_module("pyecharts.options")
+            importlib.import_module("pyecharts.charts")
+        except ImportError as e:
+            raise ImportError(
+                "the pyecharts backend requires the 'pyecharts' package; "
+                "use render_html() for the self-contained HTML backend"
+            ) from e
+    opts = pyecharts_module.options
+    Graph = pyecharts_module.charts.Graph
+    nodes, links = _nodes_and_links(entities, relations)
+    graph = (
+        Graph()
+        .add(
+            "",
+            nodes,
+            links,
+            layout="force",
+            repulsion=repulsion,
+            is_roam=True,
+            is_draggable=True,
+            edge_symbol=["none", "arrow"],
+            edge_symbol_size=[10, 10],
+            linestyle_opts=opts.LineStyleOpts(width=1, curve=0.2, opacity=0.7),
+            label_opts=opts.LabelOpts(is_show=True, position="right"),
+        )
+        .set_global_opts(title_opts=opts.TitleOpts(title=title))
+    )
+    graph.width = "100%"
+    graph.height = "100%"
+    if output_path:
+        graph.render(output_path)
+    return graph
 
 
 def render_html(
@@ -140,12 +207,14 @@ def render_from_tables(
     relations_df,
     output_path: Optional[str] = None,
     max_nodes: int = 2000,
+    backend: str = "html",
     **kwargs: Any,
-) -> str:
+):
     """Collect the (small) canonical dimension tables and render.  ``limit``
     guards against accidentally collecting a billion-row table — rendering
     is a driver-side sink for the canonical top of the graph, exactly like
-    the reference (which holds all entities in a Python list anyway)."""
+    the reference (which holds all entities in a Python list anyway).
+    ``backend``: 'html' (self-contained, default) or 'pyecharts'."""
     ents = [r.asDict() for r in entities_df.limit(max_nodes).collect()]
     keep = {e["id"] for e in ents}
     rels = [
@@ -153,4 +222,8 @@ def render_from_tables(
         for r in relations_df.collect()
         if r["source"] in keep and r["target"] in keep
     ]
+    if backend == "pyecharts":
+        return render_pyecharts(ents, rels, output_path, **kwargs)
+    if backend != "html":
+        raise ValueError(f"unknown render backend: {backend!r}")
     return render_html(ents, rels, output_path, **kwargs)

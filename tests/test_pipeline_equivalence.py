@@ -83,6 +83,91 @@ def test_global_schema_matches_oracle(result):
     assert res.global_schema_json == canonical_json(expected)
 
 
+def test_containment_relations_from_global_schema(result):
+    """M5(a): every top-level global-schema property gets a ROOT has_<e>
+    edge, and nested-object attributes (e.g. function.calls arrays) nest a
+    second containment level — the Digraph exemplar shape."""
+    _, res = result
+    rels = res.containment_relations
+    assert rels and all(r.type == "containment" for r in rels)
+    props = json.loads(res.global_schema_json)["properties"]
+    roots = {r.target for r in rels if r.source == "ROOT"}
+    assert roots == set(props)
+    assert all(r.name == f"has_{r.target}" for r in rels)
+    # the code corpus induces nested attrs (calls/called_by arrays) → at
+    # least one second-level containment edge under a top-level entity
+    assert any(r.source != "ROOT" for r in rels)
+
+
+def test_containment_triples_per_doc_match_sequential_oracle(spark):
+    """Distributed per-document containment operator == sequential
+    document_schema → M4 → M5(a) oracle, module-rooted."""
+    from scrapontologies_spark.functions.semantics import (
+        derive_containment_relations,
+        schema_to_entities,
+    )
+    from scrapontologies_spark.operators.extract import (
+        containment_triples_from_doc_schemas,
+        doc_schemas_view,
+        extract_document_rows,
+    )
+
+    corpus = corpus_df(spark, 30)
+    doc_rows = extract_document_rows(corpus, 512, with_schemas=True, emit_chunks=False)
+    got = {
+        (r.subj, r.pred, r.obj, r.rel_type)
+        for r in containment_triples_from_doc_schemas(
+            doc_schemas_view(doc_rows)
+        ).collect()
+    }
+    expected = set()
+    for repo, path, commit, lang, content in corpus_rows(30):
+        ents = schema_to_entities(document_schema(lang, content, 512))
+        for r in derive_containment_relations(ents, root=f"{repo}/{path}"):
+            expected.add((r.source, r.name, r.target, r.type))
+    assert got == expected and got
+
+
+def test_p8_allowlist_restricts_whole_pipeline(spark):
+    """P8 user_prompt_for_filter stand-in: an allowed_kinds filter at
+    extraction restricts triples/entities exactly like the sequential
+    oracle run with the same allowlist."""
+    from scrapontologies_spark.functions.code_gazetteer import (
+        chunk_text,
+        extract_mentions,
+        triples_for_mentions,
+    )
+
+    kinds = frozenset({"import"})
+    corpus = corpus_df(spark, 30)
+    res = run_pipeline(
+        corpus, chunk_bytes=CHUNK_BYTES, with_schemas=False, allowed_kinds=kinds
+    )
+    got = {(r.subj, r.pred, r.obj, r.rel_type) for r in res.triples.collect()}
+    assert {t[1] for t in got} <= {"imports"}
+    expected = set()
+    for repo, path, commit, lang, content in corpus_rows(30):
+        mod = f"{repo}/{path}"
+        for _, text in chunk_text(content, CHUNK_BYTES):
+            expected |= triples_for_mentions(
+                mod, extract_mentions(lang, text, kinds, None)
+            )
+    assert got == expected and got
+    res.doc_rows.unpersist()
+
+
+def test_p8_jvm_mention_filter_matches_extraction_filter(spark):
+    """mentions_df's JVM-side isin filter == filtering at extraction."""
+    from scrapontologies_spark.operators.extract import extract_chunks, mentions_df
+
+    corpus = corpus_df(spark, 20)
+    kinds = {"function", "class"}
+    jvm = mentions_df(extract_chunks(corpus, CHUNK_BYTES), allowed_kinds=kinds)
+    at_ext = mentions_df(extract_chunks(corpus, CHUNK_BYTES, allowed_kinds=kinds))
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, at_ext.collect()))
+    assert jvm.count() > 0
+
+
 def test_markdown_rows_produce_no_mentions(result):
     _, res = result
     assert res.mentions.filter("lang = 'markdown'").count() == 0

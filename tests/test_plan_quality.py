@@ -69,6 +69,33 @@ def test_integrity_semi_join_broadcasts_small_entity_side(spark):
     assert "BroadcastHashJoin" in final and "LeftSemi" in final, final
 
 
+def test_reconcile_udf_runs_only_on_matched_branch(spark):
+    """The A1 merge pandas UDF must evaluate ONLY on rows matched on both
+    sides with non-empty payloads; single-sided rows resolve JVM-side —
+    exactly one ArrowEvalPython node, guarded by a both-present filter."""
+    from scrapontologies_spark.operators.link import reconcile
+
+    e = spark.createDataFrame(
+        [("a", "t", '{"x":1}'), ("b", "t", '{"y":2}')],
+        "id string, type string, attributes string",
+    )
+    n = spark.createDataFrame(
+        [("b", "t", '{"z":3}'), ("c", "t", '{"w":4}')],
+        "id string, type string, attributes string",
+    )
+    import re
+
+    plan = _plan(reconcile(e, n))
+    # formatted explain lists each node twice (tree + details) — count the
+    # unique "(n) ArrowEvalPython" detail headers
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    # Catalyst pushes the both-present guard BELOW the matched-branch join:
+    # each join input is pre-filtered on a non-empty attributes payload
+    conds = [l for l in plan.splitlines() if l.startswith("Condition")]
+    both_present = [l for l in conds if "isnotnull(attributes" in l]
+    assert len(both_present) >= 2, plan
+
+
 def test_sessionize_is_single_shuffle(spark):
     """lag window, running-sum window, and both aggregate phases must all
     reuse the hash(user_id) exchange (subset-satisfies-ClusteredDistribution)

@@ -68,6 +68,63 @@ def test_render_html_is_self_contained(tmp_path):
     assert len(opt["series"][0]["links"]) == 2
 
 
+def test_render_pyecharts_builds_reference_graph_args():
+    """The pyecharts backend must call Graph().add with the reference's
+    exact arguments (pyecharts_renderer.py:72-90) over the shared
+    node/link dicts.  pyecharts isn't installed here — inject a recording
+    stand-in module."""
+    from types import SimpleNamespace
+
+    from scrapontologies_spark.plans.render import render_pyecharts
+
+    calls = {}
+
+    class FakeGraph:
+        def add(self, series_name, nodes, links, **kw):
+            calls["add"] = (series_name, nodes, links, kw)
+            return self
+
+        def set_global_opts(self, **kw):
+            calls["global"] = kw
+            return self
+
+        def render(self, path):
+            calls["render"] = path
+
+    fake = SimpleNamespace(
+        options=SimpleNamespace(
+            LineStyleOpts=lambda **kw: ("line", kw),
+            LabelOpts=lambda **kw: ("label", kw),
+            TitleOpts=lambda **kw: ("title", kw),
+        ),
+        charts=SimpleNamespace(Graph=FakeGraph),
+    )
+    g = render_pyecharts(ENTS, RELS, title="T", pyecharts_module=fake)
+    name, nodes, links, kw = calls["add"]
+    assert name == "" and len(nodes) == 3 and len(links) == 2
+    # same node/link dicts as the html backend
+    assert nodes[0]["name"] == "payslip" and nodes[0]["symbolSize"] == 50
+    assert links[0]["tooltip"] == {"show": False}
+    assert kw["layout"] == "force" and kw["repulsion"] == 2000
+    assert kw["is_roam"] is True and kw["is_draggable"] is True
+    assert kw["edge_symbol"] == ["none", "arrow"]
+    assert kw["edge_symbol_size"] == [10, 10]
+    assert kw["linestyle_opts"] == ("line", {"width": 1, "curve": 0.2, "opacity": 0.7})
+    assert kw["label_opts"] == ("label", {"is_show": True, "position": "right"})
+    assert calls["global"]["title_opts"] == ("title", {"title": "T"})
+    assert g.width == "100%" and g.height == "100%"
+    assert "render" not in calls  # no output_path → no file write
+
+
+def test_render_pyecharts_missing_dependency_raises_importerror():
+    import pytest
+
+    from scrapontologies_spark.plans.render import render_pyecharts
+
+    with pytest.raises(ImportError, match="render_html"):
+        render_pyecharts(ENTS, RELS)
+
+
 def test_render_html_escapes_hostile_ids_and_title():
     """An entity id containing '</script>' must not terminate the embedded
     JSON block, and the title must not inject markup into <title>."""

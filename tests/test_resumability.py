@@ -52,6 +52,38 @@ def test_rerun_everything_skipped(spark, corpus, tmp_path):
     }
 
 
+def test_salted_reconcile_job_stage_equivalence(spark, corpus, tmp_path):
+    """north_star skew mandate: the entity reconcile join runs salted in the
+    REAL job when entities_prev exists, and salted == plain on the job
+    stage's own fingerprint (order-independent xor of row hashes)."""
+    from pyspark.sql import functions as F
+
+    seed_root = str(tmp_path / "seed")
+    run_job(spark, corpus, seed_root, chunk_bytes=512, with_cc=False,
+            with_schemas=False)
+    prev = (
+        Warehouse(seed_root)
+        .read_stage(spark, "entities")
+        .withColumn("attributes", F.lit('{"seen":"before"}'))
+        .persist()
+    )
+    prev.count()
+
+    results = {}
+    for mode, s in [("salted", 8), ("plain", 0), ("default", None)]:
+        root = str(tmp_path / mode)
+        wh = Warehouse(root)
+        wh.run_stage(spark, "entities_prev", lambda: prev)
+        infos = run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+                        with_schemas=False, salt=s)
+        results[mode] = (infos["entities"].rows, infos["entities"].fingerprint)
+    # salted (explicit and default-on) and plain produce identical outputs
+    assert results["salted"] == results["plain"] == results["default"]
+    # the reconcile really ran: merged rows beyond the seed's entity count
+    assert results["salted"][0] >= prev.count()
+    prev.unpersist()
+
+
 def test_metrics_lineage_rows(spark, corpus, tmp_path):
     root = str(tmp_path / "wh")
     infos = run_job(spark, corpus, root, chunk_bytes=512, with_schemas=True)
