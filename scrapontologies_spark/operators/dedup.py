@@ -255,6 +255,54 @@ def simhash(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (pairs → transitive closure → canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Transitive near-duplicate clusters: (doc_a, doc_b) pairs from any
+    pair generator (ngram_jaccard_pairs / embedding_near_dup_pairs /
+    lsh_candidate_pairs) → connected components → one row per document:
+    (doc_id, cluster_id, is_canonical) with cluster_id = min member id and
+    singletons (no pair) their own cluster.
+
+    Scale shape: the LS/SS component loop is O(log n) rounds over the PAIR
+    set (already candidate-bounded upstream), never the corpus; the final
+    membership join is a broadcast-size labels table in typical dedup runs
+    and a plain hash join otherwise.
+    """
+    from .cc import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("u"),
+        F.col("doc_b").cast("string").alias("v"),
+    )
+    labels = connected_components(edges)
+    # CC labels are MIN-STRING ids; regroup on the NATIVE id type so
+    # cluster_id is the true minimum member ("10" < "9" lexicographically
+    # must not win for numeric ids)
+    idmap = df.select(
+        F.col(id_col), F.col(id_col).cast("string").alias("_node")
+    ).distinct()
+    members = labels.join(idmap, labels.node == idmap._node).select(
+        id_col, F.col("component").alias("_comp")
+    )
+    canon = members.groupBy("_comp").agg(F.min(id_col).alias("cluster_id"))
+    clustered = members.join(canon, "_comp").select(id_col, "cluster_id")
+    out = (
+        df.select(id_col)
+        .join(clustered, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -19,8 +19,30 @@ def spread(df: DataFrame, *cols: str, factor: int = 2) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
+    if _partition_count_at_least(df, target):
         return df
     if cols:
         return df.repartition(target, *[F.col(c) for c in cols])
     return df.repartition(target)
+
+
+# The getNumPartitions probe forces physical planning of the upstream plan;
+# memoize the verdict per (semantic plan, target) so operator chains that
+# spread the same input repeatedly translate the plan once, not per call.
+_SPREAD_MEMO: dict = {}
+_SPREAD_MEMO_MAX = 1024
+
+
+def _partition_count_at_least(df: DataFrame, target: int) -> bool:
+    try:
+        key = (df.semanticHash(), target)
+    except Exception:  # pragma: no cover — analysis failure falls through
+        key = None
+    if key is not None and key in _SPREAD_MEMO:
+        return _SPREAD_MEMO[key]
+    enough = df.rdd.getNumPartitions() >= target
+    if key is not None:
+        if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+            _SPREAD_MEMO.clear()
+        _SPREAD_MEMO[key] = enough
+    return enough

@@ -65,6 +65,16 @@ def queries() -> Q:
 
     q["dedup_simhash"] = lambda spark, d: dedup.simhash(_docs(spark, d), bits=16)
 
+    # near-dup pairs → transitive clusters → canonical keeper per cluster
+    def clusters_q(spark, d):
+        docs = _docs(spark, d)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        return dedup.duplicate_clusters(docs, pairs)
+
+    q["dedup_clusters"] = clusters_q
+
     # exact variant (SQL-checkable); the lsh_tables>0 scale path shares the
     # scoring expression and is exercised in tests
     q["dedup_embedding_cosine"] = lambda spark, d: dedup.embedding_near_dup_pairs(
@@ -471,6 +481,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(sum(vote * power(2.0, bit)) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "dedup_clusters": f"""
+            -- LSH-candidate jaccard >= 0.5 pairs (same bands as the Spark
+            -- default) -> recursive transitive closure -> min-id cluster;
+            -- singletons are their own cluster via the base case
+            WITH RECURSIVE {_SH_CTE},
+            sigs AS (
+              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands8}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ),
+            sym AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+            )
+            SELECT node AS doc_id, min(lab) AS cluster_id,
+                   node = min(lab) AS is_canonical
+            FROM reach GROUP BY node
         """,
         "dedup_embedding_cosine": """
             -- sequential float64 cosine (matches Spark's aggregate() fold)

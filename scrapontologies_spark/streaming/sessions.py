@@ -1,0 +1,92 @@
+"""Stateful streaming sessionization — applyInPandasWithState.
+
+The batch twin is ``operators/events.sessionize`` (same gap semantics, same
+output shape); this is the custom stateful streaming operator the SURVEY
+scale plan calls for: per-user session state lives in the state store, a
+session CLOSES (is emitted) when a later event arrives more than
+``gap_minutes`` after the previous one, and the still-open tail session
+stays in state across micro-batches (flushed by a later batch or an
+explicit state timeout in continuous deployments).
+
+Determinism: events are sorted (ts, event_id) within each group call, the
+gap comparison runs on integer epoch microseconds, and session_idx is
+1-based in time order — identical numbering to the batch operator, so the
+closed-session prefix of the stream equals the batch result minus each
+user's final (still-open) session (pinned in tests/test_streaming.py).
+
+Scale shape: state is O(1) per user (6 scalars), the shuffle is the same
+hash(user_id) exchange the batch plan uses, and each micro-batch touches
+only users with new events.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_idx long, session_start timestamp, "
+    "session_end timestamp, n_events long, total_value double"
+)
+# (last event us, session start us, event count, value sum, session index)
+STATE_SCHEMA = "last_us long, start_us long, n long, total double, idx long"
+
+
+def _epoch_us(ts: pd.Series) -> pd.Series:
+    return pd.to_datetime(ts).astype("int64") // 1000  # ns → us
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap sessionization: one output row per CLOSED session
+    (user_id, session_idx, session_start, session_end, n_events,
+    total_value).  ``events`` must be a streaming DataFrame with at least
+    (user_col, ts_col, event_id, value_col)."""
+    gap_us = int(gap_minutes * 60_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, "event_id"], kind="mergesort")
+        if state.exists:
+            last_us, start_us, n, total, idx = state.get
+        else:
+            last_us, start_us, n, total, idx = None, 0, 0, 0.0, 0
+        out = []
+        ts_us = _epoch_us(batch[ts_col])
+        for t, v in zip(ts_us, batch[value_col]):
+            t = int(t)
+            if last_us is None or t - last_us > gap_us:
+                if last_us is not None:
+                    out.append((user, idx, start_us, last_us, n, round(total, 6)))
+                idx += 1
+                start_us, n, total = t, 0, 0.0
+            n += 1
+            total += float(v)
+            last_us = t
+        state.update((last_us, start_us, n, total, idx))
+        if out:
+            df = pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_idx", "session_start",
+                    "session_end", "n_events", "total_value",
+                ],
+            )
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+            yield df
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

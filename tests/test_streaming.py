@@ -20,6 +20,109 @@ def _expected(rows):
     return out
 
 
+def test_streaming_sessionize_closed_sessions_match_batch(spark, tmp_path):
+    """Stateful streaming sessionization: with the full event set in one
+    availableNow run, every CLOSED session (all but each user's final,
+    still-open one) must match the batch sessionize operator exactly —
+    same numbering, bounds, counts, and value sums."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.operators.events import sessionize
+    from scrapontologies_spark.streaming.sessions import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt_sess")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_idx): (
+            r.session_start, r.session_end, r.n_events, r.total_value
+        )
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch = sessionize(events, gap_minutes=30)
+    last = batch.groupBy("user_id").agg(F.max("session_idx").alias("_last"))
+    closed = batch.join(last, "user_id").filter(
+        F.col("session_idx") < F.col("_last")
+    )
+    expected = {
+        (r.user_id, r.session_idx): (
+            r.session_start, r.session_end, r.n_events, r.total_value
+        )
+        for r in closed.collect()
+    }
+    assert set(got) == set(expected) and len(got) > 0
+    for k, (s, e, n, v) in expected.items():
+        gs, ge, gn, gv = got[k]
+        assert (gs, ge, gn) == (s, e, n), k
+        assert gv == pytest.approx(v, abs=1e-6), k
+
+
+def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
+    """Session state must persist in the checkpoint across availableNow
+    restarts: events split time-wise into two arrivals yield the same
+    closed sessions as one batch — including sessions spanning the split."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.operators.events import sessionize
+    from scrapontologies_spark.streaming.sessions import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
+    in_dir = str(tmp_path / "ev2")
+    out_dir = str(tmp_path / "sess_out2")
+    ckpt = str(tmp_path / "ckpt_sess2")
+
+    def run_round():
+        # file sink (memory sink cannot recover from a checkpoint)
+        stream = spark.readStream.schema(events.schema).parquet(in_dir)
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    events.filter(F.col("ts") < cutoff).write.mode("overwrite").parquet(in_dir)
+    run_round()
+    events.filter(F.col("ts") >= cutoff).write.mode("append").parquet(in_dir)
+    run_round()
+    got = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = sessionize(events, gap_minutes=30)
+    last = batch.groupBy("user_id").agg(F.max("session_idx").alias("_last"))
+    expected = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in batch.join(last, "user_id")
+        .filter(F.col("session_idx") < F.col("_last"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_incremental_equals_batch(spark, tmp_path):
     rows = corpus_rows(N)
     in_dir = str(tmp_path / "in")

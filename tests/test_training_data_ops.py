@@ -156,6 +156,24 @@ def test_ngram_jaccard_shingle_df_cap(spark, docs, docs_pd):
         assert got[pair] == pytest.approx(j, abs=1e-12)
 
 
+def test_duplicate_clusters_transitive_and_numeric_min(spark):
+    """pairs (9,10),(10,11) chain into ONE cluster with canonical 9 — the
+    numeric minimum, not the lexicographic one ('10' < '9' as strings);
+    singletons cluster to themselves."""
+    docs = spark.createDataFrame([(i,) for i in (2, 9, 10, 11)], "doc_id long")
+    pairs = spark.createDataFrame([(9, 10), (10, 11)], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        2: (2, True),
+        9: (9, True),
+        10: (9, False),
+        11: (9, False),
+    }
+
+
 def test_simhash_oracle(spark, docs, docs_pd):
     got = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
     for _, row in docs_pd.head(20).iterrows():
