@@ -298,6 +298,28 @@ def queries() -> Q:
 
     q["tpch_q3_shipping_priority"] = tpch_q3
 
+    def tpch_q6(spark, d):
+        # highly selective scan-aggregate: every predicate must reach the
+        # parquet reader as PushedFilters (asserted in test_plan_quality)
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    q["tpch_q6_forecast_revenue"] = tpch_q6
+
     def events_rollup(spark, d):
         ev = spark.read.parquet(f"{d}/events.parquet")
         return ev.groupBy("user_id", "event_type").agg(
@@ -671,6 +693,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "events_user_rollup": """
             SELECT user_id, event_type, count(*) AS n_events,

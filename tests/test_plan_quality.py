@@ -69,6 +69,25 @@ def test_integrity_semi_join_broadcasts_small_entity_side(spark):
     assert "BroadcastHashJoin" in final and "LeftSemi" in final, final
 
 
+def test_tpch_q6_predicates_all_push_to_scan(spark):
+    """Every Q6 predicate (date range, discount band, quantity cap) must
+    reach the parquet reader as PushedFilters — a scan-aggregate with
+    residual JVM filters would read far too much at 100 TB."""
+    from scrapontologies_spark.plans.dataset_queries import queries
+
+    df = queries()["tpch_q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in pf, (frag, pf)
+
+
 def test_reconcile_udf_runs_only_on_matched_branch(spark):
     """The A1 merge pandas UDF must evaluate ONLY on rows matched on both
     sides with non-empty payloads; single-sided rows resolve JVM-side —
