@@ -56,7 +56,8 @@ def chunk_text(content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> List[Tup
     offset = 0
     cur_offset = 0
     for ln in lines:
-        nbytes = len(ln.encode("utf-8")) + 1  # + newline
+        # ASCII fast path: len == byte length, no encode allocation
+        nbytes = (len(ln) if ln.isascii() else len(ln.encode("utf-8"))) + 1  # + newline
         if cur and cur_bytes + nbytes > chunk_bytes:
             chunks.append((cur_offset, "\n".join(cur)))
             cur, cur_bytes, cur_offset = [], 0, offset
@@ -292,8 +293,11 @@ def _structural_key(v: Any) -> Any:
     """Hashable key such that equal keys ⇒ equal ``induce_schema`` output:
     scalars reduce to their type tag; lists to the SET of element keys
     (induce_schema unions element schemas — order-free, duplicate-free);
-    dicts to sorted (key, child) pairs with NA-valued keys dropped exactly
-    as induce_schema drops them."""
+    dicts to the SET of (key, child) pairs with NA-valued keys dropped
+    exactly as induce_schema drops them.  frozensets, not sorted tuples:
+    the key is only ever compared for equality/hashing (the dedup set in
+    chunk_schema_digest), and set equality is order-free by definition —
+    this removes the repr+sort that dominated the digest profile."""
     if isinstance(v, bool):
         return "b"
     if isinstance(v, int):
@@ -303,10 +307,13 @@ def _structural_key(v: Any) -> Any:
     if isinstance(v, str):
         return "s"
     if isinstance(v, list):
-        return ("l",) + tuple(sorted({repr(_structural_key(x)) for x in v}))
+        return ("l", frozenset(_structural_key(x) for x in v))
     if isinstance(v, dict):
-        return ("d",) + tuple(
-            sorted((k, repr(_structural_key(x))) for k, x in v.items() if not is_na(x))
+        return (
+            "d",
+            frozenset(
+                (k, _structural_key(x)) for k, x in v.items() if not is_na(x)
+            ),
         )
     return "o"
 

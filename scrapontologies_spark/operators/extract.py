@@ -195,6 +195,14 @@ def extract_document_rows(
                 sha = sha256_hex(content)
                 module_id = f"{repo}/{path}"
                 base = (repo, path, commit, lang, sha)
+                # Arrow-volume control: each output row carries only the base
+                # fields its view reads.  Triple rows (the dominant output,
+                # ~10×/doc) need none — triples_view selects subj/pred/obj/
+                # rel_type; entity/schema rows need (repo, path) only.  At
+                # 400k docs this drops ~400 MB of repeated strings from the
+                # Python→Arrow→JVM transfer; the sha invariant stays on
+                # chunk + module rows (verify_content_invariant reads chunks).
+                doc_base = (repo, path, None, None, None)
                 payloads = []
                 digests = []
                 triples = set()
@@ -231,7 +239,7 @@ def extract_document_rows(
                     rows.append(
                         (
                             "entity",
-                            *base,
+                            *doc_base,
                             None, None, None, None,
                             name,
                             "object",
@@ -261,7 +269,7 @@ def extract_document_rows(
                     rows.append(
                         (
                             "schema",
-                            *base,
+                            *doc_base,
                             None, None,
                             canonical_json(doc_schema),
                             None, None, None, None, None, None, None, None,
@@ -271,7 +279,7 @@ def extract_document_rows(
                     rows.append(
                         (
                             "triple",
-                            *base,
+                            None, None, None, None, None,
                             None, None, None, None, None, None, None,
                             subj, pred, obj, rel_type,
                         )

@@ -52,6 +52,23 @@ def test_rerun_everything_skipped(spark, corpus, tmp_path):
     }
 
 
+def test_format_switch_orc_runs_and_resumes(spark, corpus, tmp_path):
+    """The warehouse format is a config switch (parquet locally, Iceberg on
+    a cluster with its jars) — prove the switch is real by running and
+    resuming the whole job on a DIFFERENT builtin format (orc) with
+    identical stage fingerprints."""
+    root = str(tmp_path / "wh_orc")
+    first = run_job(spark, corpus, root, chunk_bytes=512, fmt="orc")
+    import os
+
+    assert any(f.endswith(".orc") for f in os.listdir(f"{root}/extracted"))
+    second = run_job(spark, corpus, root, chunk_bytes=512, fmt="orc")
+    assert all(info.skipped for info in second.values())
+    assert {k: v.fingerprint for k, v in first.items()} == {
+        k: v.fingerprint for k, v in second.items()
+    }
+
+
 def test_salted_reconcile_job_stage_equivalence(spark, corpus, tmp_path):
     """north_star skew mandate: the entity reconcile join runs salted in the
     REAL job when entities_prev exists, and salted == plain on the job
