@@ -254,6 +254,24 @@ def queries() -> Q:
 
     q["cc_components"] = cc_components
 
+    # --- graph analytics over the KG edge table -------------------------------
+    def pagerank_q(spark, d):
+        """Fixed-iteration PageRank over the doc→term mention graph (the
+        bipartite slice of the KG: module --mentions--> term::t edges)."""
+        from ..operators.graph import pagerank
+
+        docs = _docs(spark, d)
+        pattern = r"\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\b"
+        edges = docs.select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("src"),
+            F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("t"),
+        ).select("src", F.concat(F.lit("term::"), F.col("t")).alias("dst"))
+        return pagerank(edges, iters=5).select(
+            "node", F.round("rank", 6).alias("rank")
+        )
+
+    q["graph_pagerank_mentions"] = pagerank_q
+
     # --- analytical benchmark shapes ------------------------------------------
     def tpch_q1(spark, d):
         li = spark.read.parquet(f"{d}/lineitem.parquet")
@@ -338,6 +356,46 @@ def queries() -> Q:
     q["events_sessionize"] = events_sessions
 
     return q
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank oracle — one chained CTE per
+    iteration, the exact formula of operators/graph.pagerank (no-
+    redistribution dangling variant, rank_0 = 1.0)."""
+    pattern = "\\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\\b"
+    parts = [
+        f"""
+        edges AS (
+          SELECT DISTINCT 'doc:' || doc_id AS src, 'term::' || term AS dst
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{pattern}', 1)) AS term
+            FROM documents
+          )
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+        pr{k} AS (
+          SELECT n.node,
+                 {1.0 - damping} + {damping} * COALESCE(c.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / d.deg) AS s
+            FROM pr{k - 1} p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c USING (node)
+        )"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\n        SELECT node, round(rank, 6) AS rank FROM pr{iters}"
+    )
 
 
 def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
@@ -694,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
         """,
+        "graph_pagerank_mentions": _pagerank_sql(5, 0.85),
         "tpch_q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    count(*) AS n_rows

@@ -63,6 +63,32 @@ def test_reconcile_empty_existing_copies_new(spark):
     assert len(got) == 1 and got[0].id == "x" and json.loads(got[0].attributes) == {"k": 1}
 
 
+def test_pagerank_matches_python_power_iteration(spark):
+    """Fixed-iteration PageRank == a driver-side power iteration on the
+    same graph; duplicate edges count once; dangling nodes (no out-edges)
+    keep the base (1-d) and leak their mass (no-redistribution variant)."""
+    from scrapontologies_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+
+    uniq = sorted(set(edges))
+    nodes = sorted({u for u, _ in uniq} | {v for _, v in uniq})
+    deg = {}
+    for u, _ in uniq:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        nxt = {n: 0.0 for n in nodes}
+        for u, v in uniq:
+            nxt[v] += rank[u] / deg[u]
+        rank = {n: 0.15 + 0.85 * nxt[n] for n in nodes}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == pytest.approx(rank[n], abs=1e-12), n
+
+
 def test_salted_join_equals_plain_join(spark):
     fact = spark.createDataFrame(
         [(i % 5, f"f{i}") for i in range(200)], "k int, payload string"
