@@ -106,6 +106,36 @@ def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
     return 0 if row is None else row["d"]
 
 
+def _vec_sum(vec) -> "F.Column":
+    """Sequential left-to-right float64 sum of the vector elements."""
+    return F.aggregate(
+        F.transform(vec, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pos_sum(vec, pos_idx: list) -> "F.Column":
+    """Sequential sum of vec[i] over the (1-based) literal index list."""
+    if not pos_idx:
+        return F.lit(0.0)
+    idx = F.array(*[F.lit(i) for i in pos_idx])
+    return F.aggregate(
+        idx, F.lit(0.0), lambda acc, i: acc + F.element_at(vec, i).cast("double")
+    )
+
+
+def _plane_proj(vec, total, signs: list) -> "F.Column":
+    """±1-weight projection via the half-sum identity:
+    Σ w_i·x_i = 2·Σ_{w=+1} x_i − Σ x_i.  One shared full-vector sum per
+    row plus ~dim/2 element fetches per plane — versus a zip_with array
+    allocation + dim multiply-adds per plane in the naive form.  The SQL
+    oracle computes the IDENTICAL expression (same IEEE op order), so
+    bucket parity is preserved."""
+    pos = [i + 1 for i, s in enumerate(signs) if s > 0]
+    return F.lit(2.0) * _pos_sum(vec, pos) - total
+
+
 def hyperplane_bucket(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -119,26 +149,26 @@ def hyperplane_bucket(
     Returns (vec_id, bucket string of n_planes sign bits).
 
     The weight matrix depends only on (plane, dim), so it is materialized
-    driver-side and embedded as array literals — the per-row work is a pure
-    dot product in whole-stage codegen, no hashing in the loop.  At scale:
-    bucketing is a narrow transform; the downstream same-bucket self-join
-    replaces the full cross join (candidates only).
+    driver-side; per-row work is ONE full-vector sum shared by all planes
+    plus a positive-index half-sum per plane (see _plane_proj), all in
+    whole-stage codegen — no hashing, no per-plane array allocation.  At
+    scale: bucketing is a narrow transform; the downstream same-bucket
+    self-join replaces the full cross join (candidates only).
     """
     if dim is None:
         dim = _vector_dim(embeddings, vec_col)
-    vec = F.col(vec_col)
+    # materialize the shared full-vector sum as a column so it is computed
+    # once per row, not once per plane expression
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _vec_sum(F.col(vec_col)).alias("_vs"),
+    )
     sign_bits = []
     for p in range(n_planes):
-        w = F.array(*[F.lit(s) for s in _plane_signs(seed, p, dim)])
-        proj = F.aggregate(
-            F.zip_with(vec, w, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = _plane_proj(F.col("_v"), F.col("_vs"), _plane_signs(seed, p, dim))
         sign_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.concat(*sign_bits).alias("bucket")
-    )
+    return staged.select("vec_id", F.concat(*sign_bits).alias("bucket"))
 
 
 def cosine_topk_lsh(
@@ -161,24 +191,27 @@ def cosine_topk_lsh(
     against recall."""
     # All tables' buckets in ONE narrow pass (explode of a per-row array)
     # instead of n_tables unions that each rescan the input.  Spread first:
-    # the n_tables × n_planes projection folds are the heavy narrow work.
+    # the n_tables × n_planes projection sums are the heavy narrow work.
     embeddings = spread(embeddings, id_col)
     dim = _vector_dim(embeddings, vec_col)
-    vec = F.col(vec_col)
+    # shared full-vector sum (see _plane_proj): computed once per row and
+    # reused by every (table, plane) half-sum projection
+    staged = embeddings.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_v"),
+        _vec_sum(F.col(vec_col)).alias("_vs"),
+    )
     table_keys = []
     for t in range(n_tables):
         sign_bits = []
         for p in range(n_planes):
-            w = F.array(*[F.lit(s) for s in _plane_signs(f"lsh{t}", p, dim)])
-            proj = F.aggregate(
-                F.zip_with(vec, w, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            proj = _plane_proj(
+                F.col("_v"), F.col("_vs"), _plane_signs(f"lsh{t}", p, dim)
             )
             sign_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         table_keys.append(F.concat(F.lit(f"{t}|"), *sign_bits))
-    buckets = embeddings.select(
-        F.col(id_col).alias("_bid"),
+    buckets = staged.select(
+        "_bid",
         F.explode(F.array(*table_keys)).alias("bucket"),
     )
     left = buckets.select(F.col("_bid").alias("query_id"), "bucket")

@@ -400,25 +400,31 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
 
 def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
     """Per-table bucket SELECTs replicating similarity.cosine_topk_lsh's
-    sign-LSH: the SAME md5-derived ±1 sign literals (similarity._plane_signs)
-    are embedded here, so Spark and DuckDB compute identical buckets —
-    sequential float64 projections on both sides."""
+    sign-LSH via the SAME half-sum identity the operator uses
+    (similarity._plane_proj): proj = 2·Σ_{w=+1} x_i − Σ x_i with the SAME
+    md5-derived positive-index sets and the same sequential float64 op
+    order, so Spark and DuckDB compute identical buckets."""
     from ..operators.similarity import _plane_signs
 
+    total = "list_aggregate([x::DOUBLE FOR x IN embedding], 'sum')"
     selects = []
     for t in range(n_tables):
         bits = []
         for p in range(n_planes):
-            w = "[" + ",".join(
-                "1.0" if s > 0 else "-1.0" for s in _plane_signs(f"lsh{t}", p, dim)
-            ) + "]"
-            proj = (
-                f"list_aggregate([embedding[i]::DOUBLE * ({w})[i] "
-                f"FOR i IN range(1, {dim} + 1)], 'sum')"
-            )
-            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+            pos = [
+                i + 1
+                for i, s in enumerate(_plane_signs(f"lsh{t}", p, dim))
+                if s > 0
+            ]
+            if pos:
+                idx = "[" + ",".join(str(i) for i in pos) + "]"
+                ps = f"list_aggregate([embedding[i]::DOUBLE FOR i IN {idx}], 'sum')"
+            else:
+                ps = "0.0"
+            bits.append(f"CASE WHEN 2.0 * {ps} - vs >= 0 THEN '1' ELSE '0' END")
         selects.append(
-            f"SELECT vec_id, '{t}|' || " + " || ".join(bits) + " AS bucket FROM embeddings"
+            f"SELECT vec_id, '{t}|' || " + " || ".join(bits)
+            + f" AS bucket FROM (SELECT vec_id, embedding, {total} AS vs FROM embeddings)"
         )
     return "\n              UNION ALL\n              ".join(selects)
 
