@@ -254,6 +254,18 @@ def queries() -> Q:
 
     q["cc_components"] = cc_components
 
+    # --- deterministic sampling / corpus mixing -------------------------------
+    def sample_q(spark, d):
+        from ..operators.sampling import sample_stratified
+
+        return sample_stratified(
+            _docs(spark, d),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.1,
+        ).select("doc_id", "source")
+
+    q["sample_stratified"] = sample_q
+
     # --- graph analytics over the KG edge table -------------------------------
     def pagerank_q(spark, d):
         """Fixed-iteration PageRank over the doc→term mention graph (the
@@ -757,6 +769,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "sample_stratified": """
+            -- md5-derived keep decisions (operators/sampling.py): first 8
+            -- hex chars over 16^8 as a uniform [0,1) fraction, per-stratum
+            -- rate via CASE — bit-exact across engines
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#strat'), 1, 8))::BIGINT
+                    / 4294967296.0
+                  < CASE source
+                      WHEN 'src0' THEN 1.0
+                      WHEN 'src1' THEN 0.5
+                      WHEN 'src2' THEN 0.25
+                      ELSE 0.1 END
         """,
         "graph_pagerank_mentions": _pagerank_sql(5, 0.85),
         "tpch_q6_forecast_revenue": """

@@ -344,6 +344,46 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
     assert len(approx) / len(exact) >= 0.5  # recall floor at 8 tables
 
 
+def test_sample_stratified_deterministic_and_matches_oracle(spark, docs, docs_pd):
+    """Keep decisions are a pure md5 function of the id: python-oracle
+    exact, invariant under repartitioning, unlisted strata dropped when
+    default_rate is None."""
+    from scrapontologies_spark.operators.sampling import sample_stratified
+
+    rates = {"src0": 1.0, "src1": 0.5}
+
+    def keep(doc_id, source, default):
+        r = rates.get(source, default)
+        if r is None:
+            return False
+        h = int(_md5(f"{doc_id}#strat")[:8], 16) / 16 ** 8
+        return h < r
+
+    expected = {
+        int(row.doc_id)
+        for _, row in docs_pd.iterrows()
+        if keep(row.doc_id, row.source, 0.2)
+    }
+    got = {
+        r.doc_id
+        for r in sample_stratified(docs, rates, default_rate=0.2).collect()
+    }
+    assert got == expected and 0 < len(got) < len(docs_pd)
+
+    # partitioning-independent
+    got_rep = {
+        r.doc_id
+        for r in sample_stratified(
+            docs.repartition(13), rates, default_rate=0.2
+        ).collect()
+    }
+    assert got_rep == got
+
+    # default None drops unlisted strata entirely
+    only = sample_stratified(docs, rates).select("source").distinct().collect()
+    assert {r.source for r in only} <= {"src0", "src1"}
+
+
 def test_lsh_ops_tolerate_empty_embeddings(spark, emb):
     """_vector_dim must not raise on an empty input: every LSH-backed
     operator returns an empty result instead of TypeError."""
