@@ -1,0 +1,104 @@
+"""CorpusExtractor facade parity: the reference's FileExtractor flow
+(extractor.py:78-389; examples/extract_entities_relations_schema_from_pdf.py,
+examples/prompt_based_extraction.py) must run unchanged against the
+distributed engine — extract → relations → merge → delete → DDL → render."""
+
+from __future__ import annotations
+
+from scrapontologies_spark.api import CorpusExtractor, _parse_prompt
+from scrapontologies_spark.functions.code_gazetteer import document_schema
+from scrapontologies_spark.functions.semantics import schema_union_all
+from scrapontologies_spark.sources.corpus import corpus_df, corpus_rows
+
+CHUNK = 512
+N = 30
+
+
+def test_extract_entities_and_relations_schema(spark):
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    ents = ex.extract_entities_schema()
+    assert ents and all(e.type == "object" for e in ents)
+    # distributed global schema == sequential per-document union oracle
+    expected = schema_union_all(
+        document_schema(lang, content, CHUNK)
+        for _, _, _, lang, content in corpus_rows(N)
+    )
+    assert ex.get_json_schema() == expected
+    assert {e.id for e in ents} == set(expected["properties"])
+
+    rels = ex.extract_relations_schema()
+    assert rels is ex.get_relations_schema()
+    assert {r.target for r in rels if r.source == "ROOT"} == {e.id for e in ents}
+    assert all(r.type == "containment" for r in rels)
+
+
+def test_prompt_allowlist_restricts_schema(spark):
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    ents = ex.extract_entities_schema(prompt="only import declarations")
+    assert {e.id for e in ents} == {"import"}
+    assert _parse_prompt("only import declarations")[0] == frozenset({"import"})
+
+
+def test_merge_schemas_then_delete(spark):
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    ex.extract_entities_schema()
+    ex.extract_relations_schema()
+    n0 = len(ex.get_entities_schema())
+
+    external = {
+        "type": "object",
+        "properties": {
+            "custom_thing": {
+                "type": "object",
+                "properties": {"x": {"type": "string"}},
+            }
+        },
+    }
+    merged = ex.merge_schemas(external)
+    assert "custom_thing" in merged["properties"]
+    assert len(ex.get_entities_schema()) == n0 + 1
+    assert any(
+        r.source == "ROOT" and r.target == "custom_thing"
+        for r in ex.get_relations_schema()
+    )
+
+    # C3 route + C1 cascade, the reference's delete flow
+    ex.delete_entity_or_relation("please remove custom_thing from the graph")
+    assert all(e.id != "custom_thing" for e in ex.get_entities_schema())
+    assert all(
+        "custom_thing" not in (r.source, r.target)
+        for r in ex.get_relations_schema()
+    )
+    # deleting a relation by describing its (source, target, name)
+    rel = ex.get_relations_schema()[0]
+    ex.delete_entity_or_relation(
+        f"drop the relation {rel.name} from {rel.source} to {rel.target}"
+    )
+    assert all(
+        not (r.source == rel.source and r.target == rel.target and r.name == rel.name)
+        for r in ex.get_relations_schema()
+    )
+
+
+def test_merge_schemas_requires_prior_extraction(spark):
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    assert ex.merge_schemas({"properties": {}}) is None  # extractor.py:236-238
+
+
+def test_create_tables_via_injected_client_and_render(spark):
+    import pytest
+
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    with pytest.raises(ValueError):
+        ex.create_tables()  # no sink configured — extractor.py:309-311
+    ex.extract_entities_schema()
+    ex.extract_relations_schema()
+    executed = []
+    ex.db_execute = executed.append
+    stmts = ex.create_tables()
+    assert executed == stmts and stmts
+    assert all(s.startswith("CREATE TABLE IF NOT EXISTS") for s in stmts)
+
+    html = ex.render(title="G")
+    first = ex.get_entities_schema()[0].id
+    assert first in html and "<title>G</title>" in html
