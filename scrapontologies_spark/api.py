@@ -122,6 +122,23 @@ class CorpusExtractor:
         self._relations = derive_containment_relations(self._entities)
         return self._relations
 
+    def extract_entities(self) -> DataFrame:
+        """extractor.py:389 — per-document entity INSTANCES (A2/A3 fold),
+        as the distributed doc-entities table (repo, path, entity_name,
+        entity_type, attributes) rather than a driver-side list: instance
+        counts are corpus-sized, unlike the schema-level lists above.
+
+        (The reference's get_entities_schema_graph/get_relations_schema_graph
+        return langgraph state machines — N/A by design here; the stage DAG
+        lives in plans/pipeline.py and plans/job.py.)"""
+        from .operators.extract import doc_entities_view, extract_document_rows
+
+        return doc_entities_view(
+            extract_document_rows(
+                self.corpus, self.chunk_bytes, with_schemas=False, emit_chunks=False
+            )
+        )
+
     # -- state getters (extractor.py:174-190, 269-276) ---------------------
 
     def get_entities_schema(self) -> List[Entity]:

@@ -80,6 +80,24 @@ def test_merge_schemas_then_delete(spark):
     )
 
 
+def test_extract_entities_instances(spark):
+    """extract_entities returns the distributed per-document instance
+    table (A2/A3), consistent with the sequential fold oracle on a spot
+    check."""
+    from scrapontologies_spark.functions.code_gazetteer import document_payload
+    from scrapontologies_spark.functions.semantics import is_na
+
+    ex = CorpusExtractor(corpus_df(spark, 10), chunk_bytes=CHUNK)
+    rows = ex.extract_entities().collect()
+    assert rows
+    repo, path, _, lang, content = corpus_rows(10)[0]
+    expected = {
+        k for k in document_payload(lang, content, CHUNK) if not is_na(k)
+    }
+    got = {r.entity_name for r in rows if (r.repo, r.path) == (repo, path)}
+    assert got == expected
+
+
 def test_merge_schemas_requires_prior_extraction(spark):
     ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
     assert ex.merge_schemas({"properties": {}}) is None  # extractor.py:236-238
