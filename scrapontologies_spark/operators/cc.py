@@ -73,7 +73,11 @@ def connected_components(
     for i in range(max_iter):
         cur = _small_star(_large_star(cur))
         if checkpoint_every and i % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            # LAZY checkpoint: the fingerprint aggregation below is the
+            # materializing action, so each round costs ONE Spark job
+            # (compute + checkpoint + convergence check together) instead
+            # of an eager-checkpoint job plus a fingerprint job.
+            cur = cur.localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break
