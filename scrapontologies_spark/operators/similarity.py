@@ -171,6 +171,134 @@ def hyperplane_bucket(
     return staged.select("vec_id", F.concat(*sign_bits).alias("bucket"))
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    k_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``k_cells`` vectors with the
+    smallest md5(id#seed) act as centroids — a deterministic pseudo-random
+    sample (rerun-stable, partitioning-independent, SQL-reproducible),
+    standing in for a k-means codebook the way the gazetteer stands in for
+    the LLM.  Returns (cell, cvec, cnorm); cell = the centroid's vector id."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cnorm"),
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+            ).alias("_r"),
+        )
+        .orderBy("_r")
+        .limit(k_cells)
+        .drop("_r")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → smallest cell
+    id).  Centroids broadcast (k_cells rows); assignment is one narrow
+    scored pass + a per-vector top-1 window.  Returns (vec_id, cell)."""
+    v = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vvec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell",
+        (_dot(F.col("vvec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among each
+    query's ``n_probe`` nearest centroids — the inverted-file scale path
+    complementing the sign-LSH one (cosine_topk_lsh).  Deterministic end to
+    end, so the result is value-checkable against a SQL oracle despite
+    being approximate.  Returns (query_id, neighbor_id, cosine, rank).
+
+    Scale shape: the codebook broadcasts everywhere (k_cells rows); cell
+    assignment is a narrow pass over the corpus; the candidate join is
+    cells(probed) ⋈ assignment — a hash join on the short cell key touching
+    only probed cells' members; exact scoring runs on candidates only.
+    """
+    cents = ivf_centroids(embeddings, k_cells, id_col, vec_col, seed)
+    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    qscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cell",
+        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+            "_cos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    e_n = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nnorm"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(e_n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     k: int = 3,

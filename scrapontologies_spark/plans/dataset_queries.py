@@ -99,6 +99,18 @@ def queries() -> Q:
         _emb(spark, d), k=3, n_planes=4, n_tables=8
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
+    # the IVF scale path: md5-sampled codebook, top-1 cell assignment,
+    # n_probe nearest cells per query — also deterministically approximate
+    def sim_ivf(spark, d):
+        emb = _emb(spark, d)
+        return similarity.cosine_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 5), k=3, k_cells=16, n_probe=4
+        ).select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+
+    q["sim_cosine_topk_ivf"] = sim_ivf
+
     # --- text analysis ---------------------------------------------------------
     q["text_lang_id"] = lambda spark, d: textops.language_id(_docs(spark, d))
     q["text_token_stats"] = lambda spark, d: textops.token_stats(_docs(spark, d))
@@ -368,6 +380,69 @@ def queries() -> Q:
     q["events_sessionize"] = events_sessions
 
     return q
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Sequential float64 cosine of two array columns — Spark's
+    _dot(a,b)/(_norm(a)*_norm(b)) fold, operand order preserved."""
+    return (
+        f"list_aggregate([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+        f"FOR i IN range(1, len({a}) + 1)], 'sum')"
+        f" / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN {a}], 'sum'))"
+        f" * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN {b}], 'sum')) )"
+    )
+
+
+def _ivf_topk_sql(k: int = 3, k_cells: int = 16, n_probe: int = 4) -> str:
+    """Oracle replica of similarity.cosine_topk_ivf: same md5-sampled
+    codebook, same top-1 assignment and n_probe probing tie-breaks, same
+    sequential-cosine scoring."""
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cell, embedding AS cvec
+          FROM embeddings
+          ORDER BY md5(vec_id::VARCHAR || '#ivf') LIMIT {k_cells}
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {_cos_sql("v.embedding", "c.cvec")} DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings v, cents c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_cos_sql("q.embedding", "c.cvec")} DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings q, cents c WHERE q.vec_id < 5
+          ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT c.query_id, c.neighbor_id,
+                 {_cos_sql("q.embedding", "e.embedding")} AS cos_raw,
+                 row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {_cos_sql("q.embedding", "e.embedding")} DESC,
+                            c.neighbor_id ASC
+                 ) AS rank
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -641,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
                     * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
                   >= 0.4
         """,
+        "sim_cosine_topk_ivf": _ivf_topk_sql(3, 16, 4),
         "sim_cosine_topk_lsh": f"""
             -- exact replica of the approximate path: same md5-derived
             -- hyperplane sign literals, same candidate join, same sequential
