@@ -34,7 +34,10 @@ STATE_SCHEMA = "last_us long, start_us long, n long, total double, idx long"
 
 
 def _epoch_us(ts: pd.Series) -> pd.Series:
-    return pd.to_datetime(ts).astype("int64") // 1000  # ns → us
+    # normalize to ns explicitly: astype('int64') on a datetime64 series
+    # yields values in the series' OWN unit (us-backed Arrow frames would
+    # silently be 1000× off) — pin the unit before taking the integer view
+    return pd.to_datetime(ts).astype("datetime64[ns]").astype("int64") // 1000
 
 
 def sessionize_stream(
