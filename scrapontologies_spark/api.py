@@ -93,6 +93,7 @@ class CorpusExtractor:
         doc_rows = extract_document_rows(
             self.corpus, self.chunk_bytes, with_schemas=True, emit_chunks=False,
             allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
+            with_entities=False, with_triples=False,
         )
         return global_schema(doc_schemas_view(doc_rows))
 

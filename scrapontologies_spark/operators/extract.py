@@ -150,6 +150,8 @@ def extract_document_rows(
     emit_chunks: bool = True,
     allowed_kinds=None,
     allowed_terms=None,
+    with_entities: bool = True,
+    with_triples: bool = True,
 ) -> DataFrame:
     """Fused chunk → extract → fold → schema → triples pass (narrow, one
     Python entry per batch).  Emits tall rows discriminated by ``kind``:
@@ -182,6 +184,11 @@ def extract_document_rows(
     (user_prompt_for_filter stand-in, code_gazetteer.extract_mentions):
     the restriction applies AT extraction, so every emitted row kind
     (entity/schema/triple) reflects the filtered mention set.
+
+    ``with_entities``/``with_triples`` — emit selection: a schema-only
+    consumer (global ontology, containment derivation) skips the A2 merge
+    fold and the per-document triple-set build entirely, not just their
+    output rows — the kernel does only the work its consumer reads.
     """
     allowed_kinds = frozenset(allowed_kinds) if allowed_kinds is not None else None
     allowed_terms = frozenset(allowed_terms) if allowed_terms is not None else None
@@ -211,11 +218,15 @@ def extract_document_rows(
                     n_chunks += 1
                     mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
                     payload = chunk_payload(mentions)
-                    payloads.append(payload)
-                    digest = chunk_schema_digest(payload)
+                    if with_entities or emit_chunks:
+                        payloads.append(payload)
+                    digest = chunk_schema_digest(payload) if (
+                        with_schemas or emit_chunks
+                    ) else None
                     if with_schemas:
                         digests.append(digest)
-                    triples |= triples_for_mentions(module_id, mentions)
+                    if with_triples:
+                        triples |= triples_for_mentions(module_id, mentions)
                     if emit_chunks:
                         rows.append(
                             (
@@ -232,7 +243,7 @@ def extract_document_rows(
                 # Owned fast path: every payload was serialized to its chunk
                 # row above and is never read again — mutation-safe, values
                 # identical to the pure fold (property-tested).
-                merged = combine_entities_data_owned(payloads)
+                merged = combine_entities_data_owned(payloads) if with_entities else {}
                 for name, attrs in merged.items():
                     if is_na(name):
                         continue

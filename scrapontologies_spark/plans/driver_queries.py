@@ -155,7 +155,8 @@ def queries() -> Q:
         from .driver_helpers import documents_as_corpus
 
         doc_rows = extract_document_rows(
-            documents_as_corpus(spark, d), 1024, with_schemas=True, emit_chunks=False
+            documents_as_corpus(spark, d), 1024, with_schemas=True,
+            emit_chunks=False, with_entities=False, with_triples=False,
         )
         return containment_triples_from_doc_schemas(doc_schemas_view(doc_rows))
 

@@ -168,6 +168,26 @@ def test_p8_jvm_mention_filter_matches_extraction_filter(spark):
     assert jvm.count() > 0
 
 
+def test_emit_selection_schema_only_rows_identical(spark):
+    """with_entities=False/with_triples=False must skip the fold and
+    triple-set WORK but emit byte-identical schema/module rows."""
+    from scrapontologies_spark.operators.extract import (
+        doc_schemas_view,
+        extract_document_rows,
+    )
+
+    corpus = corpus_df(spark, 20)
+    full = extract_document_rows(corpus, CHUNK_BYTES, True, False)
+    slim = extract_document_rows(
+        corpus, CHUNK_BYTES, True, False, with_entities=False, with_triples=False
+    )
+    assert sorted(map(tuple, doc_schemas_view(slim).collect())) == sorted(
+        map(tuple, doc_schemas_view(full).collect())
+    )
+    kinds = {r.kind for r in slim.select("kind").distinct().collect()}
+    assert kinds == {"schema", "module"}
+
+
 def test_markdown_rows_produce_no_mentions(result):
     _, res = result
     assert res.mentions.filter("lang = 'markdown'").count() == 0
