@@ -265,6 +265,39 @@ def simhash(
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
+def minhash_jaccard_estimate(
+    sigs: DataFrame, candidates: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs from MinHash signatures ALONE:
+    est = fraction of matching signature components (the standard unbiased
+    MinHash estimator).  At 100 TB this is the scoring path — two narrow
+    joins against the (one-row-per-doc) signature table, never touching
+    shingles; exact ``ngram_jaccard_pairs`` verification is reserved for
+    pairs that pass the estimate.  Returns (doc_a, doc_b, jaccard_est).
+    """
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        term = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering (pairs → transitive closure → canonical doc)
 # ---------------------------------------------------------------------------

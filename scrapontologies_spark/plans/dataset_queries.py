@@ -65,6 +65,15 @@ def queries() -> Q:
 
     q["dedup_simhash"] = lambda spark, d: dedup.simhash(_docs(spark, d), bits=16)
 
+    # signature-only jaccard estimate over LSH candidates (no shingle join)
+    def mh_estimate(spark, d):
+        sh = dedup.shingles(_docs(spark, d))
+        sigs = dedup.minhash_signatures(sh, num_hashes=8)
+        cand = dedup.lsh_candidate_pairs(sigs, 8, 2)
+        return dedup.minhash_jaccard_estimate(sigs, cand, num_hashes=8)
+
+    q["dedup_minhash_estimate"] = mh_estimate
+
     # near-dup pairs → transitive clusters → canonical keeper per cluster
     def clusters_q(spark, d):
         docs = _docs(spark, d)
@@ -654,6 +663,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(sum(vote * power(2.0, bit)) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "dedup_minhash_estimate": f"""
+            WITH {_SH_CTE},
+            sigs AS (
+              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands8}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   ({" + ".join(f"CASE WHEN x.sig_{i} = y.sig_{i} THEN 1 ELSE 0 END" for i in range(8))})
+                     / 8.0 AS jaccard_est
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.doc_a
+            JOIN sigs y ON y.doc_id = c.doc_b
         """,
         "dedup_clusters": f"""
             -- LSH-candidate jaccard >= 0.5 pairs (same bands as the Spark

@@ -156,6 +156,26 @@ def test_ngram_jaccard_shingle_df_cap(spark, docs, docs_pd):
         assert got[pair] == pytest.approx(j, abs=1e-12)
 
 
+def test_minhash_estimate_sane_vs_exact(spark, docs, docs_pd):
+    """Signature-only estimate: exact-duplicate docs estimate 1.0, and the
+    estimator tracks exact jaccard within the 8-hash std-error (~0.35)."""
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, 8, 2)
+    est = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in dedup.minhash_jaccard_estimate(sigs, cand, 8).collect()
+    }
+    assert est
+    sh_map = {row.doc_id: _shingles(row.text) for _, row in docs_pd.iterrows()}
+    for (a, b), e in est.items():
+        sa, sb = sh_map[a], sh_map[b]
+        j = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+        if j == 1.0:
+            assert e == 1.0, (a, b)
+        assert abs(e - j) <= 0.4, (a, b, e, j)
+
+
 def test_duplicate_clusters_transitive_and_numeric_min(spark):
     """pairs (9,10),(10,11) chain into ONE cluster with canonical 9 — the
     numeric minimum, not the lexicographic one ('10' < '9' as strings);
