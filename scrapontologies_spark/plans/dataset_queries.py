@@ -381,6 +381,20 @@ def queries() -> Q:
 
     q["events_user_rollup"] = events_rollup
 
+    def events_hourly(spark, d):
+        # tumbling 1-hour buckets — the batch twin of a streaming windowed
+        # aggregation (readStream → window(ts,'1 hour') → agg); one shuffle,
+        # map-side partial aggregation
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        return ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    q["events_hourly_rollup"] = events_hourly
+
     def events_sessions(spark, d):
         from ..operators.events import sessionize
 
@@ -905,6 +919,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY user_id, event_type
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "events_sessionize": """
             -- gap-based sessions, 30-min threshold; INTEGER microsecond
