@@ -47,6 +47,43 @@ def sample_deterministic(
     return df.filter(_hash_fraction(F.col(id_col), salt) < rate)
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    size_col: str = "n_chars",
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a training
+    bin of ~``capacity`` size units, filling bins in ``order_col`` order
+    within each ``group_col`` partition (pack_id = the bin its START
+    offset falls in — the streaming-greedy rule, expressible as a window
+    cumsum, no UDF).  Returns the input plus (pack_id, pack_offset).
+
+    Scale shape: ONE hash shuffle on the group column; the running sum is
+    a single window pass.  Groups are the parallelism unit — at corpus
+    scale group by (source, shard) so no single window partition is
+    corpus-sized.  Deterministic: same inputs → same packing, any
+    physical partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).alias("_start")
+    return (
+        df.withColumn("_start", start)
+        .withColumn(
+            "pack_id", F.floor(F.col("_start") / F.lit(capacity)).cast("long")
+        )
+        .withColumn("pack_offset", F.col("_start") % F.lit(capacity))
+        .drop("_start")
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     rates: Dict[str, float],

@@ -287,6 +287,16 @@ def queries() -> Q:
 
     q["sample_stratified"] = sample_q
 
+    # deterministic sequence packing: docs → fixed-capacity training bins
+    def pack_q(spark, d):
+        from ..operators.sampling import pack_sequences
+
+        return pack_sequences(_docs(spark, d), capacity=4096).select(
+            "doc_id", "source", "pack_id", "pack_offset"
+        )
+
+    q["pack_sequences"] = pack_q
+
     # --- graph analytics over the KG edge table -------------------------------
     def pagerank_q(spark, d):
         """Fixed-iteration PageRank over the doc→term mention graph (the
@@ -903,6 +913,19 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'src1' THEN 0.5
                       WHEN 'src2' THEN 0.25
                       ELSE 0.1 END
+        """,
+        "pack_sequences": """
+            SELECT doc_id, source,
+                   CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
+                   (cum - n_chars) % 4096 AS pack_offset
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM documents
+            )
         """,
         "graph_pagerank_mentions": _pagerank_sql(5, 0.85),
         "tpch_q6_forecast_revenue": """

@@ -428,6 +428,31 @@ def test_sample_stratified_deterministic_and_matches_oracle(spark, docs, docs_pd
     assert {r.source for r in only} <= {"src0", "src1"}
 
 
+def test_pack_sequences_invariants(spark, docs, docs_pd):
+    """Packing: start-offset binning per group — pack ids monotone in doc
+    order, offsets < capacity, python-oracle exact, repartition-invariant."""
+    from scrapontologies_spark.operators.sampling import pack_sequences
+
+    cap = 1000
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs, capacity=cap).collect()
+    }
+    expected = {}
+    for source, grp in docs_pd.sort_values("doc_id").groupby("source"):
+        cum = 0
+        for _, row in grp.iterrows():
+            expected[int(row.doc_id)] = (cum // cap, cum % cap)
+            cum += int(row.n_chars)
+    assert got == expected
+    assert all(off < cap for _, off in got.values())
+    got_rep = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs.repartition(7), capacity=cap).collect()
+    }
+    assert got_rep == got
+
+
 def test_lsh_ops_tolerate_empty_embeddings(spark, emb):
     """_vector_dim must not raise on an empty input: every LSH-backed
     operator returns an empty result instead of TypeError."""
