@@ -183,14 +183,31 @@ def run_job(
 
 
 def main(argv: Optional[list] = None) -> None:
-    argv = argv if argv is not None else sys.argv[1:]
-    warehouse_root = argv[0] if argv else "/tmp/sparkonto_warehouse"
-    n_rows = int(argv[1]) if len(argv) > 1 else 5_000
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    # flags: --salt N | --allowed-kinds a,b | --allowed-terms x,y
+    salt: Optional[int] = None
+    allowed_kinds = allowed_terms = None
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--salt":
+            salt = int(next(it))
+        elif a == "--allowed-kinds":
+            allowed_kinds = frozenset(next(it).split(","))
+        elif a == "--allowed-terms":
+            allowed_terms = frozenset(next(it).split(","))
+        else:
+            pos.append(a)
+    warehouse_root = pos[0] if pos else "/tmp/sparkonto_warehouse"
+    n_rows = int(pos[1]) if len(pos) > 1 else 5_000
     from ..session import build_session
     from ..sources.corpus import corpus_df
 
     spark = build_session(app_name="kg-job")
-    infos = run_job(spark, corpus_df(spark, n_rows), warehouse_root)
+    infos = run_job(
+        spark, corpus_df(spark, n_rows), warehouse_root,
+        salt=salt, allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
+    )
     for name, info in infos.items():
         print(
             f"{name}: rows={info.rows} wall_ms={info.wall_ms} "
