@@ -6,15 +6,21 @@ pattern generalizes: media travel as ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are STUBS — ``decode_fn=None`` raises NotImplementedError,
-and tests inject a deterministic fake.  Everything Spark-side (schema,
-batch shape, partitioning, UDF signature, metadata propagation) is real and
-tested; swapping in a real codec is a one-function change on the executors.
+Codec strategy: formats the stdlib can decode ARE decoded for real —
+:func:`stdlib_decode` handles RIFF/WAV audio (``wave`` module: channels,
+rate, duration, mean |amplitude|) and PGM images (P5/P2 header + raster
+mean).  Compressed formats (JPEG/MP4/OGG) need PIL/ffmpeg, which are NOT
+in this container — for those ``decode_fn`` stays an injected kernel and
+the default raises NotImplementedError.  Everything Spark-side (schema,
+batch shape, partitioning, UDF signature, metadata propagation) is real
+and tested either way.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
@@ -65,10 +71,94 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_real_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic VALID media payloads decodable without external
+    codecs: even ids → 16-bit PCM WAV (wave module), odd ids → binary PGM.
+    Exercises the real stdlib_decode path end-to-end."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rate, n_frames = 8000, 400 + 40 * (i % 5)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(
+                    struct.pack(
+                        f"<{n_frames}h",
+                        *[((i * 131 + j * 17) % 2048) - 1024 for j in range(n_frames)],
+                    )
+                )
+            payload, kind = buf.getvalue(), "audio"
+            meta = {"mime": "audio/wav", "width": None, "height": None,
+                    "duration_ms": int(n_frames * 1000 / rate)}
+        else:
+            width, height, maxval = 8 + (i % 4), 6, 255
+            raster = bytes((i * 29 + j * 7) % 256 for j in range(width * height))
+            payload = b"P5\n%d %d\n%d\n" % (width, height, maxval) + raster
+            kind = "image"
+            meta = {"mime": "image/x-portable-graymap", "width": width,
+                    "height": height, "duration_ms": None}
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> list:
+    """REAL stdlib WAV decode: [n_channels, sample_rate, duration_ms,
+    mean |amplitude| normalized to [0,1]] — 16-bit PCM via the wave
+    module, deterministic."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, rate, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got width={width}")
+    n = len(raw) // 2
+    samples = struct.unpack(f"<{n}h", raw[: n * 2])
+    mean_abs = (sum(abs(s) for s in samples) / n / 32768.0) if n else 0.0
+    duration_ms = n_frames * 1000.0 / rate if rate else 0.0
+    return [float(n_ch), float(rate), duration_ms, mean_abs]
+
+
+def decode_pgm(payload: bytes) -> list:
+    """REAL PGM decode (P5 binary / P2 ascii): [width, height, maxval,
+    mean intensity normalized to [0,1]]."""
+    parts = payload.split(None, 4)
+    magic = parts[0]
+    if magic not in (b"P5", b"P2"):
+        raise NotImplementedError(f"not a PGM payload: {magic!r}")
+    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    raster = parts[4] if len(parts) > 4 else b""
+    n = width * height
+    if magic == b"P5":
+        pixels = raster[:n]
+        mean = (sum(pixels) / n / maxval) if n else 0.0
+    else:
+        vals = [int(v) for v in raster.split()[:n]]
+        mean = (sum(vals) / n / maxval) if n and vals else 0.0
+    return [float(width), float(height), float(maxval), mean]
+
+
+def stdlib_decode(kind: str, payload: bytes) -> list:
+    """Dependency-free decode kernel for self-describing formats; raises
+    NotImplementedError for codec-bound ones (inject PIL/ffmpeg there)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] in (b"P5", b"P2"):
+        return decode_pgm(payload)
+    raise NotImplementedError(
+        f"no stdlib decoder for kind={kind!r} "
+        f"(magic={payload[:4]!r}); inject decode_fn (PIL/ffmpeg)"
+    )
+
+
 def _default_decode(kind: str, payload: bytes) -> list:
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not available in this environment; "
-        "inject decode_fn — the Spark plumbing around it is real"
+        "compressed-media codecs (PIL/ffmpeg) are not available in this "
+        "environment; pass decode_fn=stdlib_decode for WAV/PGM payloads or "
+        "inject a real codec — the Spark plumbing around it is real"
     )
 
 

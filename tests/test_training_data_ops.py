@@ -346,6 +346,42 @@ def test_multimodal_plumbing(spark):
     assert frames.select("media_id").distinct().count() == n_videos
 
 
+def test_stdlib_decode_real_wav_and_pgm(spark):
+    """REAL decode path, no injected fake: valid WAV/PGM payloads through
+    the distributed extract_features with stdlib_decode match a driver-side
+    decode of the same bytes; unknown magic still raises."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    media = multimodal.synthetic_real_media(spark, 20)
+    feats = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(
+            media, decode_fn=multimodal.stdlib_decode
+        ).collect()
+    }
+    raw = {r.media_id: (r.kind, bytes(r.payload)) for r in media.collect()}
+    assert len(feats) == 20
+    for mid, (kind, payload) in raw.items():
+        expected = multimodal.stdlib_decode(kind, payload)
+        got = feats[mid]
+        assert len(got) == 4
+        for g, e in zip(got, expected):
+            assert g == pytest.approx(e, rel=1e-6), mid
+        if kind == "audio":
+            # cross-check duration against an independent wave read
+            with _wave.open(_io.BytesIO(payload), "rb") as w:
+                assert got[2] == pytest.approx(
+                    w.getnframes() * 1000.0 / w.getframerate(), rel=1e-6
+                )
+            assert 0.0 <= got[3] <= 1.0
+        else:
+            assert got[0] * got[1] > 0 and 0.0 <= got[3] <= 1.0
+    with pytest.raises(NotImplementedError):
+        multimodal.stdlib_decode("video", b"\x00\x01\x02\x03junk")
+
+
 def test_embedding_near_dup_exact_vs_numpy(spark, emb):
     """Exact near-dup pairs == numpy oracle (cosine >= t, id_a < id_b)."""
     t = 0.3
