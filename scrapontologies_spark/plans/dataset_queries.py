@@ -917,7 +917,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             SELECT doc_id, source,
                    CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
-                   (cum - n_chars) % 4096 AS pack_offset
+                   -- BIGINT cast: DuckDB's windowed sum() yields HUGEINT,
+                   -- which pandas renders as float64 (1.0 vs Spark's 1) and
+                   -- the driver's value-hash would mismatch
+                   CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset
             FROM (
               SELECT doc_id, source, n_chars,
                      sum(n_chars) OVER (

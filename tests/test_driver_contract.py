@@ -57,6 +57,15 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     a, b = _normalize(spark_df), _normalize(duck_df)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    # The driver's value-hash renders values, so an int64/float64 divergence
+    # (round-1 events_sessionize: 1 vs 1.0) hash-mismatches even when the
+    # numbers are equal — require matching dtype KINDS, not just values.
+    kinds_a = [a[c].dtype.kind for c in a.columns]
+    kinds_b = [b[c].dtype.kind for c in b.columns]
+    assert kinds_a == kinds_b, (
+        f"{name}: dtype kinds diverge (driver hash would fail): "
+        f"spark={list(zip(a.columns, kinds_a))} duckdb={list(zip(b.columns, kinds_b))}"
+    )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, atol=1e-6)
 
 
