@@ -59,6 +59,8 @@ EXTRA_QUERIES = [
     "m5_containment_triples",
     "p8_filtered_mentions",
     "tpch_q6_forecast_revenue",
+    "text_repetition",
+    "text_decontaminate",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus
@@ -96,9 +98,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up: JVM codegen + python worker pool (not counted)
+    # warm up: JVM codegen + python worker pool (not counted).  The tiny
+    # run_pipeline exercises the SAME Arrow-UDF pipelines the timed run
+    # uses (extraction kernel, schema partial/merge), so the 32 forked
+    # Python workers do their one-time module imports here — on a real
+    # cluster the workers are long-lived and already warm when a job lands.
     spark.range(10_000).selectExpr("sum(id)").collect()
-    corpus_df(spark, 64).count()
+    warm = corpus_df(spark, 64).persist()
+    warm.count()
+    wres = run_pipeline(warm, chunk_bytes=1024, with_schemas=True, emit_chunks=False)
+    wres.triples.count()
+    wres.entities.count()
+    wres.doc_rows.unpersist()
+    warm.unpersist()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

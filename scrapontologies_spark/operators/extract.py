@@ -40,7 +40,9 @@ from ..functions.code_gazetteer import (
 from ..functions.semantics import (
     canonical_json,
     combine_entities_data_owned,
+    derive_containment_relations,
     is_na,
+    schema_to_entities,
     schema_union_owned,
     sha256_hex,
 )
@@ -152,6 +154,7 @@ def extract_document_rows(
     allowed_terms=None,
     with_entities: bool = True,
     with_triples: bool = True,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Fused chunk → extract → fold → schema → triples pass (narrow, one
     Python entry per batch).  Emits tall rows discriminated by ``kind``:
@@ -189,7 +192,16 @@ def extract_document_rows(
     consumer (global ontology, containment derivation) skips the A2 merge
     fold and the per-document triple-set build entirely, not just their
     output rows — the kernel does only the work its consumer reads.
+
+    ``with_containment`` (implies schema computation) — emit M5(a)
+    ``containment`` rows (subj/pred/obj/rel_type): per-document schema →
+    M4 entities → ``has_<child>`` edges rooted at the module id.  Fused
+    here because the derivation is row-local; chaining it as a second
+    mapInPandas (containment_triples_from_doc_schemas) doubles the Python
+    runner pipeline per task, which measures ~4× slower end-to-end on the
+    same input than this single-stage emit.
     """
+    with_schemas = with_schemas or with_containment
     allowed_kinds = frozenset(allowed_kinds) if allowed_kinds is not None else None
     allowed_terms = frozenset(allowed_terms) if allowed_terms is not None else None
 
@@ -286,6 +298,17 @@ def extract_document_rows(
                             None, None, None, None, None, None, None, None,
                         )
                     )
+                    if with_containment:
+                        ents = schema_to_entities(doc_schema)
+                        for r in derive_containment_relations(ents, root=module_id):
+                            rows.append(
+                                (
+                                    "containment",
+                                    None, None, None, None, None,
+                                    None, None, None, None, None, None, None,
+                                    r.source, r.name, r.target, r.type,
+                                )
+                            )
                 for subj, pred, obj, rel_type in triples:
                     rows.append(
                         (
@@ -309,6 +332,13 @@ def chunks_view(doc_rows: DataFrame) -> DataFrame:
 
 def triples_view(doc_rows: DataFrame) -> DataFrame:
     return doc_rows.filter(F.col("kind") == "triple").select(
+        "subj", "pred", "obj", "rel_type"
+    )
+
+
+def containment_view(doc_rows: DataFrame) -> DataFrame:
+    """M5(a) rows emitted by ``extract_document_rows(with_containment=True)``."""
+    return doc_rows.filter(F.col("kind") == "containment").select(
         "subj", "pred", "obj", "rel_type"
     )
 

@@ -99,6 +99,107 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals: top-unigram fraction,
+    fraction of tokens belonging to repeated (count>1) unigrams, and
+    top-bigram fraction.
+
+    Shape at scale: explode → groupBy(doc, gram) → groupBy(doc) is the
+    canonical word-count — both aggregations combine map-side, so the
+    shuffle carries (doc, gram, partial-count) rows, not raw tokens.  A
+    row-local higher-order-function variant would avoid the shuffle but is
+    O(tokens × distinct) per document — quadratic on a 100k-token doc —
+    so the linear shuffle plan wins at 100 TB.
+    """
+    df = spread(df, id_col)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+
+    uni_counts = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = uni_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("_max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_rep"),
+    )
+
+    # adjacent-pair bigrams; sequence() descends when start > stop, so guard
+    # the <2-token case explicitly
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat(F.element_at("_toks", i + 1), F.lit(" "), F.element_at("_toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big_counts = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    big = big_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("_nb"), F.max("c").alias("_max_b")
+    )
+
+    return (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens"),
+            (F.col("_max_c").cast("double") / F.col("n_tokens")).alias("top_unigram_frac"),
+            (F.col("_rep").cast("double") / F.col("n_tokens")).alias("repeated_token_frac"),
+            F.coalesce(
+                F.col("_max_b").cast("double") / F.col("_nb"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token ``ngram``-gram with an evaluation set.  Returns
+    (doc_id, n_shared_grams) for contaminated training docs only.
+
+    Scale shape: the eval side is tiny by construction (a benchmark), so
+    its distinct gram set is **broadcast**; training grams are derived
+    narrowly (no shuffle) and the contamination join is a broadcast inner
+    join — the only shuffle is the final per-doc distinct/count, keyed by
+    (doc_id, gram) with map-side combine."""
+
+    def grams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        arr = F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
+        return frame.select(*cols, F.explode(arr).alias("gram"))
+
+    eval_grams = grams(eval_df, keep_id=False).distinct()
+    train_grams = grams(spread(df, id_col), keep_id=True)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram", "inner")
+        .select("doc_id", "gram")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (collapse runs, trim) — the rolling-hash/winnowing stand-in that

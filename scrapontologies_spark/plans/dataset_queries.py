@@ -133,6 +133,30 @@ def queries() -> Q:
     )
     q["text_fingerprint"] = lambda spark, d: textops.fingerprint(_docs(spark, d))
 
+    # Gopher-style repetition signals (explode → two map-side-combining aggs)
+    q["text_repetition"] = lambda spark, d: textops.repetition_stats(
+        _docs(spark, d)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("repeated_token_frac", 6).alias("repeated_token_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+    # benchmark decontamination: eval set = doc_id % 97 == 0 (deterministic
+    # holdout); training docs sharing any token 5-gram with it are flagged.
+    # Eval gram set broadcast; the only shuffle is the per-doc distinct.
+    def decontam_q(spark, d):
+        docs = _docs(spark, d)
+        return textops.decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            ngram=5,
+        )
+
+    q["text_decontaminate"] = decontam_q
+
     # --- multimodal plumbing (binary payload columns over documents) ----------
     # payload = utf-8 bytes of text; base64 + byte-length are the S2-parity
     # kernels (multimodal.py) and are value-exact in DuckDB.
@@ -860,6 +884,63 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_repetition": """
+            WITH lt AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+              FROM documents
+            ),
+            uc AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(l) AS tok FROM lt)
+              GROUP BY 1, 2
+            ),
+            uni AS (
+              -- BIGINT casts: DuckDB integer sum() yields HUGEINT → float64
+              -- in pandas, which would fail the driver's value-hash
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_c,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS rep
+              FROM uc GROUP BY 1
+            ),
+            bc AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l)),
+                              i -> l[i] || ' ' || l[i + 1])) AS bg
+                FROM lt
+              )
+              GROUP BY 1, 2
+            ),
+            big AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS max_b
+              FROM bc GROUP BY 1
+            )
+            SELECT uni.doc_id, n_tokens,
+                   round(max_c::DOUBLE / n_tokens, 6) AS top_unigram_frac,
+                   round(rep::DOUBLE / n_tokens, 6) AS repeated_token_frac,
+                   round(coalesce(max_b::DOUBLE / nb, 0.0), 6) AS top_bigram_frac
+            FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+        """,
+        "text_decontaminate": """
+            WITH lt AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(l) - 3), i ->
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                       l[i+3] || ' ' || l[i+4])) AS gram
+              FROM lt
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM tr JOIN ev USING (gram)
+            GROUP BY doc_id
         """,
         "cc_components": """
             WITH RECURSIVE e AS (

@@ -147,18 +147,18 @@ def queries() -> Q:
     # corpus a document's schema has the single top-level 'term' entity iff
     # the document mentions any gazetteer term)
     def m5_containment(spark: SparkSession, d: str) -> DataFrame:
-        from ..operators.extract import (
-            containment_triples_from_doc_schemas,
-            doc_schemas_view,
-            extract_document_rows,
-        )
+        from ..operators.extract import containment_view, extract_document_rows
         from .driver_helpers import documents_as_corpus
 
+        # with_containment: the per-doc schema → M4 → has_<child> derivation
+        # is row-local, so it's fused into the extraction kernel — ONE
+        # Python stage (a chained second mapInPandas measures ~4× slower)
         doc_rows = extract_document_rows(
-            documents_as_corpus(spark, d), 1024, with_schemas=True,
+            documents_as_corpus(spark, d), 1024, with_schemas=False,
             emit_chunks=False, with_entities=False, with_triples=False,
+            with_containment=True,
         )
-        return containment_triples_from_doc_schemas(doc_schemas_view(doc_rows))
+        return containment_view(doc_rows)
 
     q["m5_containment_triples"] = m5_containment
 

@@ -319,6 +319,56 @@ def test_fingerprint(spark, docs, docs_pd):
         assert got[row.doc_id] == _md5(norm)
 
 
+def test_repetition_stats_oracle_and_edges(spark, docs, docs_pd):
+    from collections import Counter
+
+    got = {r.doc_id: r for r in textops.repetition_stats(docs).collect()}
+    for _, row in docs_pd.head(30).iterrows():
+        toks = [t for t in row.text.split() if t]
+        uni = Counter(toks)
+        big = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        r = got[row.doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.top_unigram_frac - max(uni.values()) / len(toks)) < 1e-9
+        rep = sum(c for c in uni.values() if c > 1)
+        assert abs(r.repeated_token_frac - rep / len(toks)) < 1e-9
+        exp_big = max(big.values()) / sum(big.values()) if big else 0.0
+        assert abs(r.top_bigram_frac - exp_big) < 1e-9
+
+    # edge cases: single-token and repeated-token docs
+    tiny = spark.createDataFrame(
+        [(1, "solo"), (2, "a a a b"), (3, "x y x y x y")], "doc_id long, text string"
+    )
+    t = {r.doc_id: r for r in textops.repetition_stats(tiny).collect()}
+    assert t[1].n_tokens == 1 and t[1].top_bigram_frac == 0.0  # no bigrams
+    assert abs(t[2].top_unigram_frac - 3 / 4) < 1e-9
+    assert abs(t[2].repeated_token_frac - 3 / 4) < 1e-9
+    assert abs(t[3].top_bigram_frac - 3 / 5) < 1e-9  # 'x y' 3× of 5 bigrams
+
+
+def test_decontaminate_broadcast_and_semantics(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),      # shares gram with eval
+            (2, "totally different words here now"), # clean
+            (3, "one two three four five"),          # exactly one gram, shared
+            (4, "tiny doc"),                         # < ngram tokens → clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "zzz one two three four five zzz")], "doc_id long, text string"
+    )
+    out = textops.decontaminate(train, ev, ngram=5)
+    got = {r.doc_id: r.n_shared_grams for r in out.collect()}
+    # eval grams: 'zzz one two three four', 'one two three four five',
+    # 'two three four five zzz'
+    assert got == {1: 1, 3: 1}
+    # plan: eval side must be broadcast (it's a benchmark — tiny)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, 30)
     # stub raises without an injected codec
