@@ -205,7 +205,17 @@ def queries() -> Q:
         from ..operators.schema_merge import global_schema
         from .driver_helpers import documents_as_corpus
 
-        g = global_schema(extract_chunks(documents_as_corpus(spark, d), 1024))
+        # materialize the chunk rows before the reduce: global_schema's
+        # partial mapInPandas would otherwise chain onto the extraction
+        # mapInPandas in one task pipeline (~4× slower, see pipeline.py);
+        # global_schema is eager (collects), so the cache can be dropped
+        # right after.
+        chunks = extract_chunks(documents_as_corpus(spark, d), 1024).persist()
+        try:
+            chunks.count()
+            g = global_schema(chunks)
+        finally:
+            chunks.unpersist()
         from ..functions.semantics import canonical_json
 
         return spark.createDataFrame(

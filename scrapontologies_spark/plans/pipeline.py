@@ -91,6 +91,14 @@ def run_pipeline(
 
     if with_schemas:
         doc_schemas = doc_schemas_view(doc_rows)
+        # Fill the cache with a single-Python-stage action BEFORE the
+        # global-schema reduce: otherwise the reduce's collect is the first
+        # action and its plan chains the extraction mapInPandas with the
+        # schema-partial mapInPandas in one task pipeline — two Python
+        # runners ping-ponging per task, measured ~4× slower than running
+        # them against the materialized cache (same pathology fixed for
+        # m5 containment via the fused with_containment emit).
+        doc_rows.count()
         # tree-reduce over the (already per-doc-unioned) schema rows
         gschema = global_schema(doc_schemas)
         gschema_json = canonical_json(gschema)
