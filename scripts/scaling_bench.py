@@ -26,8 +26,14 @@ Pinning rationale: `local[N]` caps only task slots — unpinned, GC/IO/Arrow
 threads and python workers spill onto all 32 host CPUs and distort the
 comparison (narrow stage measures 0.62 unpinned vs 0.98 pinned).
 
-Usage: python scripts/scaling_bench.py [n_docs] [repeats]
-(defaults 400_000, 2 — interleaved; best-of per config, all raws disclosed)
+Usage: python scripts/scaling_bench.py [n_docs] [repeats] [exec_cores]
+(defaults 400_000, 2, 1 — interleaved; best-of per config, all raws
+disclosed).  exec_cores picks the executor width for the primary
+measurement; 1-core executors (4 busy CPUs at 4N) stay under this VM's
+memory-bandwidth saturation point, 2-core executors (8 busy CPUs) hit it —
+both are valid "N vs 4N executors" shapes, the bandwidth wall is a
+single-box artifact a real cluster does not share (each cluster node has
+its own memory controllers).
 """
 
 from __future__ import annotations
@@ -126,8 +132,10 @@ def run_cores(cores: int, corpus_path: str, zip_path: str) -> dict:
 
 
 def main() -> None:
+    global EXEC_CORES
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    EXEC_CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     work = tempfile.mkdtemp(prefix="kg_scaling_")
     corpus_path = os.path.join(work, "corpus.parquet")
@@ -206,7 +214,7 @@ def main() -> None:
         f"{EXEC_CORES} cores each)",
         "",
         f"One {EXEC_CORES}-core JVM, then {N_EXEC_HI} concurrent "
-        f"{EXEC_CORES}-core JVMs pinned to disjoint CPU pairs, each over its "
+        f"{EXEC_CORES}-core JVMs pinned to disjoint CPU sets, each over its "
         "own equal data share (weak scaling — at 10^12-file scale every "
         "executor reads its own scan split, and the measured job is "
         "shuffle-free so shares compose exactly; the only cross-executor "
