@@ -128,6 +128,39 @@ def test_containment_triples_per_doc_match_sequential_oracle(spark):
     assert got == expected and got
 
 
+def test_fused_containment_emit_matches_chained_operator(spark):
+    """extract_document_rows(with_containment=True) — the single-Python-stage
+    fused emit — produces exactly the rows of the chained
+    containment_triples_from_doc_schemas path (which the test above pins to
+    the sequential oracle)."""
+    from scrapontologies_spark.operators.extract import (
+        containment_triples_from_doc_schemas,
+        containment_view,
+        doc_schemas_view,
+        extract_document_rows,
+    )
+
+    corpus = corpus_df(spark, 30)
+    fused = {
+        (r.subj, r.pred, r.obj, r.rel_type)
+        for r in containment_view(
+            extract_document_rows(
+                corpus, 512, with_schemas=False, emit_chunks=False,
+                with_entities=False, with_triples=False, with_containment=True,
+            )
+        ).collect()
+    }
+    chained = {
+        (r.subj, r.pred, r.obj, r.rel_type)
+        for r in containment_triples_from_doc_schemas(
+            doc_schemas_view(
+                extract_document_rows(corpus, 512, with_schemas=True, emit_chunks=False)
+            )
+        ).collect()
+    }
+    assert fused == chained and fused
+
+
 def test_p8_allowlist_restricts_whole_pipeline(spark):
     """P8 user_prompt_for_filter stand-in: an allowed_kinds filter at
     extraction restricts triples/entities exactly like the sequential
