@@ -61,6 +61,7 @@ EXTRA_QUERIES = [
     "tpch_q6_forecast_revenue",
     "text_repetition",
     "text_decontaminate",
+    "text_keep_filter",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus

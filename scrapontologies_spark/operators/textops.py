@@ -34,12 +34,10 @@ def _count_markers(text_col: Column, markers: tuple) -> Column:
     return F.size(F.regexp_extract_all(text_col, F.lit(pattern), 1))
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Predicted language = argmax marker-hit count, ties broken by
-    language code order (deterministic).  Returns (doc_id, pred_lang,
-    marker_hits)."""
-    df = spread(df, id_col)
-    text = F.col(text_col)
+def lang_pred_exprs(text: Column) -> "tuple[Column, Column]":
+    """(pred_lang, marker_hits) expressions — argmax marker-hit count, ties
+    broken by language code order (deterministic).  Shared by language_id
+    and the composed keep_filter so the signals stay definitionally one."""
     langs = sorted(LANG_MARKERS)  # fixed tie order: first in sorted order wins
     hits = {lang: _count_markers(text, LANG_MARKERS[lang]) for lang in langs}
     best = F.greatest(*hits.values())
@@ -48,6 +46,14 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # expressed as a reversed when-chain so it mirrors a SQL CASE exactly
     for lang in reversed(langs):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return pred, best
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language = argmax marker-hit count (lang_pred_exprs).
+    Returns (doc_id, pred_lang, marker_hits)."""
+    df = spread(df, id_col)
+    pred, best = lang_pred_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         pred.alias("pred_lang"),
@@ -69,12 +75,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation-ratio / stopword-ratio / mean-word-length
-    heuristics (the deterministic analog of an LLM quality filter).
-    Ratios are double divisions with fixed operand order → SQL-exact."""
-    df = spread(df, id_col)
-    text = F.col(text_col)
+def quality_exprs(text: Column) -> "dict[str, Column]":
+    """The quality-signal expressions keyed by output column name — shared
+    by quality_score and keep_filter.  Ratios are double divisions with
+    fixed operand order → SQL-exact."""
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     n_tok = F.size(toks)
     n_chars = F.length(text)
@@ -89,13 +93,23 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         )
         / n_tok,
     ).otherwise(F.lit(0.0))
+    return {
+        "n_chars_measured": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": n_stop.cast("double") / F.greatest(n_tok, F.lit(1)),
+        "mean_word_len": mean_wlen,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    heuristics (the deterministic analog of an LLM quality filter)."""
+    df = spread(df, id_col)
+    exprs = quality_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars_measured"),
-        n_tok.alias("n_tokens"),
-        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
-        mean_wlen.alias("mean_word_len"),
+        *[c.alias(name) for name, c in exprs.items()],
     )
 
 
@@ -197,6 +211,60 @@ def decontaminate(
         .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def keep_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple = ("en",),
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    max_top_unigram_frac: float = 0.5,
+    max_repeated_token_frac: float = 0.95,
+) -> DataFrame:
+    """Composed quality gate — the keep/drop decision a training-data
+    pipeline makes from the individual signals (language, length,
+    punctuation, repetition).
+
+    Plan shape: every NARROW signal (language, quality ratios) is computed
+    in ONE projection over the scan — not by joining the per-operator
+    outputs, which would self-join the corpus once per signal.  Only the
+    repetition aggregates (genuinely grouped) arrive via a single
+    co-partitioned join on doc_id.  Returns the signals plus ``keep``."""
+    base = spread(df, id_col)
+    pred, _ = lang_pred_exprs(F.col(text_col))
+    q = quality_exprs(F.col(text_col))
+    narrow = base.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+    rep = repetition_stats(df, text_col, id_col).select(
+        "doc_id", "top_unigram_frac", "repeated_token_frac"
+    )
+    joined = narrow.join(rep, "doc_id", "left")
+    keep = (
+        F.col("pred_lang").isin(*allowed_langs)
+        & (F.col("n_tokens") >= F.lit(min_tokens))
+        & (F.col("n_tokens") <= F.lit(max_tokens))
+        & (F.col("punct_ratio") <= F.lit(max_punct_ratio))
+        & (F.coalesce(F.col("top_unigram_frac"), F.lit(1.0)) <= F.lit(max_top_unigram_frac))
+        & (F.coalesce(F.col("repeated_token_frac"), F.lit(1.0)) <= F.lit(max_repeated_token_frac))
+    )
+    return joined.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "top_unigram_frac",
+        "repeated_token_frac",
+        keep.alias("keep"),
     )
 
 

@@ -157,6 +157,25 @@ def queries() -> Q:
 
     q["text_decontaminate"] = decontam_q
 
+    # composed quality gate: all narrow signals in ONE projection, one
+    # co-partitioned join with the repetition aggregates, boolean keep
+    q["text_keep_filter"] = lambda spark, d: textops.keep_filter(
+        _docs(spark, d),
+        allowed_langs=("en",),
+        min_tokens=30,
+        max_top_unigram_frac=0.12,
+        max_repeated_token_frac=0.85,
+    ).select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("repeated_token_frac", 6).alias("repeated_token_frac"),
+        "keep",
+    )
+
     # --- multimodal plumbing (binary payload columns over documents) ----------
     # payload = utf-8 bytes of text; base64 + byte-length are the S2-parity
     # kernels (multimodal.py) and are value-exact in DuckDB.
@@ -922,6 +941,48 @@ def oracle_sql() -> dict[str, str]:
                    round(rep::DOUBLE / n_tokens, 6) AS repeated_token_frac,
                    round(coalesce(max_b::DOUBLE / nb, 0.0), 6) AS top_bigram_frac
             FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+        """,
+        "text_keep_filter": f"""
+            WITH lt AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+              FROM documents
+            ),
+            nar AS (
+              SELECT doc_id, {pred_case} AS pred_lang, n_tokens,
+                     n_punct / greatest(n_chars, 1) AS punct_ratio,
+                     n_stop / greatest(n_tokens, 1) AS stopword_ratio
+              FROM (
+                SELECT doc_id, {hit_cols},
+                       CAST(len(l) AS BIGINT) AS n_tokens,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{stop_pat}', 1)) AS n_stop
+                FROM lt
+              )
+            ),
+            uc AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(l) AS tok FROM lt)
+              GROUP BY 1, 2
+            ),
+            uni AS (
+              SELECT doc_id,
+                     max(c) / CAST(sum(c) AS BIGINT) AS top_unigram_frac,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                       / CAST(sum(c) AS BIGINT) AS repeated_token_frac
+              FROM uc GROUP BY 1
+            )
+            SELECT nar.doc_id, pred_lang, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(top_unigram_frac, 6) AS top_unigram_frac,
+                   round(repeated_token_frac, 6) AS repeated_token_frac,
+                   (pred_lang = 'en' AND n_tokens >= 30 AND n_tokens <= 100000
+                    AND punct_ratio <= 0.3
+                    AND coalesce(top_unigram_frac, 1.0) <= 0.12
+                    AND coalesce(repeated_token_frac, 1.0) <= 0.85) AS keep
+            FROM nar LEFT JOIN uni ON nar.doc_id = uni.doc_id
         """,
         "text_decontaminate": """
             WITH lt AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.extract import (
     DOC_ROWS_SCHEMA,
@@ -50,6 +51,38 @@ def incremental_doc_rows(
     """The fused extraction applied to a streaming corpus — identical code
     path to batch (stateless mapInPandas lifts directly)."""
     return extract_document_rows(corpus_stream, chunk_bytes, with_schemas)
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming exact dedup: first-arrival-wins on md5(text) across
+    micro-batches (the incremental twin of operators/dedup.exact_dedup —
+    a doc whose content hash was EVER emitted is never emitted again,
+    state persists in the checkpoint across restarts).
+
+    Without a watermark the seen-hash state grows with the distinct-content
+    count — fine for availableNow catch-up runs and bounded backfills;
+    pass (ts_col, watermark e.g. '48 hours') in continuous deployments to
+    bound state via dropDuplicatesWithinWatermark: duplicates arriving
+    within the window are still suppressed, older state is reclaimed.
+
+    Scale shape: state key is the 32-char hash (never the text), the
+    exchange is the same hash(content_hash) shuffle the batch groupBy uses.
+    Within one micro-batch the surviving row among simultaneous duplicates
+    is arrival-order-dependent (Spark semantics); cross-batch suppression
+    is exact."""
+    out = docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return out.dropDuplicates(["content_hash"])
 
 
 def run_incremental_triples(

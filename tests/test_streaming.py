@@ -123,6 +123,51 @@ def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_dedup_stream_cross_batch_suppression(spark, tmp_path):
+    """Streaming exact dedup: one emission per distinct content across
+    micro-batches and restarts; batch-2 rows whose hash was emitted in
+    batch 1 are suppressed by the checkpointed state."""
+    from scrapontologies_spark.streaming.incremental import dedup_stream
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 3 distinct texts, one internal duplicate
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta"), (4, "delta")], schema
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    out1 = spark.read.parquet(out_dir).collect()
+    assert len(out1) == 3  # one row per distinct hash
+    assert {r.text for r in out1} == {"alpha beta", "gamma", "delta"}
+
+    # batch 2 (restart from checkpoint): one repeat, one new
+    spark.createDataFrame([(5, "gamma"), (6, "epsilon")], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    out2 = spark.read.parquet(out_dir).collect()
+    assert len(out2) == 4  # 'gamma' suppressed by persisted state
+    assert {r.text for r in out2} == {"alpha beta", "gamma", "delta", "epsilon"}
+    new = [r for r in out2 if r.text == "epsilon"]
+    assert len(new) == 1 and new[0].doc_id == 6
+
+
 def test_incremental_equals_batch(spark, tmp_path):
     rows = corpus_rows(N)
     in_dir = str(tmp_path / "in")
