@@ -129,17 +129,6 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
 
-    uni_counts = (
-        base.select("doc_id", F.explode("_toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    uni = uni_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.max("c").alias("_max_c"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_rep"),
-    )
-
     # adjacent-pair bigrams; sequence() descends when start > stop, so guard
     # the <2-token case explicitly
     bigrams = F.when(
@@ -149,26 +138,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             lambda i: F.concat(F.element_at("_toks", i + 1), F.lit(" "), F.element_at("_toks", i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    big_counts = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-    )
-    big = big_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("_nb"), F.max("c").alias("_max_b")
-    )
 
-    return (
-        uni.join(big, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens"),
-            (F.col("_max_c").cast("double") / F.col("n_tokens")).alias("top_unigram_frac"),
-            (F.col("_rep").cast("double") / F.col("n_tokens")).alias("repeated_token_frac"),
-            F.coalesce(
-                F.col("_max_b").cast("double") / F.col("_nb"), F.lit(0.0)
-            ).alias("top_bigram_frac"),
-        )
+    # ONE scan, ONE explode: unigrams and bigrams tagged into one gram
+    # stream (is_big), counted together — a single map-side-combining
+    # aggregation chain instead of two branches + a join
+    tag = lambda flag: lambda g: F.struct(F.lit(flag).alias("b"), g.alias("g"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.transform("_toks", tag(0)), F.transform(bigrams, tag(1)))
+        ).alias("x"),
+    )
+    counts = grams.groupBy(
+        "doc_id", F.col("x.b").alias("b"), F.col("x.g").alias("g")
+    ).agg(F.count("*").alias("c"))
+    u = F.col("b") == 0
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(u, F.col("c"))).alias("n_tokens"),
+        F.max(F.when(u, F.col("c"))).alias("_max_c"),
+        F.coalesce(
+            F.sum(F.when(u & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).alias("_rep"),
+        F.sum(F.when(~u, F.col("c"))).alias("_nb"),
+        F.max(F.when(~u, F.col("c"))).alias("_max_b"),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens"),
+        (F.col("_max_c").cast("double") / F.col("n_tokens")).alias("top_unigram_frac"),
+        (F.col("_rep").cast("double") / F.col("n_tokens")).alias("repeated_token_frac"),
+        F.coalesce(
+            F.col("_max_b").cast("double") / F.col("_nb"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
     )
 
 

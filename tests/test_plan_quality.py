@@ -115,6 +115,34 @@ def test_reconcile_udf_runs_only_on_matched_branch(spark):
     assert len(both_present) >= 2, plan
 
 
+def test_repetition_single_scan_no_extra_shuffle(spark):
+    """The tagged-gram design does all counting in one scan; because the
+    input is pre-spread on doc_id, BOTH aggregations are co-partitioned —
+    the only Exchange in the plan is that initial spread (exploded gram
+    rows never shuffle), and the gram count still combines map-side."""
+    from scrapontologies_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textops.repetition_stats(docs))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan  # one scan
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
+    )
+    assert n_exchange == 1, plan  # only the spread repartition
+    assert "partial_count" in plan, plan  # map-side combine on the gram agg
+
+
+def test_keep_filter_single_scan_for_narrow_signals(spark):
+    """keep_filter computes language + quality signals in ONE projection:
+    the plan must contain exactly TWO document scans (narrow signals +
+    repetition aggregates), not one per signal."""
+    from scrapontologies_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textops.keep_filter(docs))
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+
+
 def test_sessionize_is_single_shuffle(spark):
     """lag window, running-sum window, and both aggregate phases must all
     reuse the hash(user_id) exchange (subset-satisfies-ClusteredDistribution)
