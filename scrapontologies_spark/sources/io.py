@@ -121,6 +121,35 @@ class Warehouse:
         self._commit(info)
         return info
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int,
+        sort: bool = True,
+    ) -> None:
+        """Catalog table bucketed (and sorted) by ``bucket_col`` — the
+        cross-RUN co-location lever: two tables bucketed the same way
+        (same column, same ``n_buckets``) join on that column with NO
+        exchange on either side (plan-asserted in tests), so the nightly
+        reconcile of entities_prev ⋈ entities_new skips both corpus-sized
+        shuffles.  This is the parquet stand-in for Iceberg's
+        ``bucket(N, id)`` hidden partitioning named in SURVEY §1.4/§4.
+
+        Bucketing metadata lives in the session catalog (saveAsTable);
+        the data itself is plain ``self.fmt`` files under the warehouse
+        root, one directory per table."""
+        w = (
+            df.write.mode("overwrite")
+            .format(self.fmt)
+            .option("path", self.path(table))
+            .bucketBy(n_buckets, bucket_col)
+        )
+        if sort:
+            w = w.sortBy(bucket_col)
+        w.saveAsTable(table)
+
     def read_stage(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.format(self.fmt).load(self.path(name))
 

@@ -52,6 +52,36 @@ def test_rerun_everything_skipped(spark, corpus, tmp_path):
     }
 
 
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_bucketed co-location: two entity snapshots bucketed on id join
+    with NO Exchange on either side — the cross-run reconcile skips both
+    corpus-sized shuffles (the parquet stand-in for Iceberg bucket(N, id))."""
+    wh = Warehouse(str(tmp_path / "whb"))
+    e1 = spark.range(0, 500).selectExpr("concat('e', id) AS id", "'module' AS type")
+    e2 = spark.range(250, 750).selectExpr(
+        "concat('e', id) AS id", "'module' AS type_new"
+    )
+    try:
+        wh.write_bucketed(e1, "ent_prev_bt", "id", 8)
+        wh.write_bucketed(e2, "ent_new_bt", "id", 8)
+        prev_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("ent_prev_bt").join(
+                spark.table("ent_new_bt"), "id", "full_outer"
+            )
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 750
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ent_prev_bt")
+        spark.sql("DROP TABLE IF EXISTS ent_new_bt")
+
+
 def test_format_switch_orc_runs_and_resumes(spark, corpus, tmp_path):
     """The warehouse format is a config switch (parquet locally, Iceberg on
     a cluster with its jars) — prove the switch is real by running and
