@@ -62,6 +62,11 @@ EXTRA_QUERIES = [
     "text_repetition",
     "text_decontaminate",
     "text_keep_filter",
+    "text_vocabulary",
+    "text_tf_idf",
+    "text_redact_pii",
+    "events_asof_purchase",
+    "events_interval_sessions",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus

@@ -6,6 +6,14 @@ path).  Shuffle shape: ONE hash partition by user_id serves both the
 window (lag) and the session aggregation — Catalyst reuses the exchange,
 so sessionize costs a single shuffle.
 
+Also the two time-join operators Spark's open-source DataFrame API lacks
+as builtins, composed from existing ops so Catalyst keeps optimizing:
+
+- :func:`asof_join` — nearest-prior match per key (union + one window
+  pass; a sort-merge "merge_asof" without any O(n·m) theta join);
+- :func:`interval_join` — points ⨝ intervals containment (bucketized
+  equi-join + residual predicate, never a cross product).
+
 Determinism: events are ordered by (ts, event_id) within a user; the gap
 comparison runs on INTEGER epoch microseconds (unix_micros ↔ DuckDB
 epoch_us), so the oracle matches value-exactly with no float rounding.
@@ -49,3 +57,95 @@ def sessionize(
             F.round(F.sum(value_col), 6).alias("total_value"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    right_value_cols: "tuple[str, ...]" = ("event_id",),
+    prefix: str = "prior_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the most recent right row
+    with ``right.ts <= left.ts`` for the same key (the merge_asof /
+    ASOF JOIN operator Spark lacks as a builtin).  Returns the left rows
+    plus ``<prefix><col>`` for each requested right value column (null when
+    no prior right row exists).
+
+    Plan shape — union + ONE window pass instead of a join: both sides are
+    tagged and unioned (narrow), then a single hash partition by key with
+    an in-partition sort by (ts, side, order) lets ``last(_r,
+    ignorenulls=True)`` carry the latest right payload forward.  Cost is
+    one shuffle of |left|+|right| rows — no per-row range probing, no
+    skew-amplifying theta join; a hot key is just a bigger sorted run.
+
+    Determinism: at equal timestamps the right row sorts BEFORE the left
+    row (ties are matches, `<=` semantics), and among equal-ts right rows
+    the largest ``order_col`` wins — both engines replicate this exact
+    (ts, side, order) ordering.
+    """
+    r_payload = F.struct(*[F.col(c) for c in right_value_cols])
+    right_tagged = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_ord"),
+        F.lit(0).alias("_side"),
+        r_payload.alias("_r"),
+    )
+    left_tagged = left.withColumn("_k", F.col(key_col)).withColumn(
+        "_ts", F.col(ts_col)
+    ).withColumn("_ord", F.col(order_col)).withColumn(
+        "_side", F.lit(1)
+    ).withColumn("_r", F.lit(None).cast(right_tagged.schema["_r"].dataType))
+    unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_value_cols
+    ]
+    return matched.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_hours: float = 24.0,
+) -> DataFrame:
+    """Containment range join: each point row matched to the interval rows
+    of the same key with ``start <= ts <= end`` (inclusive both ends).
+    Returns points joined with their intervals' columns.
+
+    Plan shape — bucketized equi-join: intervals explode into the time
+    buckets they cover (``bucket_hours`` wide), points map to their single
+    bucket, and the join runs on (key, bucket) with the containment
+    predicate as a residual filter.  No output dedup is needed: a
+    (point, interval) pair can only meet in the point's one bucket.  Cost
+    scales with interval-span/bucket_hours (bounded fan-out), never the
+    O(|points|·|intervals|) of a theta join; bucket width trades explode
+    fan-out against residual selectivity and is the knob to retune when
+    interval spans grow 100×.
+    """
+    width_us = int(bucket_hours * 3_600_000_000)
+    pt_bucket = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / width_us)
+    iv_buckets = F.sequence(
+        F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / width_us),
+        F.floor(F.unix_micros(F.col(end_col).cast("timestamp")) / width_us),
+    )
+    p = points.withColumn("_bkt", pt_bucket).withColumnRenamed(key_col, "_k")
+    iv = intervals.withColumn("_bkt", F.explode(iv_buckets)).withColumnRenamed(
+        key_col, "_k"
+    )
+    joined = p.join(iv, ["_k", "_bkt"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.withColumnRenamed("_k", key_col).drop("_bkt")

@@ -269,6 +269,109 @@ def keep_filter(
     )
 
 
+def _doc_token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, token, tf) — the canonical word-count shape: explode →
+    groupBy(doc, token) with map-side partial aggregation, so the shuffle
+    carries (doc, token, partial-count) rows, never raw tokens."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` whitespace tokens by total
+    occurrence count, with document frequency.  Returns
+    (token, n_occurrences, n_docs), ties broken by token ascending.
+
+    Scale shape: two chained map-side-combining aggregations (the word-count
+    classic) — the token-keyed shuffle carries partial counts; the final
+    top-k is a TakeOrdered (per-partition heap + driver merge of k rows),
+    NOT a global sort shuffle."""
+    pairs = _doc_token_counts(spread(df, id_col), text_col, id_col)
+    totals = pairs.groupBy("token").agg(
+        F.sum("tf").alias("n_occurrences"), F.count("*").alias("n_docs")
+    )
+    return totals.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_k)
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(document, token) TF-IDF over whitespace tokens:
+    ``tf · ln(N / df_t)`` with N = corpus size, df_t = documents containing
+    the token.  Returns (doc_id, token, tf, df_t, tf_idf).
+
+    Scale shape: tf and df_t come from the same (doc, token) aggregate —
+    df_t is a second map-side-combining groupBy over it (one row per
+    (doc, token), far smaller than raw tokens); N arrives via a broadcast
+    one-row cross join, keeping the plan fully declarative (no driver-side
+    count splitting the job in two).  The tf↔df_t join is token-keyed;
+    both sides are already token-partitioned aggregates, so AQE plans a
+    co-partitioned shuffle join with no extra exchange on the df_t side."""
+    base = spread(df, id_col)
+    pairs = _doc_token_counts(base, text_col, id_col)
+    doc_freq = pairs.groupBy("token").agg(F.count("*").alias("df_t"))
+    n_docs = base.agg(F.count("*").alias("_n"))
+    return (
+        pairs.join(doc_freq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_t",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("df_t").cast("double")),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+
+
+# PII patterns — shared literals, backreference-free so Java regex (Spark)
+# and RE2 (DuckDB) match identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{0,4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub for training corpora: count and redact emails, IPv4
+    addresses, and international-format phone numbers.  Returns
+    (doc_id, n_emails, n_ipv4, n_phones, redacted) with matches replaced by
+    ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` in that fixed order (the
+    replacement tokens contain no digits, so later patterns can't re-match
+    earlier redactions).
+
+    Entirely JVM-side regexp work in one narrow projection — zero shuffles,
+    zero Python; counts come from the pre-redaction text."""
+    df = spread(df, id_col)
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (collapse runs, trim) — the rolling-hash/winnowing stand-in that

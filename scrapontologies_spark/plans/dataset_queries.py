@@ -176,6 +176,79 @@ def queries() -> Q:
         "keep",
     )
 
+    # corpus vocabulary: top-50 tokens by occurrence, doc frequency
+    q["text_vocabulary"] = lambda spark, d: textops.vocabulary(
+        _docs(spark, d), top_k=50
+    )
+
+    # per-(doc, token) TF-IDF; df_t and N over the FULL corpus, output
+    # restricted to doc_id < 100 to keep the contract compare small
+    q["text_tf_idf"] = lambda spark, d: textops.tf_idf(_docs(spark, d)).filter(
+        F.col("doc_id") < 100
+    )
+
+    # PII scrub — deterministic synthetic PII appended per doc so the
+    # patterns actually fire (the prose corpus itself carries none); both
+    # engines concat the identical strings
+    def redact_q(spark, d):
+        docs = _docs(spark, d).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via 10.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".7 or +1 555 010 "),
+                (F.col("doc_id") % 10000).cast("string"),
+            ),
+        )
+        return textops.redact_pii(docs)
+
+    q["text_redact_pii"] = redact_q
+
+    # --- time joins over events ------------------------------------------------
+    # backward as-of join: every event → its user's most recent prior
+    # purchase (ties at equal ts match; -1 sentinels keep the columns
+    # int64 on both engines — nullable BIGINT → float64 in pandas)
+    def asof_q(spark, d):
+        from ..operators.events import asof_join
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        res = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            ev.filter(F.col("event_type") == "purchase"),
+            right_value_cols=("event_id", "ts"),
+        )
+        return res.select(
+            "event_id",
+            "user_id",
+            F.coalesce("prior_event_id", F.lit(-1)).alias("prior_purchase_id"),
+            F.coalesce(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prior_ts").cast("timestamp")),
+                F.lit(-1),
+            ).alias("us_since_purchase"),
+        )
+
+    q["events_asof_purchase"] = asof_q
+
+    # containment range join: events ⨝ their own user's sessions — the
+    # Spark side runs the bucketized interval_join; the oracle derives the
+    # same assignment independently from the sessionize window
+    def interval_q(spark, d):
+        from ..operators.events import interval_join, sessionize
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        sess = sessionize(ev, gap_minutes=30).select(
+            "user_id", "session_idx", "session_start", "session_end"
+        )
+        return interval_join(
+            ev.select("user_id", "event_id", "ts"), sess, bucket_hours=24
+        ).select("user_id", "event_id", "session_idx")
+
+    q["events_interval_sessions"] = interval_q
+
     # --- multimodal plumbing (binary payload columns over documents) ----------
     # payload = utf-8 bytes of text; base64 + byte-length are the S2-parity
     # kernels (multimodal.py) and are value-exact in DuckDB.
@@ -983,6 +1056,112 @@ def oracle_sql() -> dict[str, str]:
                     AND coalesce(top_unigram_frac, 1.0) <= 0.12
                     AND coalesce(repeated_token_frac, 1.0) <= 0.85) AS keep
             FROM nar LEFT JOIN uni ON nar.doc_id = uni.doc_id
+        """,
+        "text_vocabulary": """
+            -- CASTs: DuckDB sum(BIGINT) is HUGEINT → float64 in pandas
+            WITH pairs AS (
+              SELECT doc_id, tok AS token, count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS tok
+                FROM documents
+              )
+              GROUP BY 1, 2
+            )
+            SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+                   count(*) AS n_docs
+            FROM pairs GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 50
+        """,
+        "text_tf_idf": """
+            WITH pairs AS (
+              SELECT doc_id, tok AS token, count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS tok
+                FROM documents
+              )
+              GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT token, count(*) AS df_t FROM pairs GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, token, tf, df_t,
+                   round(tf::DOUBLE * ln(n_docs::DOUBLE / df_t::DOUBLE), 6) AS tf_idf
+            FROM pairs JOIN dfreq USING (token), n
+            WHERE doc_id < 100
+        """,
+        "text_redact_pii": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' reach user' || doc_id || '@example.com via 10.0.'
+                          || (doc_id % 250) || '.7 or +1 555 010 '
+                          || (doc_id % 10000) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', 0)) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{0,4}', 0)) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{0,4}', '<PHONE>', 'g')
+                   AS redacted
+            FROM aug
+        """,
+        "events_asof_purchase": """
+            -- union + window replica of the Spark asof plan: identical
+            -- (ts, side, event_id) ordering, so ties resolve identically
+            WITH u AS (
+              SELECT user_id, ts, event_id, 1 AS side,
+                     NULL::BIGINT AS r_id, NULL::BIGINT AS r_us
+              FROM events
+              UNION ALL
+              SELECT user_id, ts, event_id, 0,
+                     event_id, epoch_us(ts)
+              FROM events WHERE event_type = 'purchase'
+            ),
+            m AS (
+              SELECT user_id, ts, event_id, side,
+                     last_value(r_id IGNORE NULLS) OVER w AS pid,
+                     last_value(r_us IGNORE NULLS) OVER w AS pus
+              FROM u
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS UNBOUNDED PRECEDING
+              )
+            )
+            SELECT event_id, user_id,
+                   COALESCE(pid, -1) AS prior_purchase_id,
+                   COALESCE(epoch_us(ts) - pus, -1) AS us_since_purchase
+            FROM m WHERE side = 1
+        """,
+        "events_interval_sessions": """
+            -- independent derivation: session_idx straight from the
+            -- sessionize window (sessions are disjoint per user, so the
+            -- containment join assignment is identical)
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(is_new) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
         """,
         "text_decontaminate": """
             WITH lt AS (

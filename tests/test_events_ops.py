@@ -1,0 +1,166 @@
+"""Operator-level tests for the time-join operators (asof_join /
+interval_join) and the round-2 textops additions (vocabulary / tf_idf /
+redact_pii) on crafted fixtures — boundary semantics the sf0.01 contract
+data can't guarantee to exercise (no-prior-match, equal-ts ties,
+bucket-spanning intervals, pattern edge cases)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from scrapontologies_spark.operators.events import (
+    asof_join,
+    interval_join,
+    sessionize,
+)
+from scrapontologies_spark.operators.textops import redact_pii, tf_idf, vocabulary
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_asof_join_backward_semantics(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: purchase at :05, events before/at/after it
+            (1, 1, _ts(1), "view"),
+            (2, 1, _ts(5), "purchase"),
+            (3, 1, _ts(5), "view"),  # equal ts to the purchase → matches it
+            (4, 1, _ts(9), "view"),
+            # user 2: no purchase at all
+            (5, 2, _ts(3), "view"),
+        ],
+    )
+    res = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+    )
+    got = {r["event_id"]: r["prior_event_id"] for r in res.collect()}
+    assert got[1] is None  # before any purchase
+    assert got[2] == 2  # the purchase matches itself (<=)
+    assert got[3] == 2  # equal-ts tie IS a match (right sorts first)
+    assert got[4] == 2
+    assert got[5] is None  # user without purchases
+    assert res.count() == ev.count()  # left-join row preservation
+
+
+def test_asof_join_equal_ts_right_rows_pick_max_order(spark):
+    ev = _events(
+        spark,
+        [
+            (10, 1, _ts(2), "purchase"),
+            (11, 1, _ts(2), "purchase"),  # same ts — larger event_id wins
+            (12, 1, _ts(7), "view"),
+        ],
+    )
+    res = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+    )
+    got = {r["event_id"]: r["prior_event_id"] for r in res.collect()}
+    assert got[12] == 11
+
+
+def test_interval_join_bucket_spanning_and_boundaries(spark):
+    # 0.05 h = 3 min buckets → the [10:00, 10:10] interval spans several
+    # buckets; boundary points are inclusive on both ends
+    points = _events(
+        spark,
+        [
+            (1, 1, _ts(0), "x"),  # == start
+            (2, 1, _ts(10), "x"),  # == end
+            (3, 1, _ts(11), "x"),  # outside
+            (4, 2, _ts(5), "x"),  # other key — must not match
+        ],
+    ).select("user_id", "event_id", "ts")
+    intervals = spark.createDataFrame(
+        [(1, 1, _ts(0), _ts(10))],
+        "user_id long, session_idx long, session_start timestamp, session_end timestamp",
+    )
+    res = interval_join(points, intervals, bucket_hours=0.05)
+    got = sorted(r["event_id"] for r in res.collect())
+    assert got == [1, 2]
+    # exactly one match per contained point (no bucket-induced duplicates)
+    assert res.select("event_id").distinct().count() == res.count()
+
+
+def test_interval_join_matches_sessionize_assignment(spark):
+    rows = [
+        (i, u, _ts(m), "view")
+        for i, (u, m) in enumerate(
+            [(1, 0), (1, 5), (1, 50), (1, 55), (2, 10), (2, 12)]
+        )
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, k, 1.0) for (i, u, t, k) in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    sess = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    res = interval_join(ev.select("user_id", "event_id", "ts"), sess, bucket_hours=1)
+    assert res.count() == ev.count()  # every event lands in exactly one session
+    by_event = {r["event_id"]: r["session_idx"] for r in res.collect()}
+    assert by_event[0] == 1 and by_event[1] == 1
+    assert by_event[2] == 2 and by_event[3] == 2  # >30 min gap → new session
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.example.org now"),
+            (2, "host 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +44 020 794 6000 today"),
+            (4, "clean text with no pii at all"),
+            (5, "combo x@y.io at 8.8.8.8 tel +1 555 010 99"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (1, 0, 0)
+    assert "<EMAIL>" in got[1]["redacted"] and "@" not in got[1]["redacted"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["redacted"].count("<IP>") == 2
+    assert got[3]["n_phones"] == 1 and "<PHONE>" in got[3]["redacted"]
+    assert (got[4]["n_emails"], got[4]["n_ipv4"], got[4]["n_phones"]) == (0, 0, 0)
+    assert got[4]["redacted"] == "clean text with no pii at all"
+    assert (got[5]["n_emails"], got[5]["n_ipv4"], got[5]["n_phones"]) == (1, 1, 1)
+
+
+def test_vocabulary_and_tf_idf_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, "b b b c"),
+            (4, ""),  # empty doc: no tokens, but still counts toward N
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: r for r in vocabulary(df, top_k=10).collect()}
+    assert vocab["b"]["n_occurrences"] == 4 and vocab["b"]["n_docs"] == 2
+    assert vocab["a"]["n_occurrences"] == 3 and vocab["a"]["n_docs"] == 2
+    assert vocab["c"]["n_occurrences"] == 2 and vocab["c"]["n_docs"] == 2
+
+    # top-k tie-break: equal counts ordered by token asc
+    top = vocabulary(df, top_k=2).collect()
+    assert [r["token"] for r in top] == ["b", "a"]
+
+    tfidf = {(r["doc_id"], r["token"]): r for r in tf_idf(df).collect()}
+    # N=4 docs; df_t(a)=2 → idf = ln(2); tf(1,'a')=2
+    assert tfidf[(1, "a")]["tf"] == 2
+    assert tfidf[(1, "a")]["df_t"] == 2
+    assert abs(tfidf[(1, "a")]["tf_idf"] - round(2 * math.log(4 / 2), 6)) < 1e-9
+    assert (4, "a") not in tfidf  # empty doc emits no pairs
