@@ -155,3 +155,59 @@ def test_sessionize_is_single_shuffle(spark):
            for l in plan.splitlines()
            if l.startswith("(") and ") " in l]
     assert ops.count("Exchange") == 1, plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """asof_join must plan as union + one hash(key) exchange feeding the
+    window — no Join operator at all, so no skew-amplifying range probe."""
+    from scrapontologies_spark.operators.events import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+    )
+    plan = _plan(df)
+    ops = [l.split(") ", 1)[1].split(" ")[0]
+           for l in plan.splitlines()
+           if l.startswith("(") and ") " in l]
+    assert ops.count("Exchange") == 1, plan
+    assert not any("Join" in o for o in ops), plan
+
+
+def test_interval_join_no_cartesian(spark):
+    """interval_join must be an equi-join on (key, bucket) — never a
+    BroadcastNestedLoopJoin / CartesianProduct theta join."""
+    from scrapontologies_spark.operators.events import interval_join, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sess = sessionize(ev, 30).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    plan = _plan(interval_join(ev.select("user_id", "event_id", "ts"), sess))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tf_idf_broadcasts_corpus_size(spark):
+    """The one-row corpus-size side must arrive via broadcast, and the
+    redact/pii-free scan must appear once per aggregate branch only."""
+    from scrapontologies_spark.operators.textops import tf_idf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tf_idf(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_redact_pii_is_narrow(spark):
+    """No hash shuffle and no aggregation — one projection over the scan.
+    (spread() may inject a round-robin repartition when the local scan has
+    fewer splits than cores; that's a data-spreading exchange, not a
+    computation shuffle, and disappears at cluster scale.)"""
+    from scrapontologies_spark.operators.textops import redact_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(redact_pii(docs))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Aggregate" not in plan and "Join" not in plan, plan
