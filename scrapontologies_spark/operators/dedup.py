@@ -59,20 +59,32 @@ def _tokens(text_col: str):
     return F.split(F.col(text_col), " ")
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct k-gram token shingles per doc (narrow transform + explode;
-    input spread across cores first if the scan is under-partitioned)."""
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """k-gram token shingles per doc (narrow transform + explode; input
+    spread across cores first if the scan is under-partitioned).
+
+    ``distinct=True`` gives set semantics — required wherever shingles feed
+    Jaccard intersections or per-doc size counts, but it costs a full
+    shuffle of every (doc, shingle) row.  Pass ``distinct=False`` when the
+    consumer is multiset-invariant — MinHash's min() sees the same minimum
+    over duplicates — turning signature derivation into a single map-side-
+    combining aggregation with no shingle ever crossing the wire."""
     df = spread(df, id_col)
     toks = _tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)) ),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == k)
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == k)
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

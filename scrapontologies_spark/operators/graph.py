@@ -47,17 +47,24 @@ def pagerank(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Materialize the loop-invariant state ONCE (lazy checkpoint — the first
+    # iteration's action writes it): without this, iteration k's lazy plan
+    # re-derives the upstream edge expression (scan/explode/distinct) k
+    # times over.  deg rides along on the edge rows so the loop never
+    # re-joins it; rank/deg (not rank·(1/deg)) keeps the float op order
+    # identical to the SQL oracle.
+    ew = e.join(out_deg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(out_deg, "src")
+            ew.join(ranks, ew.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))

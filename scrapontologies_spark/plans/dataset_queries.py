@@ -49,12 +49,17 @@ def queries() -> Q:
     # --- dedup ---------------------------------------------------------------
     q["dedup_exact"] = lambda spark, d: dedup.exact_dedup(_docs(spark, d))
 
+    # distinct=False: min() is multiset-invariant, so the signature paths
+    # skip the (doc, shingle) distinct shuffle entirely — one map-side-
+    # combining aggregation from scan to signatures
     q["dedup_minhash_signatures"] = lambda spark, d: dedup.minhash_signatures(
-        dedup.shingles(_docs(spark, d)), num_hashes=4
+        dedup.shingles(_docs(spark, d), distinct=False), num_hashes=4
     )
 
     q["dedup_lsh_candidates"] = lambda spark, d: dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures(dedup.shingles(_docs(spark, d)), num_hashes=8),
+        dedup.minhash_signatures(
+            dedup.shingles(_docs(spark, d), distinct=False), num_hashes=8
+        ),
         num_hashes=8,
         band_size=2,
     )
@@ -67,7 +72,8 @@ def queries() -> Q:
 
     # signature-only jaccard estimate over LSH candidates (no shingle join)
     def mh_estimate(spark, d):
-        sh = dedup.shingles(_docs(spark, d))
+        # signatures-only path → multiset shingles suffice (no distinct)
+        sh = dedup.shingles(_docs(spark, d), distinct=False)
         sigs = dedup.minhash_signatures(sh, num_hashes=8)
         cand = dedup.lsh_candidate_pairs(sigs, 8, 2)
         return dedup.minhash_jaccard_estimate(sigs, cand, num_hashes=8)
