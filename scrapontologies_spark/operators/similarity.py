@@ -349,9 +349,14 @@ def cosine_topk_lsh(
     # still coalesces the small candidate rows at runtime — blind to the
     # per-pair O(d) scoring below.  An explicit count pins it.
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    # UNORDERED candidates (a < b): every colliding pair is scored exactly
+    # once and then mirrored — cosine is bitwise-commutative (per-element
+    # float multiplies and the norm product commute), so the mirrored row
+    # carries the identical value at half the distinct volume and half the
+    # O(d) scoring work of emitting both directions.
     cand = (
         left.join(right, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
         .repartition(n_parts, F.col("query_id"), F.col("neighbor_id"))
@@ -367,7 +372,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("nvec"),
         _norm(F.col(vec_col)).alias("nnorm"),
     )
-    scored = (
+    half = (
         cand.join(e_q, "query_id")
         .join(e_n, "neighbor_id")
         .select(
@@ -379,6 +384,24 @@ def cosine_topk_lsh(
             ).alias("cosine"),
         )
     )
+    # mirror row-locally (explode of a 2-struct array) in the SAME pass:
+    # a union of two references to `half` would either recompute the
+    # scoring projection for the mirror branch or need a checkpoint that
+    # de-AQEs the join plan — the explode does neither.
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("query_id"), F.col("neighbor_id"), F.col("cosine")
+                ),
+                F.struct(
+                    F.col("neighbor_id").alias("query_id"),
+                    F.col("query_id").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_x")
+    ).select("_x.query_id", "_x.neighbor_id", "_x.cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
