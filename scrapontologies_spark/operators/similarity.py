@@ -1,27 +1,42 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: brute-force cosine top-k via JVM-side higher-order functions
-(zip_with + aggregate — no Python in the loop).  Scale path: LSH bucketing
-with deterministic random-hyperplane signs derived from md5 (seedable,
+Baseline: brute-force cosine top-k.  Scale path: LSH bucketing with
+deterministic random-hyperplane signs derived from md5 (seedable,
 rerun-stable), so only same-bucket pairs are scored — the IVF-style
 candidate reduction for the 100 TB design point.
 
-All arithmetic is double-precision with fixed left-to-right array order, so
-results are reproducible and DuckDB-checkable to 1e-6.
+Vector arithmetic strategy: Spark's array higher-order functions
+(zip_with/aggregate) are interpreted per element (~µs/scalar-op — measured
+3 s for 2 000 rows × 32 plane projections), and unrolling the folds into
+chained column arithmetic blows Janino's 64 KB method limit at
+dim×planes scale, silently falling back to interpreted mode (measured 3×
+WORSE).  So the hot folds run as Arrow-batched pandas UDFs that accumulate
+SEQUENTIALLY along the dimension axis while vectorizing across rows:
+``acc = acc + A[:, i] * B[:, i]`` performs, per row, the exact IEEE-754
+operation sequence of the left fold ``((0+a₁b₁)+a₂b₂)+…`` — so results are
+bit-identical to the interpreted form and stay DuckDB-checkable to 1e-6.
+The HOF expression builders are kept as the zero-Python fallback and as
+the executable specification the SQL oracles mirror.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, StringType
 from pyspark.sql.window import Window
 
 from .util import spread
 
 
-def _dot(a, b):
+def _dot_hof(a, b):
+    """Interpreted-HOF dot product — the executable spec of the fold order."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -29,7 +44,7 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _norm_hof(a):
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -37,6 +52,50 @@ def _norm(a):
             lambda acc, v: acc + v,
         )
     )
+
+
+def _stack(xs: "pd.Series") -> "np.ndarray":
+    """Arrow array column → (rows, dim) float64 matrix.  float32→float64
+    first, then arithmetic — the same cast-then-operate order as the HOF
+    form's per-element .cast('double')."""
+    if len(xs) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(xs.to_numpy()).astype(np.float64)
+
+
+# NB: explicit DataType objects, not DDL strings — a DDL string is parsed
+# through the active session, which does not exist when an executor-side
+# Python worker re-imports this module.
+@pandas_udf(DoubleType())
+def _dot_pdf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    A, B = _stack(xs), _stack(ys)
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):  # sequential in i == the fold's IEEE order
+        acc = acc + A[:, i] * B[:, i]
+    return pd.Series(acc)
+
+
+@pandas_udf(DoubleType())
+def _norm_pdf(xs: pd.Series) -> pd.Series:
+    A = _stack(xs)
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * A[:, i]
+    return pd.Series(np.sqrt(acc))
+
+
+# Per-PAIR scoring stays on the interpreted HOF form: candidate pairs
+# outnumber rows by orders of magnitude, and shipping both 64-float vectors
+# per pair through Arrow costs more than the fold saves (measured at sf0.1:
+# LSH top-k 6.5 s → 10.9 s, embedding near-dup 2.3 s → 7.0 s with
+# _dot_pdf).  Per-ROW work (bucket keys) uses the Arrow path — see
+# _bucket_keys_pdf.
+def _dot(a, b):
+    return _dot_hof(a, b)
+
+
+def _norm(a):
+    return _norm_hof(a)
 
 
 def cosine_topk_bruteforce(
@@ -136,6 +195,49 @@ def _plane_proj(vec, total, signs: list) -> "F.Column":
     return F.lit(2.0) * _pos_sum(vec, pos) - total
 
 
+def _bucket_keys_pdf(pos_sets: list, prefixes: list):
+    """Arrow-batched twin of the _plane_proj expression stack: one UDF call
+    computes EVERY table's bucket key for a batch of rows.
+
+    ``pos_sets[t][p]`` is the 0-based positive-weight index list of table
+    t, plane p; per plane the accumulation ``acc = acc + V[:, i]`` runs
+    sequentially over that list, and ``proj = 2.0·acc − total`` — per row,
+    the bit-identical IEEE sequence of the _pos_sum/_plane_proj fold the
+    SQL oracles mirror (see module docstring for why not HOFs/unrolling)."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _f(xs: pd.Series) -> pd.Series:
+        V = _stack(xs)
+        n, d = V.shape
+        total = np.zeros(n, dtype=np.float64)
+        for i in range(d):
+            total = total + V[:, i]
+        out = np.empty((n, len(pos_sets)), dtype=object)
+        for t, planes in enumerate(pos_sets):
+            key = np.full(n, prefixes[t], dtype=object)
+            for pos in planes:
+                acc = np.zeros(n, dtype=np.float64)
+                for i in pos:
+                    acc = acc + V[:, i]
+                proj = 2.0 * acc - total
+                key = key + np.where(proj >= 0.0, "1", "0")
+            out[:, t] = key
+        return pd.Series(out.tolist())
+
+    return _f
+
+
+def _pos_sets(seeds: list, n_planes: int, dim: int) -> list:
+    """0-based positive-weight index lists per (table seed, plane)."""
+    return [
+        [
+            [i for i, s in enumerate(_plane_signs(seed, p, dim)) if s > 0]
+            for p in range(n_planes)
+        ]
+        for seed in seeds
+    ]
+
+
 def hyperplane_bucket(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -157,18 +259,11 @@ def hyperplane_bucket(
     """
     if dim is None:
         dim = _vector_dim(embeddings, vec_col)
-    # materialize the shared full-vector sum as a column so it is computed
-    # once per row, not once per plane expression
-    staged = embeddings.select(
+    keys = _bucket_keys_pdf(_pos_sets([seed], n_planes, dim), [""])
+    return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        _vec_sum(F.col(vec_col)).alias("_vs"),
+        F.element_at(keys(F.col(vec_col)), 1).alias("bucket"),
     )
-    sign_bits = []
-    for p in range(n_planes):
-        proj = _plane_proj(F.col("_v"), F.col("_vs"), _plane_signs(seed, p, dim))
-        sign_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return staged.select("vec_id", F.concat(*sign_bits).alias("bucket"))
 
 
 def ivf_centroids(
@@ -322,25 +417,16 @@ def cosine_topk_lsh(
     # the n_tables × n_planes projection sums are the heavy narrow work.
     embeddings = spread(embeddings, id_col)
     dim = _vector_dim(embeddings, vec_col)
-    # shared full-vector sum (see _plane_proj): computed once per row and
-    # reused by every (table, plane) half-sum projection
-    staged = embeddings.select(
-        F.col(id_col).alias("_bid"),
-        F.col(vec_col).alias("_v"),
-        _vec_sum(F.col(vec_col)).alias("_vs"),
+    # ONE Arrow batch pass computes all n_tables bucket keys per row (the
+    # shared full-vector sum is reused by every half-sum projection inside
+    # the UDF), then a JVM explode fans out to (row, table-key) pairs.
+    keys = _bucket_keys_pdf(
+        _pos_sets([f"lsh{t}" for t in range(n_tables)], n_planes, dim),
+        [f"{t}|" for t in range(n_tables)],
     )
-    table_keys = []
-    for t in range(n_tables):
-        sign_bits = []
-        for p in range(n_planes):
-            proj = _plane_proj(
-                F.col("_v"), F.col("_vs"), _plane_signs(f"lsh{t}", p, dim)
-            )
-            sign_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        table_keys.append(F.concat(F.lit(f"{t}|"), *sign_bits))
-    buckets = staged.select(
-        "_bid",
-        F.explode(F.array(*table_keys)).alias("bucket"),
+    buckets = embeddings.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(keys(F.col(vec_col))).alias("bucket"),
     )
     left = buckets.select(F.col("_bid").alias("query_id"), "bucket")
     right = buckets.select(F.col("_bid").alias("neighbor_id"), "bucket")
