@@ -353,7 +353,7 @@ def queries() -> Q:
 
     q["j1_reconcile_merge"] = reconcile_q
 
-    # --- K1 — schema → 3NF DDL (deterministic; rows-only) ----------------------
+    # --- K1 — schema → 3NF DDL (data-conditioned DuckDB oracle) ----------------
     def ddl_q(spark, d):
         from ..operators.ddl import schema_to_tables, tables_to_ddl
         from ..operators.extract import extract_chunks
@@ -1187,6 +1187,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
             FROM tr JOIN ev USING (gram)
             GROUP BY doc_id
+        """,
+        "k1_schema_to_ddl": """
+            -- K1 over the prose corpus slice (docs 0..19): the engine's
+            -- global schema is {'term': {kind: string}} iff any of those
+            -- docs mentions a gazetteer term (same data condition as the
+            -- kg_global_schema oracle); wrapped as a 'doc' root entity that
+            -- 3NF-normalizes to a parent table plus (iff the term property
+            -- exists) one child table with an FK.  The DDL text itself is
+            -- the deterministic render of that schema.
+            WITH hit AS (
+              SELECT EXISTS (
+                SELECT 1 FROM documents WHERE doc_id < 20 AND regexp_matches(text,
+                  '\\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\\b')
+              ) AS any_term
+            )
+            SELECT 'doc' AS table_name,
+                   'CREATE TABLE IF NOT EXISTS doc (' || chr(10) ||
+                   '  doc_id BIGINT' || chr(10) || ') USING iceberg' AS ddl
+            FROM hit
+            UNION ALL
+            SELECT 'doc_term',
+                   'CREATE TABLE IF NOT EXISTS doc_term (' || chr(10) ||
+                   '  doc_term_id BIGINT,' || chr(10) ||
+                   '  doc_id BIGINT,' || chr(10) ||
+                   '  kind STRING' || chr(10) || ') USING iceberg'
+            FROM hit WHERE any_term
         """,
         "cc_components": """
             WITH RECURSIVE e AS (
