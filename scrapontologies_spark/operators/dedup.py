@@ -77,13 +77,24 @@ def shingles(
     combining aggregation with no shingle ever crossing the wire."""
     df = spread(df, id_col)
     toks = _tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)) ),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )
+    # Bounds-correct index range: with i ≤ size-k every element_at is
+    # in-range, so each gram re-splits to exactly k tokens by construction
+    # (tokens cannot contain the delimiter) — docs shorter than k tokens
+    # yield an empty array that explode drops.  Equivalent to, and cheaper
+    # than, emitting boundary grams and re-splitting every shingle to
+    # filter size == k (one split per shingle row saved).
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     out = df.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
-    ).filter(F.size(F.split(F.col("shingle"), " ")) == k)
+    )
     return out.distinct() if distinct else out
 
 
