@@ -392,7 +392,13 @@ def embedding_near_dup_pairs(
     similarity.cosine_topk_lsh).  Arithmetic is sequential float64
     (zip_with + aggregate), DuckDB-checkable to 1e-6.
     """
-    from .similarity import _dot, _norm, hyperplane_bucket
+    from .similarity import (
+        _bucket_keys_pdf,
+        _dot,
+        _norm,
+        _pos_sets,
+        _vector_dim,
+    )
 
     # per-row norms precomputed before the pair join: each pair pays one
     # dot-product fold, not three (bitwise-identical cosine)
@@ -411,13 +417,19 @@ def embedding_near_dup_pairs(
         _norm(F.col(vec_col)).alias("nb"),
     )
     if lsh_tables > 0:
-        buckets = None
-        for t in range(lsh_tables):
-            bt = hyperplane_bucket(
-                embeddings, n_planes=lsh_planes, id_col=id_col,
-                vec_col=vec_col, seed=f"neardup{t}",
-            ).select("vec_id", F.concat(F.lit(f"{t}#"), F.col("bucket")).alias("bucket"))
-            buckets = bt if buckets is None else buckets.unionByName(bt)
+        # ALL tables' bucket keys in ONE narrow Arrow pass + a JVM explode
+        # (same single-pass shape as similarity.cosine_topk_lsh) — instead
+        # of lsh_tables unions that each rescan the input and each trigger
+        # their own _vector_dim action.
+        dim = _vector_dim(embeddings, vec_col)
+        keys = _bucket_keys_pdf(
+            _pos_sets([f"neardup{t}" for t in range(lsh_tables)], lsh_planes, dim),
+            [f"{t}#" for t in range(lsh_tables)],
+        )
+        buckets = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(keys(F.col(vec_col))).alias("bucket"),
+        )
         cand = (
             buckets.alias("x")
             .join(buckets.alias("y"), "bucket")

@@ -63,33 +63,12 @@ def _stack(xs: "pd.Series") -> "np.ndarray":
     return np.stack(xs.to_numpy()).astype(np.float64)
 
 
-# NB: explicit DataType objects, not DDL strings — a DDL string is parsed
-# through the active session, which does not exist when an executor-side
-# Python worker re-imports this module.
-@pandas_udf(DoubleType())
-def _dot_pdf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-    A, B = _stack(xs), _stack(ys)
-    acc = np.zeros(A.shape[0], dtype=np.float64)
-    for i in range(A.shape[1]):  # sequential in i == the fold's IEEE order
-        acc = acc + A[:, i] * B[:, i]
-    return pd.Series(acc)
-
-
-@pandas_udf(DoubleType())
-def _norm_pdf(xs: pd.Series) -> pd.Series:
-    A = _stack(xs)
-    acc = np.zeros(A.shape[0], dtype=np.float64)
-    for i in range(A.shape[1]):
-        acc = acc + A[:, i] * A[:, i]
-    return pd.Series(np.sqrt(acc))
-
-
 # Per-PAIR scoring stays on the interpreted HOF form: candidate pairs
 # outnumber rows by orders of magnitude, and shipping both 64-float vectors
-# per pair through Arrow costs more than the fold saves (measured at sf0.1:
-# LSH top-k 6.5 s → 10.9 s, embedding near-dup 2.3 s → 7.0 s with
-# _dot_pdf).  Per-ROW work (bucket keys) uses the Arrow path — see
-# _bucket_keys_pdf.
+# per pair through Arrow costs more than the fold saves (measured at sf0.1
+# with an Arrow twin of the fold: LSH top-k 6.5 s → 10.9 s, embedding
+# near-dup 2.3 s → 7.0 s — rejected).  Per-ROW work (bucket keys) uses the
+# Arrow path — see _bucket_keys_pdf.
 def _dot(a, b):
     return _dot_hof(a, b)
 
@@ -158,10 +137,16 @@ def _plane_signs(seed: str, p: int, dim: int) -> list:
 
 
 def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
-    """Dimension of the embedding column, 0 for an EMPTY input DataFrame —
-    callers then build zero-plane bucket expressions over no rows, so every
-    downstream result is correctly empty instead of raising."""
-    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Dimension of the embedding column, 0 when the input is EMPTY or
+    all-NULL — callers then build zero-plane bucket expressions over no
+    (non-null) rows, so every downstream result is correctly empty instead
+    of raising.  NULL rows are skipped, not counted: size(NULL) is NULL and
+    must not poison the probe."""
+    row = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     return 0 if row is None else row["d"]
 
 
@@ -207,7 +192,14 @@ def _bucket_keys_pdf(pos_sets: list, prefixes: list):
 
     @pandas_udf(ArrayType(StringType()))
     def _f(xs: pd.Series) -> pd.Series:
-        V = _stack(xs)
+        # NULL embeddings yield NULL key arrays — the same propagation the
+        # HOF expression stack has (aggregate over a NULL array is NULL),
+        # instead of np.stack crashing on a None element.
+        valid = xs.notna()
+        all_valid = bool(valid.all())
+        if not all_valid and not valid.any():
+            return pd.Series([None] * len(xs), dtype=object)
+        V = _stack(xs if all_valid else xs[valid])
         n, d = V.shape
         total = np.zeros(n, dtype=np.float64)
         for i in range(d):
@@ -222,7 +214,13 @@ def _bucket_keys_pdf(pos_sets: list, prefixes: list):
                 proj = 2.0 * acc - total
                 key = key + np.where(proj >= 0.0, "1", "0")
             out[:, t] = key
-        return pd.Series(out.tolist())
+        vals = out.tolist()
+        if all_valid:
+            return pd.Series(vals)
+        res = pd.Series([None] * len(xs), dtype=object)
+        for j, i in enumerate(np.flatnonzero(valid.to_numpy())):
+            res.iat[i] = vals[j]
+        return res
 
     return _f
 
