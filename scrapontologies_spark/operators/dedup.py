@@ -425,6 +425,7 @@ def embedding_near_dup_pairs(
         keys = _bucket_keys_pdf(
             _pos_sets([f"neardup{t}" for t in range(lsh_tables)], lsh_planes, dim),
             [f"{t}#" for t in range(lsh_tables)],
+            dim,
         )
         buckets = embeddings.select(
             F.col(id_col).alias("vec_id"),

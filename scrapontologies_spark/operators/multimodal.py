@@ -124,19 +124,35 @@ def decode_wav(payload: bytes) -> list:
 
 def decode_pgm(payload: bytes) -> list:
     """REAL PGM decode (P5 binary / P2 ascii): [width, height, maxval,
-    mean intensity normalized to [0,1]]."""
-    parts = payload.split(None, 4)
-    magic = parts[0]
+    mean intensity normalized to [0,1]].
+
+    The P5 header is scanned token-by-token with an explicit byte offset:
+    per the PGM spec exactly ONE whitespace byte follows the maxval token,
+    and the raster starts immediately after it.  A naive
+    ``payload.split(None, 4)`` would also eat raster bytes that happen to
+    be whitespace codes (9-13, 32), silently truncating the pixel data.
+    Header comments ('#') are not supported — no producer here emits them.
+    """
+    magic = payload[:2]
     if magic not in (b"P5", b"P2"):
         raise NotImplementedError(f"not a PGM payload: {magic!r}")
-    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-    raster = parts[4] if len(parts) > 4 else b""
+    pos, header = 2, []
+    while len(header) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        header.append(int(payload[start:pos]))
+    width, height, maxval = header
     n = width * height
     if magic == b"P5":
-        pixels = raster[:n]
+        pixels = payload[pos + 1 : pos + 1 + n]
         mean = (sum(pixels) / n / maxval) if n else 0.0
     else:
-        vals = [int(v) for v in raster.split()[:n]]
+        vals = [int(v) for v in payload[pos:].split()[:n]]
         mean = (sum(vals) / n / maxval) if n and vals else 0.0
     return [float(width), float(height), float(maxval), mean]
 

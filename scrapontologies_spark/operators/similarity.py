@@ -150,52 +150,31 @@ def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
     return 0 if row is None else row["d"]
 
 
-def _vec_sum(vec) -> "F.Column":
-    """Sequential left-to-right float64 sum of the vector elements."""
-    return F.aggregate(
-        F.transform(vec, lambda x: x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _pos_sum(vec, pos_idx: list) -> "F.Column":
-    """Sequential sum of vec[i] over the (1-based) literal index list."""
-    if not pos_idx:
-        return F.lit(0.0)
-    idx = F.array(*[F.lit(i) for i in pos_idx])
-    return F.aggregate(
-        idx, F.lit(0.0), lambda acc, i: acc + F.element_at(vec, i).cast("double")
-    )
-
-
-def _plane_proj(vec, total, signs: list) -> "F.Column":
-    """±1-weight projection via the half-sum identity:
-    Σ w_i·x_i = 2·Σ_{w=+1} x_i − Σ x_i.  One shared full-vector sum per
-    row plus ~dim/2 element fetches per plane — versus a zip_with array
-    allocation + dim multiply-adds per plane in the naive form.  The SQL
-    oracle computes the IDENTICAL expression (same IEEE op order), so
-    bucket parity is preserved."""
-    pos = [i + 1 for i, s in enumerate(signs) if s > 0]
-    return F.lit(2.0) * _pos_sum(vec, pos) - total
-
-
-def _bucket_keys_pdf(pos_sets: list, prefixes: list):
-    """Arrow-batched twin of the _plane_proj expression stack: one UDF call
-    computes EVERY table's bucket key for a batch of rows.
+def _bucket_keys_pdf(pos_sets: list, prefixes: list, dim: int):
+    """Arrow-batched sign-LSH bucket keys: one UDF call computes EVERY
+    table's bucket key for a batch of rows, via the half-sum identity
+    Σ w_i·x_i = 2·Σ_{w=+1} x_i − Σ x_i (one shared full-vector sum per row
+    plus a positive-index half-sum per plane).
 
     ``pos_sets[t][p]`` is the 0-based positive-weight index list of table
     t, plane p; per plane the accumulation ``acc = acc + V[:, i]`` runs
     sequentially over that list, and ``proj = 2.0·acc − total`` — per row,
-    the bit-identical IEEE sequence of the _pos_sum/_plane_proj fold the
-    SQL oracles mirror (see module docstring for why not HOFs/unrolling)."""
+    the bit-identical IEEE sequence of the left fold the SQL oracles mirror
+    (see module docstring for why not HOFs/unrolling)."""
 
     @pandas_udf(ArrayType(StringType()))
     def _f(xs: pd.Series) -> pd.Series:
-        # NULL embeddings yield NULL key arrays — the same propagation the
-        # HOF expression stack has (aggregate over a NULL array is NULL),
-        # instead of np.stack crashing on a None element.
+        # NULL embeddings — and ragged rows whose length differs from the
+        # probed ``dim`` — yield NULL key arrays (the graceful-degradation
+        # analog of the SQL form's NULL propagation) instead of np.stack /
+        # column indexing crashing the stage.
         valid = xs.notna()
+        if valid.any():
+            lens = xs[valid].map(len)
+            bad = lens.index[lens != dim]
+            if len(bad):
+                valid = valid.copy()
+                valid[bad] = False
         all_valid = bool(valid.all())
         if not all_valid and not valid.any():
             return pd.Series([None] * len(xs), dtype=object)
@@ -212,7 +191,10 @@ def _bucket_keys_pdf(pos_sets: list, prefixes: list):
                 for i in pos:
                     acc = acc + V[:, i]
                 proj = 2.0 * acc - total
-                key = key + np.where(proj >= 0.0, "1", "0")
+                # NaN sorts ABOVE every number in both Spark SQL and DuckDB
+                # (`NaN >= 0` is true there), so a NaN projection must take
+                # the '1' bit — plain np.where(proj >= 0) would flip it.
+                key = key + np.where(np.isnan(proj) | (proj >= 0.0), "1", "0")
             out[:, t] = key
         vals = out.tolist()
         if all_valid:
@@ -250,14 +232,14 @@ def hyperplane_bucket(
 
     The weight matrix depends only on (plane, dim), so it is materialized
     driver-side; per-row work is ONE full-vector sum shared by all planes
-    plus a positive-index half-sum per plane (see _plane_proj), all in
-    whole-stage codegen — no hashing, no per-plane array allocation.  At
+    plus a positive-index half-sum per plane, Arrow-batched in
+    _bucket_keys_pdf — no hashing, no per-plane array allocation.  At
     scale: bucketing is a narrow transform; the downstream same-bucket
     self-join replaces the full cross join (candidates only).
     """
     if dim is None:
         dim = _vector_dim(embeddings, vec_col)
-    keys = _bucket_keys_pdf(_pos_sets([seed], n_planes, dim), [""])
+    keys = _bucket_keys_pdf(_pos_sets([seed], n_planes, dim), [""], dim)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.element_at(keys(F.col(vec_col)), 1).alias("bucket"),
@@ -421,6 +403,7 @@ def cosine_topk_lsh(
     keys = _bucket_keys_pdf(
         _pos_sets([f"lsh{t}" for t in range(n_tables)], n_planes, dim),
         [f"{t}|" for t in range(n_tables)],
+        dim,
     )
     buckets = embeddings.select(
         F.col(id_col).alias("_bid"),

@@ -27,15 +27,21 @@ def spread(df: DataFrame, *cols: str, factor: int = 2) -> DataFrame:
 
 
 # The getNumPartitions probe forces physical planning of the upstream plan;
-# memoize the verdict per (semantic plan, target) so operator chains that
-# spread the same input repeatedly translate the plan once, not per call.
+# memoize the verdict per (session, semantic plan, target) so operator
+# chains that spread the same input repeatedly translate the plan once, not
+# per call.  The semantic hash covers the LOGICAL plan only, so the memo
+# assumes input files are immutable for the life of a session (true for
+# this engine's batch runs over snapshot tables) — a path whose file count
+# changes mid-session would keep its first verdict until the session ends.
+# Stale verdicts cost at most one extra (or one missing) repartition; they
+# cannot affect results.
 _SPREAD_MEMO: dict = {}
 _SPREAD_MEMO_MAX = 1024
 
 
 def _partition_count_at_least(df: DataFrame, target: int) -> bool:
     try:
-        key = (df.semanticHash(), target)
+        key = (id(df.sparkSession), df.semanticHash(), target)
     except Exception:  # pragma: no cover — analysis failure falls through
         key = None
     if key is not None and key in _SPREAD_MEMO:

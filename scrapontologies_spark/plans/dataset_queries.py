@@ -642,10 +642,10 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
 
 def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
     """Per-table bucket SELECTs replicating similarity.cosine_topk_lsh's
-    sign-LSH via the SAME half-sum identity the operator uses
-    (similarity._plane_proj): proj = 2·Σ_{w=+1} x_i − Σ x_i with the SAME
-    md5-derived positive-index sets and the same sequential float64 op
-    order, so Spark and DuckDB compute identical buckets."""
+    sign-LSH via the SAME half-sum identity the operator's Arrow kernel
+    uses (similarity._bucket_keys_pdf): proj = 2·Σ_{w=+1} x_i − Σ x_i with
+    the SAME md5-derived positive-index sets and the same sequential
+    float64 op order, so Spark and DuckDB compute identical buckets."""
     from ..operators.similarity import _plane_signs
 
     total = "list_aggregate([x::DOUBLE FOR x IN embedding], 'sum')"

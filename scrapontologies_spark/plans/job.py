@@ -182,24 +182,44 @@ def run_job(
     return infos
 
 
+def _arg_parser() -> "argparse.ArgumentParser":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="job",
+        description="Run the staged KG-construction job over a synthetic corpus.",
+        allow_abbrev=False,
+    )
+    ap.add_argument("warehouse_root", nargs="?", default="/tmp/sparkonto_warehouse")
+    ap.add_argument("n_rows", nargs="?", type=int, default=5_000)
+    ap.add_argument(
+        "--salt", type=int, default=None,
+        help="skew factor for the entity reconcile join (0 = force unsalted)",
+    )
+    ap.add_argument(
+        "--allowed-kinds", default=None,
+        help="comma-separated entity kinds to keep (P8 extraction filter)",
+    )
+    ap.add_argument(
+        "--allowed-terms", default=None,
+        help="comma-separated entity ids to keep (P8 extraction filter)",
+    )
+    return ap
+
+
 def main(argv: Optional[list] = None) -> None:
-    argv = list(argv) if argv is not None else sys.argv[1:]
-    # flags: --salt N | --allowed-kinds a,b | --allowed-terms x,y
-    salt: Optional[int] = None
-    allowed_kinds = allowed_terms = None
-    pos = []
-    it = iter(argv)
-    for a in it:
-        if a == "--salt":
-            salt = int(next(it))
-        elif a == "--allowed-kinds":
-            allowed_kinds = frozenset(next(it).split(","))
-        elif a == "--allowed-terms":
-            allowed_terms = frozenset(next(it).split(","))
-        else:
-            pos.append(a)
-    warehouse_root = pos[0] if pos else "/tmp/sparkonto_warehouse"
-    n_rows = int(pos[1]) if len(pos) > 1 else 5_000
+    # argparse rejects unknown --flags and flags missing their value with a
+    # usage error, instead of silently routing a typo into warehouse_root
+    args = _arg_parser().parse_args(argv if argv is not None else sys.argv[1:])
+    salt = args.salt
+    allowed_kinds = (
+        frozenset(args.allowed_kinds.split(",")) if args.allowed_kinds else None
+    )
+    allowed_terms = (
+        frozenset(args.allowed_terms.split(",")) if args.allowed_terms else None
+    )
+    warehouse_root = args.warehouse_root
+    n_rows = args.n_rows
     from ..session import build_session
     from ..sources.corpus import corpus_df
 

@@ -207,21 +207,39 @@ def render_from_tables(
     relations_df,
     output_path: Optional[str] = None,
     max_nodes: int = 2000,
+    max_edges: int = 20000,
     backend: str = "html",
     **kwargs: Any,
 ):
-    """Collect the (small) canonical dimension tables and render.  ``limit``
-    guards against accidentally collecting a billion-row table — rendering
-    is a driver-side sink for the canonical top of the graph, exactly like
-    the reference (which holds all entities in a Python list anyway).
-    ``backend``: 'html' (self-contained, default) or 'pyecharts'."""
+    """Collect the (small) canonical dimension tables and render.  The
+    limits guard against accidentally collecting a billion-row table —
+    rendering is a driver-side sink for the canonical top of the graph,
+    exactly like the reference (which holds all entities in a Python list
+    anyway).  The edge filter runs DataFrame-side: relations are semi-
+    joined against the (broadcast, ≤max_nodes) kept-node set on BOTH
+    endpoints before anything is collected, so a corpus-scale edge table
+    never reaches the driver.  ``backend``: 'html' (self-contained,
+    default) or 'pyecharts'."""
+    from pyspark.sql import functions as F
+
     ents = [r.asDict() for r in entities_df.limit(max_nodes).collect()]
     keep = {e["id"] for e in ents}
-    rels = [
-        r.asDict()
-        for r in relations_df.collect()
-        if r["source"] in keep and r["target"] in keep
-    ]
+    spark = relations_df.sparkSession
+    keep_df = spark.createDataFrame([(k,) for k in sorted(keep)], "id string")
+    rels_df = (
+        relations_df.join(
+            F.broadcast(keep_df.withColumnRenamed("id", "source")),
+            "source",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(keep_df.withColumnRenamed("id", "target")),
+            "target",
+            "left_semi",
+        )
+        .limit(max_edges)
+    )
+    rels = [r.asDict() for r in rels_df.collect()]
     if backend == "pyecharts":
         return render_pyecharts(ents, rels, output_path, **kwargs)
     if backend != "html":

@@ -551,3 +551,89 @@ def test_lsh_ops_tolerate_empty_embeddings(spark, emb):
         ).count()
         == 0
     )
+
+
+def test_bucket_udf_null_and_ragged_rows(spark, emb):
+    """NULL embeddings and rows whose length differs from the probed dim
+    yield NULL bucket keys (graceful NULL propagation) instead of crashing
+    the Arrow kernel; non-degenerate rows keep their exact keys."""
+    base = {r["vec_id"]: r["bucket"] for r in
+            similarity.hyperplane_bucket(emb, n_planes=4).collect()}
+    degraded = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(None))          # NULL rows
+        .when(F.col("vec_id") % 7 == 0, F.slice("embedding", 1, 3))  # ragged
+        .otherwise(F.col("embedding")),
+    )
+    got = {r["vec_id"]: r["bucket"] for r in
+           similarity.hyperplane_bucket(degraded, n_planes=4).collect()}
+    assert set(got) == set(base)
+    for vid, bucket in got.items():
+        if vid % 11 == 0 or vid % 7 == 0:
+            assert bucket is None, vid
+        else:
+            assert bucket == base[vid], vid
+    # the near-dup scale path must survive the same degradation and never
+    # emit a degraded id (NULL keys fall out of the bucket join)
+    pairs = dedup.embedding_near_dup_pairs(
+        degraded, threshold=0.2, lsh_tables=2, lsh_planes=3
+    ).collect()
+    assert all(
+        r["id_a"] % 11 != 0 and r["id_a"] % 7 != 0
+        and r["id_b"] % 11 != 0 and r["id_b"] % 7 != 0
+        for r in pairs
+    )
+
+
+def test_bucket_udf_nan_matches_sql_semantics(spark, emb):
+    """A NaN projection must take the '1' sign bit: both Spark SQL and
+    DuckDB order NaN above every number (`NaN >= 0` is true), so the Arrow
+    kernel mirrors that — np.where(proj >= 0) alone would flip it."""
+    import duckdb
+
+    one = emb.limit(1).withColumn(
+        "embedding",
+        F.transform("embedding", lambda _: F.lit(float("nan")).cast("float")),
+    )
+    n_planes = 4
+    [row] = similarity.hyperplane_bucket(one, n_planes=n_planes).collect()
+    assert row["bucket"] == "1" * n_planes
+    # independent engine check of the comparison semantics the kernel mirrors
+    assert duckdb.sql("SELECT 'nan'::DOUBLE >= 0").fetchone()[0] is True
+    assert spark.sql("SELECT double('NaN') >= 0").collect()[0][0] is True
+
+
+def test_decode_pgm_whitespace_leading_raster():
+    """P5 raster bytes that happen to be whitespace codes (9-13, 32) are
+    pixel data, not header separators: exactly one whitespace byte follows
+    maxval.  A split(None)-based parser silently truncates this raster."""
+    pixels = bytes([32, 10, 65, 66, 67, 68])
+    payload = b"P5\n3 2\n255\n" + pixels
+    w, h, maxval, mean = multimodal.decode_pgm(payload)
+    assert (w, h, maxval) == (3.0, 2.0, 255.0)
+    assert mean == pytest.approx(sum(pixels) / 6 / 255)
+    # multi-whitespace header tokens still parse
+    w2, h2, maxval2, mean2 = multimodal.decode_pgm(
+        b"P5  \n 2   2 \n255 " + bytes([1, 2, 3, 4])
+    )
+    assert (w2, h2, maxval2, mean2) == (2.0, 2.0, 255.0, pytest.approx(10 / 4 / 255))
+    with pytest.raises(ValueError):
+        multimodal.decode_pgm(b"P5\n3 2")  # truncated header
+
+
+def test_job_cli_rejects_typos_and_missing_values():
+    """A mistyped flag or a flag missing its value is a usage error, not a
+    silent positional (the old hand-rolled parser routed '--allowed-kind'
+    into warehouse_root)."""
+    from scrapontologies_spark.plans.job import _arg_parser
+
+    ap = _arg_parser()
+    args = ap.parse_args(
+        ["/tmp/wh", "123", "--salt", "4", "--allowed-kinds", "function,class"]
+    )
+    assert args.warehouse_root == "/tmp/wh" and args.n_rows == 123
+    assert args.salt == 4 and args.allowed_kinds == "function,class"
+    with pytest.raises(SystemExit):
+        ap.parse_args(["--allowed-kind", "function", "/tmp/wh"])  # typo
+    with pytest.raises(SystemExit):
+        ap.parse_args(["--salt"])  # missing value
