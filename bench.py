@@ -16,6 +16,13 @@ Two workload families:
 2. Driver-contract operator queries (SURVEY §2 + training-data ops) over
    the driver's parquet tables, each forced end-to-end with a noop sink so
    Catalyst can't prune the work away.
+
+Every timed unit runs ``$SPARK_GRAFT_REPEATS`` times (default 2) in
+INTERLEAVED passes (all queries once, then again) and reports the per-query
+minimum: this VM's hypervisor-steal bursts last seconds and inflate any
+single draw 2-5× (BENCH_SCALING.md methodology), and interleaving
+decorrelates a burst from any one query, so min-of-passes is the honest
+noise-floor estimator BASELINE.md asks readers to apply by hand.
 """
 
 from __future__ import annotations
@@ -89,6 +96,7 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     sf = _sf_from_dir(sf_dir)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -120,46 +128,56 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    extra_queries: dict[str, float] = {}
 
-    # --- flagship KG pipeline --------------------------------------------
+    def _keep_min(store: dict, name: str, dt: float) -> None:
+        dt = round(dt, 3)
+        store[name] = min(store.get(name, dt), dt)
+
     n_docs = max(2_000, int(CORPUS_DOCS_PER_SF * sf))
     corpus = corpus_df(spark, n_docs).persist()
     corpus.count()  # input materialization excluded (on a cluster the
     # corpus is an Iceberg table already on disk)
-    t0 = time.time()
-    # emit_chunks=False: measure the deliverables job (triples + entities +
-    # schemas); chunk rows are intermediate state, not an output table
-    res = run_pipeline(corpus, chunk_bytes=1024, with_schemas=True, emit_chunks=False)
-    n_triples = res.triples.count()
-    n_entities = res.entities.count()
-    dt = time.time() - t0
-    timings["kg_pipeline"] = round(dt, 3)
-    extra["kg_triples_per_sec"] = round(n_triples / dt, 1)
-    extra["kg_n_triples"] = n_triples
-    extra["kg_n_entities"] = n_entities
-    extra["kg_n_docs"] = n_docs
-    res.doc_rows.unpersist()
-    corpus.unpersist()
-
-    # --- operator catalog over the driver tables -------------------------
     qmap = driver_queries.queries()
-    for name in HEADLINE:
-        if name not in qmap:
-            continue
-        t0 = time.time()
-        _force(qmap[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
 
-    # round-2 additions, timed OUTSIDE the headline wall so the headline
-    # stays comparable across rounds (same 21-query basis as round 1)
-    extra_queries: dict[str, float] = {}
-    for name in EXTRA_QUERIES:
-        if name not in qmap:
-            continue
+    for _pass in range(repeats):
+        # --- flagship KG pipeline ----------------------------------------
         t0 = time.time()
-        _force(qmap[name](spark, sf_dir))
-        extra_queries[name] = round(time.time() - t0, 3)
+        # emit_chunks=False: measure the deliverables job (triples +
+        # entities + schemas); chunk rows are intermediate state, not an
+        # output table
+        res = run_pipeline(
+            corpus, chunk_bytes=1024, with_schemas=True, emit_chunks=False
+        )
+        n_triples = res.triples.count()
+        n_entities = res.entities.count()
+        dt = time.time() - t0
+        if timings.get("kg_pipeline", float("inf")) > dt:
+            extra["kg_triples_per_sec"] = round(n_triples / dt, 1)
+        _keep_min(timings, "kg_pipeline", dt)
+        extra["kg_n_triples"] = n_triples
+        extra["kg_n_entities"] = n_entities
+        extra["kg_n_docs"] = n_docs
+        res.doc_rows.unpersist()
 
+        # --- operator catalog over the driver tables ---------------------
+        for name in HEADLINE:
+            if name not in qmap:
+                continue
+            t0 = time.time()
+            _force(qmap[name](spark, sf_dir))
+            _keep_min(timings, name, time.time() - t0)
+
+        # round-2 additions, timed OUTSIDE the headline wall so the
+        # headline stays comparable across rounds (round 1's 21-query basis)
+        for name in EXTRA_QUERIES:
+            if name not in qmap:
+                continue
+            t0 = time.time()
+            _force(qmap[name](spark, sf_dir))
+            _keep_min(extra_queries, name, time.time() - t0)
+
+    corpus.unpersist()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -171,6 +189,7 @@ def main() -> None:
                 "extra_queries": extra_queries,
                 "sf": sf,
                 "cpus": cpus,
+                "repeats": repeats,
                 **extra,
             }
         )
