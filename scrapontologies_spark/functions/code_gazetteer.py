@@ -93,7 +93,13 @@ _GO_FUNC = re.compile(r"^func\s+(?:\([^)]*\)\s*)?(\w+)\s*\(", re.M)
 _GO_TYPE = re.compile(r"^type\s+(\w+)\s+struct", re.M)
 
 _JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
-_JAVA_CLASS = re.compile(r"^\s*(?:public\s+|final\s+)?class\s+(\w+)", re.M)
+# Stacked modifiers ('public final class', 'protected abstract class', …)
+# are one alternation with *, same as _JAVA_METHOD — a single optional
+# modifier missed 'public final class Foo' entirely.
+_JAVA_CLASS = re.compile(
+    r"^\s*(?:(?:public|protected|private|abstract|final|static)\s+)*class\s+(\w+)",
+    re.M,
+)
 _JAVA_METHOD = re.compile(r"^\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{", re.M)
 
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
@@ -183,12 +189,16 @@ def extract_mentions(
     elif lang == "java":
         for m in _JAVA_IMPORT.finditer(text):
             out.append({"kind": "import", "name": m.group(1), "owner": ""})
-        cls = ""
-        for m in _JAVA_CLASS.finditer(text):
-            cls = m.group(1)
-            out.append({"kind": "class", "name": cls, "owner": ""})
+        # position-aware owner attribution, like the python branch: a
+        # method belongs to the nearest class declared ABOVE it in the
+        # chunk, not to whichever class the finditer loop saw last
+        class_spans = sorted((m.start(), m.group(1)) for m in _JAVA_CLASS.finditer(text))
+        for _, cname in class_spans:
+            out.append({"kind": "class", "name": cname, "owner": ""})
         for m in _JAVA_METHOD.finditer(text):
-            out.append({"kind": "method", "name": m.group(1), "owner": cls})
+            preceding = [c for c in class_spans if c[0] < m.start()]
+            owner = preceding[-1][1] if preceding else ""
+            out.append({"kind": "method", "name": m.group(1), "owner": owner})
         out.extend(_calls(text))
     elif lang == "text":
         for m in _TEXT_TERM_RE.finditer(text):
@@ -250,7 +260,11 @@ def chunk_payload(mentions: Iterable[Dict[str, str]]) -> Dict[str, Any]:
         if m["kind"] == "call":
             callee, caller = m["name"], m["owner"]
             delta: Dict[str, Any] = {callee: {"kind": "NA", "called_by": [caller or "__module__"]}}
-            if caller:
+            if caller == callee:
+                # self-recursive call: caller and callee are ONE delta key —
+                # a second dict entry would overwrite the called_by above
+                delta[callee]["calls"] = [callee]
+            elif caller:
                 delta[caller] = {"kind": "NA", "calls": [callee]}
             merge_into_owned(payload, delta)
         elif m["kind"] == "import":
@@ -416,12 +430,22 @@ def triples_for_mentions(
 
 
 def document_triples(
-    repo: str, path: str, lang: str, content: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+    repo: str,
+    path: str,
+    lang: str,
+    content: str,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    allowed_kinds=None,
+    allowed_terms=None,
 ) -> List[Tuple[str, str, str, str]]:
     """Sequential triple oracle for one document: sorted (subj, pred, obj,
-    rel_type) rows derived via :func:`triples_for_mentions`."""
+    rel_type) rows derived via :func:`triples_for_mentions`.  Takes the
+    same P8 filter parameters as the fused UDF path, so the filtered
+    extraction is oracle-checkable too."""
     module_id = f"{repo}/{path}"
     triples = set()
     for _, text in chunk_text(content, chunk_bytes):
-        triples |= triples_for_mentions(module_id, extract_mentions(lang, text))
+        triples |= triples_for_mentions(
+            module_id, extract_mentions(lang, text, allowed_kinds, allowed_terms)
+        )
     return sorted(triples)

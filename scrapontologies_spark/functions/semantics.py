@@ -234,11 +234,20 @@ def merge_extracted_pages(
     bad: List[str] = []
     for page_answer in page_answers:
         try:
-            parsed.append(json.loads(page_answer))
+            p = json.loads(page_answer)
         except json.JSONDecodeError as e:
             if not quarantine:
                 raise ValueError(f"Error merging extracted data: {e}") from e
             bad.append(page_answer)
+            continue
+        if quarantine and not isinstance(p, dict):
+            # valid JSON but not an object ('[1,2]', '"x"', '3') — the fold
+            # needs dicts, so this page is quarantined like unparseable
+            # ones.  With quarantine=False it flows through and fails in
+            # the merge exactly where the reference's would.
+            bad.append(page_answer)
+            continue
+        parsed.append(p)
     merged = combine_entities_data(parsed)
     entities = [Entity(id=k, type="object", attributes=v) for k, v in merged.items()]
     return entities, bad

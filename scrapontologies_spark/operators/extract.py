@@ -230,7 +230,10 @@ def extract_document_rows(
                     n_chunks += 1
                     mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
                     payload = chunk_payload(mentions)
-                    if with_entities or emit_chunks:
+                    if with_entities:
+                        # only the A2 fold below reads this list; chunk rows
+                        # serialize the payload at append time, so keeping
+                        # it for emit_chunks alone would be dead weight
                         payloads.append(payload)
                     digest = chunk_schema_digest(payload) if (
                         with_schemas or emit_chunks

@@ -71,6 +71,18 @@ def run_job(
     wh = Warehouse(warehouse_root, fmt)
     infos: Dict[str, StageInfo] = {}
 
+    # Resume guard: every stage's output is a function of the extraction
+    # parameters, so the SAME token covers the whole DAG — re-running
+    # against this warehouse with a different chunking or filter rebuilds
+    # instead of serving stale checkpoints.  salt is deliberately excluded:
+    # it is a physical knob (salted == plain, equivalence-tested), and
+    # invalidating checkpoints over it would force needless rebuilds.
+    cfg = {
+        "chunk_bytes": chunk_bytes,
+        "allowed_kinds": allowed_kinds,
+        "allowed_terms": allowed_terms,
+    }
+
     # Fused one-pass extraction: chunk/fold/schema/triple rows from ONE
     # narrow mapInPandas over the scan (operators/extract.py) — the 100 TB
     # hot path has zero shuffles; the warehouse write is the only wide cost
@@ -82,14 +94,15 @@ def run_job(
             corpus, chunk_bytes, with_schemas,
             allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
         ),
+        config=cfg,
     )
 
     triples_raw, infos["triples_raw"] = wh.run_stage(
-        spark, "triples_raw", lambda: triples_view(extracted)
+        spark, "triples_raw", lambda: triples_view(extracted), config=cfg
     )
 
     doc_entities, infos["doc_entities"] = wh.run_stage(
-        spark, "doc_entities", lambda: doc_entities_view(extracted)
+        spark, "doc_entities", lambda: doc_entities_view(extracted), config=cfg
     )
 
     def build_entities() -> DataFrame:
@@ -115,7 +128,7 @@ def run_job(
             return reconcile(existing, new, salt=8 if salt is None else salt)
         return new
 
-    entities, infos["entities"] = wh.run_stage(spark, "entities", build_entities)
+    entities, infos["entities"] = wh.run_stage(spark, "entities", build_entities, config=cfg)
 
     if with_cc:
         labels, infos["alias_labels"] = wh.run_stage(
@@ -124,12 +137,14 @@ def run_job(
             lambda: prefer_real_canonical(
                 connected_components(module_alias_edges(entities))
             ),
+            config=cfg,
         )
         triples_canon = canonicalize_triples(triples_raw, labels)
         entities_final, infos["entities_canonical"] = wh.run_stage(
             spark,
             "entities_canonical",
             lambda: canonicalize_entities(entities, labels),
+            config=cfg,
         )
     else:
         triples_canon = triples_raw
@@ -139,11 +154,12 @@ def run_job(
         spark,
         "triples",
         lambda: referential_integrity(triples_canon, entities_final),
+        config=cfg,
     )
 
     if with_schemas:
         doc_schemas, infos["doc_schemas"] = wh.run_stage(
-            spark, "doc_schemas", lambda: doc_schemas_view(extracted)
+            spark, "doc_schemas", lambda: doc_schemas_view(extracted), config=cfg
         )
 
         def build_global() -> DataFrame:
@@ -152,7 +168,7 @@ def run_job(
                 [("global", canonical_json(g))], "scope string, schema_json string"
             )
 
-        gdf, infos["global_schema"] = wh.run_stage(spark, "global_schema", build_global)
+        gdf, infos["global_schema"] = wh.run_stage(spark, "global_schema", build_global, config=cfg)
 
         # M5(a) — containment triples from the global ontology (the Digraph
         # exemplar, prompts.py:1-38; rendered arrows pyecharts_renderer.py:
@@ -176,7 +192,7 @@ def run_job(
             )
 
         _, infos["containment_triples"] = wh.run_stage(
-            spark, "containment_triples", build_containment
+            spark, "containment_triples", build_containment, config=cfg
         )
 
     return infos

@@ -12,14 +12,27 @@ an Iceberg catalog (``df.writeTo(table).using("iceberg")``) is a config
 switch, not a rewrite — no Iceberg jars ship in this container.
 
 Metrics: one row per completed stage (stage, rows, wall_ms, fingerprint)
-appended to ``_metrics``; fingerprint is an order-independent xor of row
-hashes so cross-run output equality is checkable without a diff.
+under ``_metrics/stage=<name>`` (overwritten per attempt — a crashed
+attempt leaves no orphan rows); fingerprint is an order-independent
+MODULAR SUM of row hashes (Σ xxhash64(row) mod 2⁶³), so cross-run output
+equality is checkable without a diff.  Sum, not xor: xor cancels rows with
+even multiplicity, so {A,A,C} and {B,B,C} would collide — exactly the
+duplication bugs a dedup engine's fingerprint must catch.
 
-Lineage: one row per checkpoint FILE (stage, file, rows, fingerprint)
-appended to ``_lineage`` — the per-partition lineage rows of the north_rule.
-The file is the durable partition unit (what a restarted reader re-reads);
-stage totals are derived from the same aggregation (count sums, bit_xor is
-associative), so lineage and metrics can never disagree.
+Lineage: one row per checkpoint FILE under ``_lineage/stage=<name>`` —
+the per-partition lineage rows of the north_rule.  The file is the durable
+partition unit (what a restarted reader re-reads); stage totals are
+derived from the same aggregation (count sums; the modular sum is
+associative), so lineage and metrics can never disagree.  Per-stage
+overwrite means a retry after a crash between lineage write and marker
+commit replaces the orphan rows instead of appending next to them.
+
+Resume is guarded by a CONFIG TOKEN: ``run_stage(..., config=...)`` stores
+a canonical-JSON token in the stage marker and rebuilds when the stored
+token differs — re-running a job with changed parameters (filters,
+chunking) cannot silently serve a stale checkpoint.  The token covers
+declared parameters only; the warehouse root is per-corpus by contract
+(input data is snapshot-immutable, as on Iceberg).
 """
 
 from __future__ import annotations
@@ -43,8 +56,34 @@ class StageInfo:
     skipped: bool = False
 
 
+_FP_MOD = 2 ** 63
+
+
+def _config_token(config) -> Optional[str]:
+    """Canonical-JSON token for a stage's declared parameters (frozensets
+    and sets serialize as sorted lists; None → no token)."""
+    if config is None:
+        return None
+
+    def default(o):
+        if isinstance(o, (set, frozenset)):
+            return sorted(o)
+        raise TypeError(f"unserializable config value: {o!r}")
+
+    return json.dumps(config, sort_keys=True, default=default)
+
+
 class Warehouse:
     def __init__(self, root: str, fmt: str = "parquet"):
+        if "://" in root and not root.startswith("file:"):
+            # manifest markers use driver-local POSIX I/O; a remote root
+            # would silently decouple resume state from the data.  At
+            # cluster scale the sanctioned storage layer is an Iceberg
+            # catalog (SURVEY §1.4), not this local-FS warehouse.
+            raise NotImplementedError(
+                f"non-local warehouse root {root!r}: the manifest is "
+                "driver-local; use an Iceberg catalog for remote storage"
+            )
         self.root = root.rstrip("/")
         self.fmt = fmt
         os.makedirs(f"{self.root}/_manifest", exist_ok=True)
@@ -54,10 +93,18 @@ class Warehouse:
     def _marker(self, name: str) -> str:
         return f"{self.root}/_manifest/{name}.json"
 
-    def is_complete(self, name: str) -> bool:
-        return os.path.exists(self._marker(name))
+    def is_complete(self, name: str, config_token: Optional[str] = None) -> bool:
+        """Stage complete AND built with the same declared parameters.
+        A marker written with a different (or, conservatively, no) token
+        than the one now expected does not count as complete."""
+        if not os.path.exists(self._marker(name)):
+            return False
+        if config_token is None:
+            return True
+        with open(self._marker(name)) as f:
+            return json.load(f).get("config") == config_token
 
-    def _commit(self, info: StageInfo) -> None:
+    def _commit(self, info: StageInfo, config_token: Optional[str] = None) -> None:
         tmp = self._marker(info.name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -66,6 +113,7 @@ class Warehouse:
                     "rows": info.rows,
                     "wall_ms": info.wall_ms,
                     "fingerprint": info.fingerprint,
+                    "config": config_token,
                 },
                 f,
             )
@@ -81,6 +129,7 @@ class Warehouse:
         df: DataFrame,
         name: str,
         partition_by: Optional[Iterable[str]] = None,
+        config_token: Optional[str] = None,
     ) -> StageInfo:
         t0 = time.monotonic()
         w = df.write.mode("overwrite").format(self.fmt)
@@ -90,25 +139,39 @@ class Warehouse:
         spark = df.sparkSession
         out = spark.read.format(self.fmt).load(self.path(name))
         # per-file lineage rows; stage totals fold out of the SAME rows
-        # (count sums, bit_xor is associative), so _lineage and _metrics
-        # cannot disagree.  Totals come from this in-memory frame — never
-        # from re-reading _lineage, whose rows from a crashed earlier
-        # attempt (marker not yet committed) would double-count; such
-        # orphans reference files the overwrite has already deleted and are
-        # superseded by the marker being the single commit point.
+        # (count sums; the modular hash-sum is associative), so _lineage
+        # and _metrics cannot disagree.  Per-file fingerprint = Σ
+        # xxhash64(row) mod 2⁶³ — multiplicity-sensitive where bit_xor
+        # cancels even-multiplicity rows (see module docstring); summed as
+        # decimal so the bigint sum cannot overflow under ANSI mode.
         lin = (
             out.groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.count("*").alias("rows"),
-                F.bit_xor(F.xxhash64(*out.columns)).alias("fingerprint"),
+                F.pmod(
+                    F.sum(F.xxhash64(*out.columns).cast("decimal(38,0)")),
+                    F.lit(str(_FP_MOD)).cast("decimal(38,0)"),
+                )
+                .cast("long")
+                .alias("fingerprint"),
             )
-            .select(F.lit(name).alias("stage"), "file", "rows", "fingerprint")
             .persist()
         )
-        lin.write.mode("append").format(self.fmt).save(f"{self.root}/_lineage")
+        # per-stage partition dir, OVERWRITTEN per attempt: a crash between
+        # this write and the marker commit leaves rows a retry replaces,
+        # never orphans appended next to live rows.  Readers recover the
+        # `stage` column from partition discovery.
+        lin.write.mode("overwrite").format(self.fmt).save(
+            f"{self.root}/_lineage/stage={name}"
+        )
         agg = lin.agg(
             F.sum("rows").alias("n"),
-            F.bit_xor("fingerprint").alias("h"),
+            F.pmod(
+                F.sum(F.col("fingerprint").cast("decimal(38,0)")),
+                F.lit(str(_FP_MOD)).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("h"),
         ).collect()[0]
         lin.unpersist()
         info = StageInfo(
@@ -118,7 +181,7 @@ class Warehouse:
             fingerprint=agg["h"] if agg["h"] is not None else 0,
         )
         self._append_metrics(spark, info)
-        self._commit(info)
+        self._commit(info, config_token)
         return info
 
     def write_bucketed(
@@ -154,10 +217,12 @@ class Warehouse:
         return spark.read.format(self.fmt).load(self.path(name))
 
     def _append_metrics(self, spark: SparkSession, info: StageInfo) -> None:
-        row = [(info.name, info.rows, info.wall_ms, info.fingerprint)]
+        row = [(info.rows, info.wall_ms, info.fingerprint)]
         spark.createDataFrame(
-            row, "stage string, rows long, wall_ms long, fingerprint long"
-        ).write.mode("append").format(self.fmt).save(f"{self.root}/_metrics")
+            row, "rows long, wall_ms long, fingerprint long"
+        ).write.mode("overwrite").format(self.fmt).save(
+            f"{self.root}/_metrics/stage={info.name}"
+        )
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.format(self.fmt).load(f"{self.root}/_metrics")
@@ -173,16 +238,21 @@ class Warehouse:
         name: str,
         build: Callable[[], DataFrame],
         partition_by: Optional[Iterable[str]] = None,
+        config=None,
     ) -> tuple[DataFrame, StageInfo]:
         """Build-and-write unless the manifest already marks the stage
-        complete; either way return the stored DataFrame (so downstream
-        stages read the checkpoint, not the lineage — restart-safe)."""
-        if self.is_complete(name):
+        complete WITH the same ``config`` (any JSON-serializable value of
+        the parameters this stage's output depends on); either way return
+        the stored DataFrame (so downstream stages read the checkpoint, not
+        the lineage — restart-safe).  A marker from a run with different
+        parameters triggers a rebuild instead of serving stale data."""
+        token = _config_token(config)
+        if self.is_complete(name, token):
             with open(self._marker(name)) as f:
                 meta = json.load(f)
             return (
                 self.read_stage(spark, name),
                 StageInfo(name, meta["rows"], 0, meta["fingerprint"], skipped=True),
             )
-        info = self.write_stage(build(), name, partition_by)
+        info = self.write_stage(build(), name, partition_by, config_token=token)
         return self.read_stage(spark, name), info

@@ -25,11 +25,15 @@ def test_resume_skips_and_matches(spark, corpus, tmp_path):
     # uninterrupted run
     clean = run_job(spark, corpus, clean_root, chunk_bytes=512)
 
-    # interrupted run: execute only the first stages, then "crash"
+    # interrupted run: execute only the first stages, then "crash" — the
+    # SAME job config as the restart, so the marker's config token matches
     wh = Warehouse(resumed_root)
     from scrapontologies_spark.operators.extract import extract_document_rows
 
-    wh.run_stage(spark, "extracted", lambda: extract_document_rows(corpus, 512))
+    cfg = {"chunk_bytes": 512, "allowed_kinds": None, "allowed_terms": None}
+    wh.run_stage(
+        spark, "extracted", lambda: extract_document_rows(corpus, 512), config=cfg
+    )
     assert wh.is_complete("extracted")
 
     # restart from scratch: extraction must be skipped, everything else computed
@@ -102,7 +106,7 @@ def test_format_switch_orc_runs_and_resumes(spark, corpus, tmp_path):
 def test_salted_reconcile_job_stage_equivalence(spark, corpus, tmp_path):
     """north_star skew mandate: the entity reconcile join runs salted in the
     REAL job when entities_prev exists, and salted == plain on the job
-    stage's own fingerprint (order-independent xor of row hashes)."""
+    stage's own fingerprint (order-independent modular sum of row hashes)."""
     from pyspark.sql import functions as F
 
     seed_root = str(tmp_path / "seed")
@@ -143,9 +147,8 @@ def test_metrics_lineage_rows(spark, corpus, tmp_path):
 
 def test_per_partition_lineage_consistent_with_metrics(spark, corpus, tmp_path):
     """north_rule: per-partition lineage rows — one per checkpoint file,
-    whose counts sum (and fingerprints xor) to the stage metrics row."""
-    from functools import reduce
-
+    whose counts sum (and whose modular hash-sums combine) to the stage
+    metrics row."""
     root = str(tmp_path / "wh")
     infos = run_job(spark, corpus, root, chunk_bytes=512, with_schemas=True)
     wh = Warehouse(root)
@@ -157,9 +160,45 @@ def test_per_partition_lineage_consistent_with_metrics(spark, corpus, tmp_path):
         rows = by_stage[stage]
         assert all(r.file for r in rows)
         assert sum(r.rows for r in rows) == info.rows, stage
-        assert reduce(lambda a, b: a ^ b, (r.fingerprint for r in rows), 0) == (
-            info.fingerprint
-        ), stage
+        assert sum(r.fingerprint for r in rows) % 2 ** 63 == info.fingerprint, stage
     # multi-partition stage really has >1 lineage row (per-partition, not
     # per-stage)
     assert len(by_stage["extracted"]) > 1
+
+
+def test_config_mismatch_rebuilds_stage(spark, corpus, tmp_path):
+    """Re-running against the same warehouse with a DIFFERENT extraction
+    filter must rebuild, not serve the stale checkpoint (the resume marker
+    carries a config token)."""
+    root = str(tmp_path / "wh")
+    first = run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+                    with_schemas=False)
+    filtered = run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+                       with_schemas=False, allowed_kinds=frozenset({"import"}))
+    assert not filtered["extracted"].skipped
+    assert filtered["triples_raw"].rows < first["triples_raw"].rows
+    # and an identical re-run of the filtered config IS skipped again
+    again = run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+                    with_schemas=False, allowed_kinds=frozenset({"import"}))
+    assert all(info.skipped for info in again.values())
+    assert again["triples_raw"].fingerprint == filtered["triples_raw"].fingerprint
+
+
+def test_fingerprint_detects_even_multiplicity_swaps(spark, tmp_path):
+    """{A,A,C} and {B,B,C} must fingerprint differently — a xor of row
+    hashes cancels even-multiplicity rows and cannot tell these apart,
+    which is exactly the duplication-bug class a dedup engine must catch."""
+    wh = Warehouse(str(tmp_path / "whf"))
+    aac = spark.createDataFrame([("A",), ("A",), ("C",)], "v string")
+    bbc = spark.createDataFrame([("B",), ("B",), ("C",)], "v string")
+    f1 = wh.write_stage(aac, "aac").fingerprint
+    f2 = wh.write_stage(bbc, "bbc").fingerprint
+    assert f1 != f2
+
+
+def test_remote_warehouse_root_rejected(tmp_path):
+    """The manifest is driver-local POSIX; a remote root must fail fast
+    instead of silently decoupling resume state from data."""
+    with pytest.raises(NotImplementedError):
+        Warehouse("s3://bucket/wh")
+    Warehouse(str(tmp_path / "ok"))  # local path fine

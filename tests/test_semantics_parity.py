@@ -261,3 +261,79 @@ def test_containment_relations():
     assert ("portfolio", "has_fees", "fees") in triples
     assert ("fees", "has_fundExpenses", "fundExpenses") in triples
     assert ("portfolio", "has_name", "name") not in triples  # scalars are not nodes
+
+
+# --- gazetteer attribution / payload edge cases ----------------------------
+
+
+def test_java_method_owner_is_nearest_class_above():
+    """A Java method belongs to the class declared nearest ABOVE it, not to
+    whichever class a finditer loop saw last; stacked modifiers
+    ('public final class') must still declare a class."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "public final class A {\n"
+        "    public int foo(int x) {\n        return x;\n    }\n"
+        "}\n"
+        "class B {\n"
+        "    public int bar(int x) {\n        return x;\n    }\n"
+        "}\n"
+    )
+    ms = extract_mentions("java", src)
+    classes = {m["name"] for m in ms if m["kind"] == "class"}
+    owners = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
+    assert classes == {"A", "B"}
+    assert owners == {"foo": "A", "bar": "B"}
+    # method in a chunk with no class declaration keeps owner ''
+    ms2 = extract_mentions("java", "    public int baz(int x) {\n")
+    assert [m["owner"] for m in ms2 if m["kind"] == "method"] == [""]
+
+
+def test_self_recursive_call_keeps_called_by():
+    """caller == callee must accumulate BOTH calls and called_by on the one
+    payload key — a second delta entry under the same key would overwrite
+    the called_by list."""
+    from scrapontologies_spark.functions.code_gazetteer import (
+        chunk_payload,
+        extract_mentions,
+    )
+
+    payload = chunk_payload(extract_mentions("python", "def f():\n    f()\n"))
+    assert payload["f"]["kind"] == "function"
+    assert payload["f"]["calls"] == ["f"]
+    assert payload["f"]["called_by"] == ["f"]
+
+
+def test_quarantine_non_object_json_pages():
+    """Valid JSON that is not an object ('[1,2]', '\"x\"', '3') quarantines
+    like unparseable pages instead of crashing the merge."""
+    good = '{"a": {"kind": "function"}}'
+    for bad_page in ("[1, 2, 3]", '"just a string"', "42"):
+        entities, bad = S.merge_extracted_pages([good, bad_page], quarantine=True)
+        assert bad == [bad_page]
+        assert [e.id for e in entities] == ["a"]
+    with pytest.raises(AttributeError):
+        S.merge_extracted_pages([good, "[1]"], quarantine=False)
+
+
+def test_document_triples_oracle_accepts_p8_filters():
+    """The sequential triple oracle takes the same P8 parameters as the
+    fused UDF, and equals the manual compose of chunk/extract/filter."""
+    from scrapontologies_spark.functions.code_gazetteer import (
+        chunk_text,
+        document_triples,
+        extract_mentions,
+        triples_for_mentions,
+    )
+
+    content = "import os\nclass C:\n    def m(self):\n        os.path(1)\n"
+    kinds = frozenset({"import"})
+    got = document_triples("r", "p.py", "python", content, 512, kinds, None)
+    want = set()
+    for _, text in chunk_text(content, 512):
+        want |= triples_for_mentions(
+            "r/p.py", extract_mentions("python", text, kinds, None)
+        )
+    assert got == sorted(want)
+    assert got and all(pred == "imports" for _, pred, _, _ in got)
