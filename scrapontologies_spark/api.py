@@ -22,8 +22,9 @@ deterministic distributed operators:
 Prompt handling: the reference threads free text into the extraction
 prompts (pdf_parser.py:399-401).  The deterministic stand-in parses the
 prompt's word tokens — tokens naming mention KINDS (function/class/method/
-import/call/term) restrict ``allowed_kinds``; all other tokens restrict
-the prose gazetteer via ``allowed_terms``.  Pass ``allowed_kinds``/
+import/call/term) restrict ``allowed_kinds``; tokens naming gazetteer
+vocabulary terms (code_gazetteer.TEXT_TERMS) restrict the prose gazetteer
+via ``allowed_terms``; other words are filler.  Pass ``allowed_kinds``/
 ``allowed_terms`` directly for exact control.
 
 State semantics mirror the reference: ``extract_*`` (re)populates parser
@@ -56,12 +57,21 @@ _KINDS = {"function", "class", "method", "import", "call", "term"}
 
 def _parse_prompt(prompt: Optional[str]) -> "tuple[frozenset | None, frozenset | None]":
     """Deterministic user_prompt_for_filter stand-in: kind-named tokens →
-    allowed_kinds; every other word token → allowed_terms."""
+    allowed_kinds; tokens naming gazetteer VOCABULARY terms (TEXT_TERMS) →
+    allowed_terms.  Other words are filler ("only", "declarations") and
+    constrain nothing.  When both kinds and terms are named, 'term' joins
+    allowed_kinds — the kinds filter runs first in extract_mentions, and
+    without it the named terms would be unreachable ("function join" would
+    silently drop its term selection)."""
     if not prompt:
         return None, None
+    from .functions.code_gazetteer import TEXT_TERMS
+
     toks = [t.lower() for t in re.findall(r"\w+", prompt)]
     kinds = frozenset(t for t in toks if t in _KINDS)
-    terms = frozenset(t for t in toks if t not in _KINDS)
+    terms = frozenset(t for t in toks if t in TEXT_TERMS and t not in _KINDS)
+    if kinds and terms:
+        kinds = kinds | {"term"}
     return (kinds or None), (terms or None)
 
 
@@ -124,8 +134,11 @@ class CorpusExtractor:
         self, prompt: Optional[str] = None
     ) -> List[Relation]:
         """extractor.py:105-115 — M5(a) containment relations over the
-        current (or freshly extracted) entity schema."""
-        if not self._entities:
+        current (or freshly extracted) entity schema.  A non-None prompt
+        always re-extracts with that filter — the reference threads the
+        prompt into every extraction, so a filtered relation request after
+        an unfiltered run must not silently reuse the stale entity set."""
+        if prompt is not None or not self._entities:
             self.extract_entities_schema(prompt)
         self._relations = derive_containment_relations(self._entities)
         return self._relations
@@ -143,7 +156,8 @@ class CorpusExtractor:
 
         return doc_entities_view(
             extract_document_rows(
-                self.corpus, self.chunk_bytes, with_schemas=False, emit_chunks=False
+                self.corpus, self.chunk_bytes, with_schemas=False,
+                emit_chunks=False, with_triples=False,
             )
         )
 
@@ -188,10 +202,20 @@ class CorpusExtractor:
             )
         elif decision["Type"] == "Relation":
             # the ID is the stringified 3-tuple the reference evals
-            # (extractor.py:166); we parse it without eval
-            m = re.findall(r"'((?:[^'\\]|\\.)*)'", decision["ID"])
-            if len(m) == 3:
-                self._relations = delete_relation(self._relations, tuple(m))
+            # (extractor.py:166); ast.literal_eval parses it without eval's
+            # injection surface AND survives repr's quote switching (an
+            # apostrophe in any element makes repr use double quotes, which
+            # a quote-matching regex mis-splits)
+            import ast
+
+            try:
+                t = ast.literal_eval(decision["ID"])
+            except (ValueError, SyntaxError):
+                t = None
+            if isinstance(t, tuple) and len(t) == 3:
+                self._relations = delete_relation(
+                    self._relations, tuple(str(x) for x in t)
+                )
 
     # -- sinks (extractor.py:278-387; K1) -----------------------------------
 

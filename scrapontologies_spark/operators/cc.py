@@ -105,23 +105,25 @@ def prefer_real_canonical(
 
     Without this, a lib:: node (lexicographically < 'org...') would become
     canonical and the rewrite would erase real module identity — observed
-    as a 2× triple loss in referential integrity."""
+    as a 2× triple loss in referential integrity.
+
+    Implemented as two conditional mins + coalesce, NOT a sentinel-prefixed
+    sort key: a '~' marker would mangle real ids that themselves start with
+    '~' (stripping their first character into a phantom node) and lose to
+    real ids whose first codepoint sorts above '~' (DEL, non-ASCII)."""
     is_alias = None
     for p in alias_prefixes:
         cond = F.col("node").startswith(p)
         is_alias = cond if is_alias is None else (is_alias | cond)
-    sort_key = F.when(is_alias, F.concat(F.lit("~"), F.col("node"))).otherwise(
-        F.col("node")
-    )
     best = (
-        labels.select("component", sort_key.alias("_k"))
-        .groupBy("component")
-        .agg(F.min("_k").alias("_k"))
+        labels.groupBy("component")
+        .agg(
+            F.min(F.when(~is_alias, F.col("node"))).alias("_real_min"),
+            F.min("node").alias("_all_min"),
+        )
         .select(
             "component",
-            F.when(F.col("_k").startswith("~"), F.expr("substring(_k, 2)"))
-            .otherwise(F.col("_k"))
-            .alias("_canonical"),
+            F.coalesce("_real_min", "_all_min").alias("_canonical"),
         )
     )
     return labels.join(best, "component").select(
@@ -176,8 +178,15 @@ def canonicalize_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
         merged = combine_entities_data(
             [_json.loads(a) if a else {} for a in pdf["attributes"]]
         )
+        cid = pdf["_cid"].iloc[0]
+        # the merged row keeps the CANONICAL member's type when that node
+        # is in the group (prefer_real_canonical may pick a non-min id);
+        # min-id type is only the fallback for components whose canonical
+        # node carries no entity row
+        canon_rows = pdf.loc[pdf["id"] == cid, "type"]
+        typ = canon_rows.iloc[0] if len(canon_rows) else pdf["type"].iloc[0]
         return pd.DataFrame(
-            [(pdf["_cid"].iloc[0], pdf["type"].iloc[0], canonical_json(merged))],
+            [(cid, typ, canonical_json(merged))],
             columns=["id", "type", "attributes"],
         )
 

@@ -96,10 +96,21 @@ def cypher_script(
     batch_size: int = 1000,
 ) -> str:
     """Driver-side convenience: a runnable cypher-shell script with inlined
-    parameter JSON (for small canonical graphs / debugging)."""
+    parameters (for small canonical graphs / debugging).
+
+    The right side of ``:param rows =>`` is a CYPHER expression, not JSON:
+    map keys must be bare identifiers (``{id: ...}``) — ``{"id": ...}`` is
+    a Cypher syntax error.  Keys here are fixed identifiers, so only the
+    VALUES are JSON-encoded (JSON string literals are valid Cypher string
+    literals)."""
+
+    def _cypher_map(row: Dict[str, Any]) -> str:
+        return "{" + ", ".join(f"{k}: {json.dumps(v)}" for k, v in row.items()) + "}"
+
     parts = []
     for stmt, rows in list(entity_batches(entities, batch_size)) + list(
         triple_batches(triples, batch_size)
     ):
-        parts.append(f":param rows => {json.dumps(rows)};\n{stmt};")
+        rows_lit = "[" + ", ".join(_cypher_map(r) for r in rows) + "]"
+        parts.append(f":param rows => {rows_lit};\n{stmt};")
     return "\n".join(parts)

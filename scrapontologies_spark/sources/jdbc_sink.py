@@ -65,9 +65,14 @@ def write_jdbc(
     """Distributed JDBC write of a dimension table (entities / triples /
     generated 3NF rows).  ``num_partitions`` caps concurrent connections
     (JDBC servers melt under one-connection-per-core at cluster scale);
-    ``batchsize`` batches inserts per round trip."""
+    ``batchsize`` batches inserts per round trip.
+
+    repartition, NOT coalesce: coalesce propagates its narrow dependency
+    upstream and would collapse the whole producing pipeline to
+    ``num_partitions`` tasks; repartition pays one shuffle of only the
+    final rows and leaves upstream parallelism intact."""
     props = dict(properties or {})
     props.setdefault("batchsize", str(batch_size))
-    out = df.coalesce(num_partitions) if num_partitions else df
+    out = df.repartition(num_partitions) if num_partitions else df
     out.write.mode(mode).jdbc(url, table, properties=props)
     return out

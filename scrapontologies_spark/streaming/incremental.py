@@ -21,11 +21,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import (
-    DOC_ROWS_SCHEMA,
-    extract_document_rows,
-    triples_view,
-)
+from ..operators.extract import extract_document_rows, triples_view
 from ..sources.corpus import CORPUS_SCHEMA
 
 
@@ -100,8 +96,12 @@ def run_incremental_triples(
     continuously.  Restart with the same checkpoint_dir resumes exactly
     where the previous run stopped (files already processed are never
     re-emitted)."""
-    doc_rows = incremental_doc_rows(
-        stream_corpus(spark, input_dir), chunk_bytes, with_schemas=False
+    # emit selection: only triple rows are consumed, so don't serialize
+    # chunk payloads or run the entity fold per micro-batch (the chunk rows
+    # alone would add Arrow volume the size of the corpus text itself)
+    doc_rows = extract_document_rows(
+        stream_corpus(spark, input_dir), chunk_bytes, with_schemas=False,
+        with_entities=False, emit_chunks=False,
     )
     triples = triples_view(doc_rows)
     writer = (

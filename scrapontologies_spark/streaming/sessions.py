@@ -14,6 +14,17 @@ gap comparison runs on integer epoch microseconds, and session_idx is
 closed-session prefix of the stream equals the batch result minus each
 user's final (still-open) session (pinned in tests/test_streaming.py).
 
+Late data (cross-micro-batch disorder): an event older than the open
+session's last event MERGES into it — extending session_start backward
+when it lands within ``gap_minutes`` before the current start — so
+session_end can never precede session_start and batch parity holds for
+any disorder bounded by the gap.  An event too old even for that (before
+start − gap) is emitted immediately as a single-event session with the
+sentinel ``session_idx = 0``: visible, never silently dropped (O8
+discipline), and distinguishable from in-order numbering.  Already-closed
+sessions cannot be reopened — that is the streaming/batch divergence a
+watermarked source should prevent upstream.
+
 Scale shape: state is O(1) per user (6 scalars), the shuffle is the same
 hash(user_id) exchange the batch plan uses, and each micro-batch touches
 only users with new events.
@@ -65,6 +76,20 @@ def sessionize_stream(
         ts_us = _epoch_us(batch[ts_col])
         for t, v in zip(ts_us, batch[value_col]):
             t = int(t)
+            if last_us is not None and t < last_us:
+                # late event from an earlier micro-batch (within-batch rows
+                # are sorted): merge into the open session, extending its
+                # start backward if needed — NEVER move last_us backward,
+                # which would corrupt the gap chain (end < start).
+                if t >= start_us - gap_us:
+                    start_us = min(start_us, t)
+                    n += 1
+                    total += float(v)
+                else:
+                    # too late even to extend: emit as a sentinel
+                    # single-event session (idx 0) instead of dropping
+                    out.append((user, 0, t, t, 1, round(float(v), 6)))
+                continue
             if last_us is None or t - last_us > gap_us:
                 if last_us is not None:
                     out.append((user, idx, start_us, last_us, n, round(total, 6)))

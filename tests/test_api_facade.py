@@ -120,3 +120,51 @@ def test_create_tables_via_injected_client_and_render(spark):
     html = ex.render(title="G")
     first = ex.get_entities_schema()[0].id
     assert first in html and "<title>G</title>" in html
+
+
+def test_prompt_combining_kind_and_term_keeps_named_terms(spark):
+    """'function join' must keep the named term reachable: the kinds
+    filter runs before the terms filter, so 'term' joins allowed_kinds
+    whenever vocabulary terms are present.  Filler words constrain
+    nothing."""
+    from scrapontologies_spark.api import _parse_prompt
+
+    kinds, terms = _parse_prompt("function join")
+    assert "term" in kinds and "function" in kinds
+    assert terms == frozenset({"join"})
+    assert _parse_prompt("function") == (frozenset({"function"}), None)
+    assert _parse_prompt("scan join") == (None, frozenset({"scan", "join"}))
+    assert _parse_prompt("only import declarations") == (
+        frozenset({"import"}), None
+    )
+
+
+def test_relations_prompt_reextracts_on_warm_state(spark):
+    """A filtered relation request after an unfiltered extraction must not
+    reuse the stale entity set."""
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    ex.extract_entities_schema()
+    all_rels = set((r.source, r.name, r.target) for r in ex.extract_relations_schema())
+    filtered = set(
+        (r.source, r.name, r.target)
+        for r in ex.extract_relations_schema(prompt="import")
+    )
+    assert filtered < all_rels
+    assert all(t == "import" or s == "ROOT" for s, _, t in filtered) or filtered == set()
+    # entity state now reflects the filter too
+    assert {e.id for e in ex.get_entities_schema()} <= {"import"}
+
+
+def test_delete_relation_with_apostrophe_id(spark):
+    """Relation keys containing apostrophes survive the str(tuple) round
+    trip (literal_eval, not a quote-matching regex)."""
+    from scrapontologies_spark.functions.semantics import Relation
+
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    ex._relations = [
+        Relation(id="r1", source="a'b", target="c", name="knows"),
+        Relation(id="r2", source="x", target="y", name="likes"),
+    ]
+    ex._entities = []
+    ex.delete_entity_or_relation(str(("a'b", "c", "knows")))
+    assert [(r.source, r.target, r.name) for r in ex._relations] == [("x", "y", "likes")]

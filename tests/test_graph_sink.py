@@ -67,3 +67,19 @@ def test_distributed_export_calls_runner_per_batch(spark):
     trp_rows = sum(n for s, n in calls if s == TRIPLE_CYPHER)
     assert ent_rows == len(ENTS)
     assert trp_rows == len(TRPS)
+
+
+def test_cypher_script_map_keys_are_bare_identifiers():
+    """':param rows =>' takes a CYPHER expression: map keys must be bare
+    identifiers ({id: ...}); JSON-style quoted keys are a syntax error in
+    cypher-shell.  Values stay JSON-encoded (valid Cypher strings)."""
+    from scrapontologies_spark.sources.graph_sink import cypher_script
+
+    script = cypher_script(
+        [{"id": "a", "type": "module", "attributes": '{"k": "v"}'}],
+        [{"subj": "a", "pred": "calls", "obj": "b", "rel_type": "call"}],
+    )
+    assert '{"' not in script  # no quoted map keys anywhere
+    assert "{id: " in script and "{subj: " in script
+    # JSON inside a VALUE is escaped into the Cypher string literal
+    assert '"{\\"k\\": \\"v\\"}"' in script

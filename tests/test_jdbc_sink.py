@@ -47,15 +47,17 @@ def test_write_jdbc_call_shape():
     class FakeDF:
         write = FakeWriter()
 
-        def coalesce(self, n):
-            calls["coalesce"] = n
+        def repartition(self, n):
+            # repartition, not coalesce: coalesce would collapse the whole
+            # upstream pipeline to n tasks, not just the write stage
+            calls["repartition"] = n
             return self
 
     write_jdbc(
         FakeDF(), "jdbc:postgresql://h/db", "entities",
         properties={"user": "u"}, mode="overwrite", num_partitions=8,
     )
-    assert calls["coalesce"] == 8
+    assert calls["repartition"] == 8
     assert calls["mode"] == "overwrite"
     url, table, props = calls["jdbc"]
     assert (url, table) == ("jdbc:postgresql://h/db", "entities")

@@ -204,3 +204,40 @@ def test_prefer_real_canonical_alias_only_component(spark):
     )
     out = {r.node: r.component for r in prefer_real_canonical(labels).collect()}
     assert out == {"lib::a": "lib::a", "lib::b": "lib::a"}
+
+
+def test_prefer_real_canonical_hostile_ids(spark):
+    """No sentinel-character trap: a real id starting with '~' must survive
+    intact as canonical, and a non-ASCII real id must still beat an alias
+    (the old '~'-prefixed sort key stripped the former's first character
+    and lost to the latter)."""
+    from scrapontologies_spark.operators.cc import prefer_real_canonical
+
+    labels = spark.createDataFrame(
+        [
+            ("~vendor/mod.py", "c1"), ("lib::vendor", "c1"),
+            ("привет/mod.py", "c2"), ("lib::privet", "c2"),
+        ],
+        "node string, component string",
+    )
+    got = {r.node: r.component for r in prefer_real_canonical(labels).collect()}
+    assert got["lib::vendor"] == "~vendor/mod.py"
+    assert got["~vendor/mod.py"] == "~vendor/mod.py"
+    assert got["lib::privet"] == "привет/mod.py"
+
+
+def test_canonicalize_entities_keeps_canonical_member_type(spark):
+    """The merged row carries the CANONICAL node's type when that node has
+    an entity row, not the lexicographically smallest member's."""
+    from scrapontologies_spark.operators.cc import canonicalize_entities
+
+    ents = spark.createDataFrame(
+        [("a_alias", "alias_kind", '{"x":"1"}'), ("b_mod", "module", '{"y":"2"}')],
+        "id string, type string, attributes string",
+    )
+    labels = spark.createDataFrame(
+        [("a_alias", "b_mod"), ("b_mod", "b_mod")],
+        "node string, component string",
+    )
+    [row] = canonicalize_entities(ents, labels).collect()
+    assert (row.id, row.type) == ("b_mod", "module")

@@ -202,3 +202,60 @@ def test_incremental_equals_batch(spark, tmp_path):
     # no duplicate emission across restarts: row count == distinct count
     df = spark.read.parquet(out_dir)
     assert df.count() == df.distinct().count()
+
+
+def test_streaming_sessionize_late_events(spark, tmp_path):
+    """Cross-batch disorder: a late event within gap of the open session
+    MERGES (extending session_start backward, never session_end < start);
+    an event before start − gap is emitted as a sentinel idx-0 session
+    instead of being silently dropped."""
+    from datetime import datetime
+
+    from scrapontologies_spark.streaming.sessions import sessionize_stream
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    in_dir = str(tmp_path / "ev_late")
+    ckpt = str(tmp_path / "ckpt_late")
+
+    def arrive(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    out_dir = str(tmp_path / "out_late")
+
+    def drain(name):
+        # file sink (memory sink cannot recover from a checkpoint)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).collect()
+
+    t = lambda hhmm: datetime.strptime(f"2024-01-01 {hhmm}:00", "%Y-%m-%d %H:%M:%S")
+    arrive([(1, 1, t("10:00"), 1.0), (1, 2, t("10:10"), 1.0)], "a")
+    assert drain("late_run1") == []  # session still open
+
+    # batch 2: one too-late (08:00), one mergeable-late (09:55), one closer
+    arrive(
+        [(1, 3, t("08:00"), 5.0), (1, 4, t("09:55"), 1.0), (1, 5, t("11:30"), 1.0)],
+        "b",
+    )
+    rows = {
+        (r.user_id, r.session_idx): (
+            r.session_start, r.session_end, r.n_events, r.total_value
+        )
+        for r in drain("late_run2")
+    }
+    # sentinel idx-0 single-event session for the too-late event
+    assert rows[(1, 0)] == (t("08:00"), t("08:00"), 1, 5.0)
+    # the mergeable-late event extended session 1 backward; end >= start
+    assert rows[(1, 1)] == (t("09:55"), t("10:10"), 3, 3.0)
+    assert set(rows) == {(1, 0), (1, 1)}
