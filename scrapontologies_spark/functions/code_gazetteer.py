@@ -123,7 +123,10 @@ TEXT_TERMS = (
     "join", "scan", "hash", "sort", "merge", "filter", "group", "window",
     "agg", "batch", "stream", "query",
 )
-_TEXT_TERM_RE = re.compile(r"\b(" + "|".join(TEXT_TERMS) + r")\b")
+# re.ASCII pins \b to [A-Za-z0-9_] boundaries — the semantics RE2 (the
+# DuckDB oracles) always has and the token-split JVM form reproduces;
+# Python's default Unicode \b would diverge on non-ASCII-adjacent text
+_TEXT_TERM_RE = re.compile(r"\b(" + "|".join(TEXT_TERMS) + r")\b", re.ASCII)
 
 
 def extract_mentions(

@@ -38,7 +38,14 @@ _TYPE_MAP = {
 def _sql_type(prop: Dict[str, Any]) -> str:
     if prop.get("format") == "date":
         return "DATE"
-    return _TYPE_MAP.get(prop.get("type"), "STRING")
+    t = prop.get("type")
+    if isinstance(t, list):
+        # JSON-schema union form ({"type": ["string", "null"]}) — common in
+        # external schemas fed through merge_external_schemas; the first
+        # non-null member decides the column type (SQL columns are nullable
+        # anyway), instead of crashing the unhashable-list dict lookup
+        t = next((x for x in t if x != "null"), "null")
+    return _TYPE_MAP.get(t, "STRING")
 
 
 def _ident(name: str) -> str:

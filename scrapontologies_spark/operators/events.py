@@ -34,14 +34,16 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Split each user's event stream into sessions separated by gaps of
     more than ``gap_minutes``.  Returns one row per session:
     (user_id, session_idx, session_start, session_end, n_events,
-    total_value) — session_idx is 1-based in time order.
+    total_value) — session_idx is 1-based in time order.  ``order_col``
+    breaks equal-timestamp ties deterministically (like asof_join's).
     """
     gap_us = int(gap_minutes * 60_000_000)
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(epoch).over(w)
     is_new = F.when(prev.isNull() | ((epoch - prev) > gap_us), 1).otherwise(0)
@@ -145,7 +147,10 @@ def interval_join(
     iv = intervals.withColumn("_bkt", F.explode(iv_buckets)).withColumnRenamed(
         key_col, "_k"
     )
+    # residual predicate via DATAFRAME-QUALIFIED references: bare F.col
+    # would be ambiguous whenever both inputs carry a same-named non-key
+    # column (e.g. intervals that still have a 'ts' of their own)
     joined = p.join(iv, ["_k", "_bkt"]).filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        (p[ts_col] >= iv[start_col]) & (p[ts_col] <= iv[end_col])
     )
     return joined.withColumnRenamed("_k", key_col).drop("_bkt")

@@ -150,9 +150,15 @@ def decode_pgm(payload: bytes) -> list:
     n = width * height
     if magic == b"P5":
         pixels = payload[pos + 1 : pos + 1 + n]
+        if len(pixels) < n:
+            # a short raster with an intact header would otherwise produce
+            # a plausible-looking but understated mean (sum(partial)/n)
+            raise ValueError(f"truncated PGM raster: {len(pixels)} of {n} bytes")
         mean = (sum(pixels) / n / maxval) if n else 0.0
     else:
         vals = [int(v) for v in payload[pos:].split()[:n]]
+        if len(vals) < n:
+            raise ValueError(f"truncated PGM raster: {len(vals)} of {n} values")
         mean = (sum(vals) / n / maxval) if n and vals else 0.0
     return [float(width), float(height), float(maxval), mean]
 

@@ -29,9 +29,47 @@ ENGLISH_STOPWORDS = (
 )
 
 
+def _is_ascii_word(m: str) -> bool:
+    return all(c.isascii() and (c.isalnum() or c == "_") for c in m)
+
+
 def _count_markers(text_col: Column, markers: tuple) -> Column:
-    pattern = r"\b(" + "|".join(markers) + r")\b"
-    return F.size(F.regexp_extract_all(text_col, F.lit(pattern), 1))
+    """Marker-occurrence count with ENGINE-AGNOSTIC boundary semantics.
+
+    ``\\b`` is a trap here: Java (Spark), RE2 (DuckDB) and Python disagree
+    about which non-ASCII codepoints are word characters, so a
+    ``\\b(...)\\b`` alternation silently breaks Spark↔oracle parity on any
+    non-ASCII-adjacent text (and never matches CJK markers at all).
+    Instead:
+
+    - ASCII-word markers: split on ``[^A-Za-z0-9_]+`` and count tokens
+      that equal a marker — identical in every engine, and equal to the
+      old ``\\b`` counts on ASCII text.
+    - non-ASCII (CJK) markers: plain substring occurrence counts via
+      length deltas (CJK has no word boundaries; counting in-run
+      occurrences is also linguistically the right thing).
+    """
+    ascii_words = tuple(m for m in markers if _is_ascii_word(m))
+    other = tuple(m for m in markers if not _is_ascii_word(m))
+    total: Column | None = None
+    if ascii_words:
+        toks = F.split(text_col, r"[^A-Za-z0-9_]+")
+        total = F.size(F.filter(toks, lambda t: t.isin(*ascii_words)))
+    for m in other:
+        c = (F.length(text_col) - F.length(F.regexp_replace(text_col, m, ""))) / F.lit(
+            len(m)
+        )
+        c = c.cast("int")
+        total = c if total is None else total + c
+    return total if total is not None else F.lit(0)
+
+
+def ascii_word_tokens_in(text_col: Column, words: tuple) -> Column:
+    """Array of tokens (split on ``[^A-Za-z0-9_]+``) equal to one of
+    ``words`` — the engine-agnostic ASCII-``\\b`` match (see
+    _count_markers for why not ``\\b``: Java's word-character set diverges
+    from RE2/Python-ASCII on non-ASCII text)."""
+    return F.filter(F.split(text_col, r"[^A-Za-z0-9_]+"), lambda t: t.isin(*words))
 
 
 def lang_pred_exprs(text: Column) -> "tuple[Column, Column]":

@@ -291,10 +291,14 @@ def queries() -> Q:
         spark.read.parquet(f"{d}/events.parquet")
         .select(
             "event_id",
-            F.regexp_extract(
-                F.concat(F.lit("```python x = "), F.col("props"), F.lit(" ```")),
-                r"```python\s*([\s\S]*?)\s*```",
-                1,
+            # coalesce: NULL props must yield '' like the oracle's COALESCE
+            F.coalesce(
+                F.regexp_extract(
+                    F.concat(F.lit("```python x = "), F.col("props"), F.lit(" ```")),
+                    r"```python\s*([\s\S]*?)\s*```",
+                    1,
+                ),
+                F.lit(""),
             ).alias("code"),
         )
         .filter(F.col("event_id") < 100)
@@ -425,11 +429,15 @@ def queries() -> Q:
         bipartite slice of the KG: module --mentions--> term::t edges)."""
         from ..operators.graph import pagerank
 
+        from ..functions.code_gazetteer import TEXT_TERMS
+
         docs = _docs(spark, d)
-        pattern = r"\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\b"
+        # token-split term match (engine-agnostic; see textops._count_markers)
         edges = docs.select(
             F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("src"),
-            F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("t"),
+            F.explode(
+                textops.ascii_word_tokens_in(F.col("text"), TEXT_TERMS)
+            ).alias("t"),
         ).select("src", F.concat(F.lit("term::"), F.col("t")).alias("dst"))
         return pagerank(edges, iters=5).select(
             "node", F.round("rank", 6).alias("rank")
@@ -677,10 +685,30 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
         for b in range(4)
     )
+    def marker_count(col: str, markers: tuple) -> str:
+        """Engine-agnostic twin of textops._count_markers (see its
+        docstring for why not \\b): token-split exact-match for ASCII-word
+        markers, substring length-delta counts for CJK ones."""
+        from ..operators.textops import _is_ascii_word
+
+        ascii_words = [m for m in markers if _is_ascii_word(m)]
+        other = [m for m in markers if not _is_ascii_word(m)]
+        parts = []
+        if ascii_words:
+            in_list = ",".join(f"'{m}'" for m in ascii_words)
+            parts.append(
+                f"len(list_filter(string_split_regex({col}, '[^A-Za-z0-9_]+'),"
+                f" x -> x IN ({in_list})))"
+            )
+        for m in other:
+            parts.append(
+                f"CAST((length({col}) - length(replace({col}, '{m}', '')))"
+                f" / {len(m)} AS INT)"
+            )
+        return "(" + " + ".join(parts) + ")" if parts else "0"
+
     lang_hits = {
-        lang: "len(regexp_extract_all(text, '\\b("
-        + "|".join(textops.LANG_MARKERS[lang])
-        + ")\\b', 1))"
+        lang: marker_count("text", textops.LANG_MARKERS[lang])
         for lang in sorted(textops.LANG_MARKERS)
     }
     hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in lang_hits.items())
@@ -692,7 +720,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
-    stop_pat = "\\b(" + "|".join(textops.ENGLISH_STOPWORDS) + ")\\b"
+    stop_count = lambda col: marker_count(col, textops.ENGLISH_STOPWORDS)
 
     return {
         "mm_base64_payload": """
@@ -969,7 +997,7 @@ def oracle_sql() -> dict[str, str]:
               length(text) AS n_chars_measured,
               len(toks) AS n_tokens,
               round(len(regexp_extract_all(text, '([^\\w\\s])', 1)) / greatest(length(text), 1), 6) AS punct_ratio,
-              round(len(regexp_extract_all(lower(text), '{stop_pat}', 1)) / greatest(len(toks), 1), 6) AS stopword_ratio,
+              round({stop_count('lower(text)')} / greatest(len(toks), 1), 6) AS stopword_ratio,
               round(CASE WHEN len(toks) > 0
                     THEN list_aggregate([length(x)::DOUBLE FOR x IN toks], 'sum') / len(toks)
                     ELSE 0.0 END, 6) AS mean_word_len
@@ -1036,7 +1064,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(l) AS BIGINT) AS n_tokens,
                        length(text) AS n_chars,
                        len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
-                       len(regexp_extract_all(lower(text), '{stop_pat}', 1)) AS n_stop
+                       {stop_count('lower(text)')} AS n_stop
                 FROM lt
               )
             ),

@@ -71,17 +71,20 @@ def queries() -> Q:
     # J1 — full-outer reconcile join on id (exact-id entity linking)
     def j1(spark: SparkSession, d: str) -> DataFrame:
         docs = _docs(spark, d)
+        # presence flags from literal markers, NOT payload-column
+        # nullability — a row whose lang is NULL is still present on its
+        # side (the oracle tests l.doc_id IS NOT NULL)
         left = docs.filter(F.col("doc_id") % 2 == 0).select(
-            "doc_id", F.col("lang").alias("lang_l")
+            "doc_id", F.col("lang").alias("lang_l"), F.lit(True).alias("_pl")
         )
         right = docs.filter(F.col("doc_id") % 3 == 0).select(
-            "doc_id", F.col("lang").alias("lang_r")
+            "doc_id", F.col("lang").alias("lang_r"), F.lit(True).alias("_pr")
         )
         return left.join(right, "doc_id", "full_outer").select(
             "doc_id",
             F.coalesce("lang_l", "lang_r").alias("lang_merged"),
-            F.col("lang_l").isNotNull().alias("in_left"),
-            F.col("lang_r").isNotNull().alias("in_right"),
+            F.coalesce("_pl", F.lit(False)).alias("in_left"),
+            F.coalesce("_pr", F.lit(False)).alias("in_right"),
         )
 
     q["j1_full_outer_reconcile"] = j1
@@ -91,10 +94,15 @@ def queries() -> Q:
         spark.read.parquet(f"{d}/events.parquet")
         .select(
             "event_id",
-            F.regexp_extract(
-                F.concat(F.lit("```json "), F.col("props"), F.lit(" ```")),
-                r"```json\s*([\s\S]*?)\s*```",
-                1,
+            # coalesce: NULL props must yield '' like the oracle's
+            # COALESCE (concat propagates NULL through regexp_extract)
+            F.coalesce(
+                F.regexp_extract(
+                    F.concat(F.lit("```json "), F.col("props"), F.lit(" ```")),
+                    r"```json\s*([\s\S]*?)\s*```",
+                    1,
+                ),
+                F.lit(""),
             ).alias("fenced"),
         )
         .filter(F.col("event_id") < 100)
@@ -120,7 +128,14 @@ def queries() -> Q:
             .distinct()
             .withColumn(
                 "color_idx",
-                (F.dense_rank().over(Window.orderBy("lang")) - 1) % 5,
+                # asc_nulls_last pins NULL ordering: Spark defaults NULLS
+                # FIRST, DuckDB NULLS LAST — unpinned, a NULL lang would
+                # shift every color_idx between the engines
+                (
+                    F.dense_rank().over(Window.orderBy(F.col("lang").asc_nulls_last()))
+                    - 1
+                )
+                % 5,
             )
         )
 
@@ -129,12 +144,18 @@ def queries() -> Q:
     # Flagship slice — mention triples over documents (SQL-expressible part
     # of M1/M5: term-gazetteer extraction, doc → term edges with counts)
     def flagship(spark: SparkSession, d: str) -> DataFrame:
+        from ..functions.code_gazetteer import TEXT_TERMS
+        from ..operators.textops import ascii_word_tokens_in
+
         docs = _docs(spark, d)
-        pattern = r"\b(join|scan|hash|sort|merge|filter|group|window|agg|batch|stream|query)\b"
+        # token-split term match, NOT Java \b — engine-agnostic boundary
+        # semantics shared with the RE2 oracle and the (re.ASCII) gazetteer
         return (
             docs.select(
                 "doc_id",
-                F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("term"),
+                F.explode(ascii_word_tokens_in(F.col("text"), TEXT_TERMS)).alias(
+                    "term"
+                ),
             )
             .groupBy("doc_id", "term")
             .agg(F.count("*").alias("n_mentions"))
@@ -284,7 +305,8 @@ def _base_oracles() -> dict[str, str]:
             FROM events WHERE event_id < 100
         """,
         "a7_color_assignment": """
-            SELECT lang, (dense_rank() OVER (ORDER BY lang) - 1) % 5 AS color_idx
+            SELECT lang,
+                   (dense_rank() OVER (ORDER BY lang NULLS LAST) - 1) % 5 AS color_idx
             FROM (SELECT DISTINCT lang FROM documents)
         """,
         "m1_term_mentions": """

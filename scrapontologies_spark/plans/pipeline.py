@@ -58,10 +58,20 @@ def run_pipeline(
     emit_chunks: bool = True,
     allowed_kinds=None,
     allowed_terms=None,
+    persist: Optional[bool] = None,
 ) -> PipelineResult:
     """``allowed_kinds``/``allowed_terms``: P8 extraction allowlist — the
     user_prompt_for_filter stand-in, applied at extraction so entities,
-    schemas and triples all reflect the restriction."""
+    schemas and triples all reflect the restriction.
+
+    ``persist`` (default: only when ``with_schemas``): cache the tall
+    fused-output rows.  The schema path materializes the cache internally
+    and a multi-consumer caller benefits from it, but a single-consumer
+    caller (e.g. a contract query reading one view) would just leak one
+    never-unpersisted cached frame per invocation — callers that keep the
+    cache own unpersisting ``result.doc_rows``."""
+    if persist is None:
+        persist = with_schemas
     # Fused one-pass extraction (see operators/extract.py): every
     # per-document computation is row-local, so chunk/fold/schema/triple
     # rows all come out of ONE narrow mapInPandas — zero shuffles.  One
@@ -72,7 +82,9 @@ def run_pipeline(
     doc_rows = extract_document_rows(
         corpus, chunk_bytes, with_schemas, emit_chunks,
         allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
-    ).persist()
+    )
+    if persist:
+        doc_rows = doc_rows.persist()
 
     # chunk rows are intermediate "page answers"; with emit_chunks=False the
     # views below are valid but empty DataFrames
@@ -172,18 +184,23 @@ def pipeline_summary(
 
 
 def verify_content_invariant(corpus: DataFrame, chunks: DataFrame) -> int:
-    """Per-row sha256 equality between source content and what every chunk
+    """Per-row sha256 equality between source content and what EVERY chunk
     row carries (BASELINE input_hint).  Returns the number of violating
-    documents (must be 0).  Implemented as a JVM-side anti-join."""
+    (repo, path, sha) combinations (must be 0): a carried sha that differs
+    from its document's source sha, a carried sha for a document absent
+    from the corpus, or a corpus document with no chunk rows at all.  A
+    same-document mix of good and bad carried hashes is therefore counted
+    — an exists-one-matching-row check would let it pass."""
     src = corpus.select(
         "repo", "path", F.sha2(F.col("content"), 256).alias("sha_src")
     )
-    carried = chunks.select("repo", "path", F.col("sha256").alias("sha_carried")).distinct()
-    bad = src.join(
-        carried,
-        (src.repo == carried.repo)
-        & (src.path == carried.path)
-        & (src.sha_src == carried.sha_carried),
-        "left_anti",
+    carried = chunks.select(
+        "repo", "path", F.col("sha256").alias("sha_carried")
+    ).distinct()
+    joined = src.join(carried, ["repo", "path"], "full_outer")
+    bad = joined.filter(
+        F.col("sha_src").isNull()          # chunk rows for a non-corpus doc
+        | F.col("sha_carried").isNull()    # corpus doc with no chunk rows
+        | (F.col("sha_src") != F.col("sha_carried"))
     )
     return bad.count()

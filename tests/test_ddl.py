@@ -183,3 +183,25 @@ def test_spark_create_tables_executes(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_sql_type_handles_union_types():
+    """JSON-schema nullable unions ({'type': ['string','null']}) map to the
+    first non-null member instead of crashing the dict lookup."""
+    from scrapontologies_spark.operators.ddl import schema_to_tables
+
+    schema = {
+        "properties": {
+            "e": {
+                "type": "object",
+                "properties": {
+                    "x": {"type": ["string", "null"]},
+                    "y": {"type": ["null", "integer"]},
+                    "z": {"type": ["null"]},
+                },
+            }
+        }
+    }
+    tables = schema_to_tables(schema)
+    cols = {c: ty for t in tables for c, ty in t.columns}
+    assert cols["x"] == "STRING" and cols["y"] == "BIGINT" and cols["z"] == "STRING"

@@ -164,3 +164,51 @@ def test_vocabulary_and_tf_idf_hand_computed(spark):
     assert tfidf[(1, "a")]["df_t"] == 2
     assert abs(tfidf[(1, "a")]["tf_idf"] - round(2 * math.log(4 / 2), 6)) < 1e-9
     assert (4, "a") not in tfidf  # empty doc emits no pairs
+
+
+def test_sessionize_custom_order_col(spark):
+    """The tie-break column is a parameter, not a hard-coded 'event_id' —
+    frames without that column must still sessionize."""
+    from datetime import datetime
+
+    from scrapontologies_spark.operators.events import sessionize
+
+    rows = [
+        (7, datetime(2024, 1, 1, 10, 0), 1.0, 1),
+        (7, datetime(2024, 1, 1, 10, 5), 1.0, 2),
+        (7, datetime(2024, 1, 1, 12, 0), 1.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "uid long, clicked_at timestamp, amount double, click_id long")
+    out = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in sessionize(
+            df, gap_minutes=30, user_col="uid", ts_col="clicked_at",
+            value_col="amount", order_col="click_id",
+        ).collect()
+    }
+    assert out == {(7, 1): 2, (7, 2): 1}
+
+
+def test_interval_join_tolerates_shared_column_names(spark):
+    """The residual containment predicate uses dataframe-qualified
+    references, so intervals carrying their own 'ts' column no longer make
+    the filter ambiguous."""
+    from datetime import datetime
+
+    from scrapontologies_spark.operators.events import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 30), "p1")],
+        "user_id long, ts timestamp, pid string",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0),
+             datetime(2024, 1, 1, 9, 0), "s1"),
+            (1, datetime(2024, 1, 1, 12, 0), datetime(2024, 1, 1, 13, 0),
+             datetime(2024, 1, 1, 9, 0), "s2"),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp, ts timestamp, sid string",
+    )
+    got = interval_join(pts, ivs).select("pid", "sid").collect()
+    assert [(r.pid, r.sid) for r in got] == [("p1", "s1")]

@@ -283,3 +283,33 @@ def test_pipeline_summary_matches_run_pipeline(result):
     assert counts["triple"] == full.triples.count()
     assert counts["entity"] + counts["module"] == full.entities.count()
     assert gschema_json == full.global_schema_json
+
+
+def test_content_invariant_catches_mixed_sha_rows(spark):
+    """A document with one corrupted-sha chunk row alongside correct ones
+    must be flagged — an exists-one-matching-row check would pass it."""
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.plans.pipeline import verify_content_invariant
+
+    corpus = spark.createDataFrame(
+        [("r", "a.py", "c", "python", "x = 1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    sha = corpus.select(F.sha2("content", 256).alias("s")).collect()[0]["s"]
+    chunks_ok = spark.createDataFrame(
+        [("r", "a.py", sha), ("r", "a.py", sha)], "repo string, path string, sha256 string"
+    )
+    assert verify_content_invariant(corpus, chunks_ok) == 0
+    chunks_mixed = spark.createDataFrame(
+        [("r", "a.py", sha), ("r", "a.py", "deadbeef")],
+        "repo string, path string, sha256 string",
+    )
+    assert verify_content_invariant(corpus, chunks_mixed) == 1
+    # chunk rows for a document absent from the corpus are violations too
+    chunks_orphan = chunks_ok.union(
+        spark.createDataFrame([("r", "ghost.py", sha)], chunks_ok.schema)
+    )
+    assert verify_content_invariant(corpus, chunks_orphan) == 1
+    # ...as is a corpus document with no chunk rows at all
+    assert verify_content_invariant(corpus, chunks_ok.limit(0)) == 1

@@ -637,3 +637,48 @@ def test_job_cli_rejects_typos_and_missing_values():
         ap.parse_args(["--allowed-kind", "function", "/tmp/wh"])  # typo
     with pytest.raises(SystemExit):
         ap.parse_args(["--salt"])  # missing value
+
+
+def test_marker_counts_cross_engine_on_hostile_text(spark):
+    """language_id parity survives non-ASCII text: \\b diverges between
+    Java, RE2 and Python on CJK/accented neighbors, so marker counting
+    uses token-split (ASCII words) + substring counts (CJK) — identical in
+    Spark and DuckDB by construction."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "the fast and slow",
+        "joiné the naïve and",
+        "的 和 表 快 慢",
+        "的和表快慢大小",
+        "a_the b the,fast der die das",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        textops.language_id(sdf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from scrapontologies_spark.plans import dataset_queries as DQ
+
+    sql = DQ.oracle_sql()["text_lang_id"]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+    assert got["marker_hits"].tolist() == [int(x) for x in want["marker_hits"]]
+    # CJK markers are counted in-run (no word boundaries in Chinese)
+    assert got.loc[3, "pred_lang"] == "zh" and got.loc[3, "marker_hits"] == 7
+
+
+def test_decode_pgm_truncated_raster_raises():
+    """A short raster with an intact header must raise, not return a
+    plausible understated mean."""
+    with pytest.raises(ValueError, match="truncated PGM raster"):
+        multimodal.decode_pgm(b"P5\n4 2\n255\n" + bytes([1, 2, 3]))
+    with pytest.raises(ValueError, match="truncated PGM raster"):
+        multimodal.decode_pgm(b"P2\n2 2\n255\n0 64 128")
