@@ -256,4 +256,8 @@ class CorpusExtractor:
         ]
         if backend == "pyecharts":
             return render_pyecharts(ents, rels, output_path, **kwargs)
+        if backend != "html":
+            # same strictness as plans/render.render_from_tables — a typo
+            # must not silently fall back to the html backend
+            raise ValueError(f"unknown render backend: {backend!r}")
         return render_html(ents, rels, output_path, **kwargs)

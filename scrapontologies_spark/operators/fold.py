@@ -15,11 +15,9 @@ because ``path`` is in the key.
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.semantics import canonical_json, combine_entities_data, is_na
@@ -57,27 +55,3 @@ def fold_documents(chunks: DataFrame) -> DataFrame:
     return chunks.select("repo", "path", "chunk_id", "payload_json").groupBy(
         "repo", "path"
     ).applyInPandas(fold, schema=DOC_ENTITIES_SCHEMA)
-
-
-def module_entities(chunks: DataFrame) -> DataFrame:
-    """One module entity per document (JVM-side aggregation): id = repo/path,
-    attributes = {lang, commit, sha256, n_chunks} as canonical JSON built
-    with to_json over a sorted-field struct."""
-    agg = chunks.groupBy("repo", "path").agg(
-        F.first("commit").alias("commit"),
-        F.first("lang").alias("lang"),
-        F.first("sha256").alias("sha256"),
-        F.count("*").alias("n_chunks"),
-    )
-    return agg.select(
-        F.concat_ws("/", "repo", "path").alias("id"),
-        F.lit("module").alias("type"),
-        F.to_json(
-            F.struct(
-                F.col("commit"), F.col("lang"), F.col("n_chunks"), F.col("sha256")
-            )
-        ).alias("attributes"),
-        "repo",
-        "path",
-        "sha256",
-    )

@@ -209,6 +209,12 @@ def _arg_parser() -> "argparse.ArgumentParser":
     ap.add_argument("warehouse_root", nargs="?", default="/tmp/sparkonto_warehouse")
     ap.add_argument("n_rows", nargs="?", type=int, default=5_000)
     ap.add_argument(
+        "--corpus", default=None, metavar="PARQUET_PATH",
+        help="read the corpus from this parquet path (input_hint shape: "
+        "repo, path, commit, lang, content) instead of generating the "
+        "synthetic corpus; n_rows is ignored",
+    )
+    ap.add_argument(
         "--salt", type=int, default=None,
         help="skew factor for the entity reconcile join (0 = force unsalted)",
     )
@@ -240,8 +246,13 @@ def main(argv: Optional[list] = None) -> None:
     from ..sources.corpus import corpus_df
 
     spark = build_session(app_name="kg-job")
+    corpus = (
+        spark.read.parquet(args.corpus)
+        if args.corpus
+        else corpus_df(spark, n_rows)
+    )
     infos = run_job(
-        spark, corpus_df(spark, n_rows), warehouse_root,
+        spark, corpus, warehouse_root,
         salt=salt, allowed_kinds=allowed_kinds, allowed_terms=allowed_terms,
     )
     for name, info in infos.items():

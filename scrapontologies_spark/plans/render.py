@@ -197,7 +197,10 @@ if (typeof echarts !== 'undefined') {{
 </html>
 """
     if output_path:
-        with open(output_path, "w") as f:
+        # explicit utf-8: the document declares <meta charset="utf-8">, and
+        # the locale's preferred encoding (POSIX hosts: ASCII) would raise
+        # on non-ASCII titles/attributes
+        with open(output_path, "w", encoding="utf-8") as f:
             f.write(html)
     return html
 
@@ -222,7 +225,17 @@ def render_from_tables(
     default) or 'pyecharts'."""
     from pyspark.sql import functions as F
 
-    ents = [r.asDict() for r in entities_df.limit(max_nodes).collect()]
+    if backend not in ("html", "pyecharts"):
+        # validate BEFORE collecting anything — a typo'd backend should not
+        # cost two Spark jobs first
+        raise ValueError(f"unknown render backend: {backend!r}")
+    # NULL ids cannot be graph nodes (and would crash the sorted() below)
+    ents = [
+        r.asDict()
+        for r in entities_df.filter(F.col("id").isNotNull())
+        .limit(max_nodes)
+        .collect()
+    ]
     keep = {e["id"] for e in ents}
     spark = relations_df.sparkSession
     keep_df = spark.createDataFrame([(k,) for k in sorted(keep)], "id string")
@@ -242,6 +255,4 @@ def render_from_tables(
     rels = [r.asDict() for r in rels_df.collect()]
     if backend == "pyecharts":
         return render_pyecharts(ents, rels, output_path, **kwargs)
-    if backend != "html":
-        raise ValueError(f"unknown render backend: {backend!r}")
     return render_html(ents, rels, output_path, **kwargs)

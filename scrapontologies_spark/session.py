@@ -40,4 +40,27 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # getOrCreate returns any pre-existing session UNCHANGED — the S4-style
+    # validation: warn when the live session's load-bearing settings differ
+    # from what this call requested, instead of silently benchmarking /
+    # running under the wrong configuration.
+    import warnings
+
+    checks = {
+        "spark.master": master,
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions if shuffle_partitions is not None else 2 * local_cores
+        ),
+    }
+    for key, want in checks.items():
+        got = spark.conf.get(key, None)
+        if got is not None and got != want:
+            warnings.warn(
+                f"build_session: existing SparkSession has {key}={got!r}, "
+                f"requested {want!r} — getOrCreate cannot reconfigure a "
+                "live session; stop it first if the setting matters",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return spark

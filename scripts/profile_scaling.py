@@ -52,6 +52,9 @@ def one_level(cores: int, corpus_path: str) -> None:
         ne = res.entities.count()
         res.doc_rows.unpersist()
         b_walls.append(round(time.time() - t0, 2))
+        # the two phases run the SAME extraction — a count divergence is
+        # exactly the regression this profiler exists to surface
+        assert nt2 == nt, f"phase A/B triple counts diverge: {nt} vs {nt2}"
 
     print(json.dumps({
         "cores": cores,

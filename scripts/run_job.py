@@ -4,7 +4,11 @@
 Usage:
     zip -r pkg.zip scrapontologies_spark            # or shutil.make_archive
     spark-submit --master local[N] --py-files pkg.zip \
-        scripts/run_job.py <warehouse_root> [n_docs | corpus_parquet]
+        scripts/run_job.py <warehouse_root> [n_docs] [--corpus PARQUET_PATH]
+        [--salt N] [--allowed-kinds a,b] [--allowed-terms x,y]
+
+``--corpus`` reads a real corpus parquet (input_hint shape) instead of
+generating the synthetic one; without it, n_docs synthetic documents.
 
 Runs corpus → fused extract → triples/entities/schemas through the
 resumable Warehouse (manifest + per-file lineage + metrics); re-running

@@ -96,8 +96,10 @@ def _submit(cpus: str, cores: int, corpus_path: str, zip_path: str, mem_gb: int)
     ]
     env = dict(os.environ)
     env["PYTHONPATH"] = zip_path + os.pathsep + env.get("PYTHONPATH", "")
+    # stderr merged into stdout: a dying JVM's actual error must reach
+    # _harvest's diagnostics instead of being discarded
     return subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env
     )
 
 
@@ -115,7 +117,14 @@ def run_executors(n_exec: int, corpus_path: str, zip_path: str) -> dict:
     over its own (identical-size) data share; aggregate throughput."""
     cpu_sets = [f"{i * EXEC_CORES}-{(i + 1) * EXEC_CORES - 1}" for i in range(n_exec)]
     procs = [_submit(c, EXEC_CORES, corpus_path, zip_path, 12) for c in cpu_sets]
-    results = [_harvest(p) for p in procs]
+    try:
+        results = [_harvest(p) for p in procs]
+    except Exception:
+        # a failed harvest must not leave sibling JVMs burning pinned CPUs
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
     wall = max(r["wall_sec"] for r in results)
     triples = sum(r["n_triples"] for r in results)
     return {
@@ -138,136 +147,139 @@ def main() -> None:
     EXEC_CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     work = tempfile.mkdtemp(prefix="kg_scaling_")
-    corpus_path = os.path.join(work, "corpus.parquet")
-    print(f"materializing corpus n_docs={n_docs} -> {corpus_path}", file=sys.stderr)
-    materialize_corpus(n_docs, corpus_path)
+    try:
+        corpus_path = os.path.join(work, "corpus.parquet")
+        print(f"materializing corpus n_docs={n_docs} -> {corpus_path}", file=sys.stderr)
+        materialize_corpus(n_docs, corpus_path)
 
-    print("hardware probe (pure-python mp burn) ...", file=sys.stderr)
-    hw = hardware_probe()
-    print(f"  {hw}", file=sys.stderr)
+        print("hardware probe (pure-python mp burn) ...", file=sys.stderr)
+        hw = hardware_probe()
+        print(f"  {hw}", file=sys.stderr)
 
-    zip_path = shutil.make_archive(
-        os.path.join(work, "scrapontologies_spark"), "zip",
-        root_dir=REPO, base_dir="scrapontologies_spark",
-    )
+        zip_path = shutil.make_archive(
+            os.path.join(work, "scrapontologies_spark"), "zip",
+            root_dir=REPO, base_dir="scrapontologies_spark",
+        )
 
-    # Interleaved repeats; best-of per config (hypervisor interference only
-    # ever slows a run down, so per-config best estimates the engine).
-    raw_exec: dict = {1: [], N_EXEC_HI: []}
-    raw_core: dict = {c: [] for c in CORE_LEVELS}
-    for rep in range(repeats):
+        # Interleaved repeats; best-of per config (hypervisor interference only
+        # ever slows a run down, so per-config best estimates the engine).
+        raw_exec: dict = {1: [], N_EXEC_HI: []}
+        raw_core: dict = {c: [] for c in CORE_LEVELS}
+        for rep in range(repeats):
+            for n in (1, N_EXEC_HI):
+                print(f"executors={n} (rep {rep}) ...", file=sys.stderr)
+                r = run_executors(n, corpus_path, zip_path)
+                raw_exec[n].append(r)
+                print(f"  {r}", file=sys.stderr)
+            for c in CORE_LEVELS:
+                print(f"local[{c}] single-JVM (rep {rep}) ...", file=sys.stderr)
+                r = run_cores(c, corpus_path, zip_path)
+                raw_core[c].append(r)
+                print(f"  {r}", file=sys.stderr)
+
+        best_exec = {n: max(raw_exec[n], key=lambda r: r["triples_per_sec"]) for n in raw_exec}
+        best_core = {c: max(raw_core[c], key=lambda r: r["triples_per_sec"]) for c in raw_core}
+
+        eff_exec = (
+            best_exec[N_EXEC_HI]["triples_per_sec"] / best_exec[1]["triples_per_sec"]
+        ) / N_EXEC_HI
+        eff_core = (
+            best_core[CORE_LEVELS[1]]["triples_per_sec"]
+            / best_core[CORE_LEVELS[0]]["triples_per_sec"]
+        ) / (CORE_LEVELS[1] / CORE_LEVELS[0])
+
+        summary = {
+            "metric": "scaling_efficiency_executors_1_to_4",
+            "value": round(eff_exec, 3),
+            "unit": "ratio",
+            "n_docs": n_docs,
+            "exec_cores": EXEC_CORES,
+            "core_scaling_efficiency_2_to_8": round(eff_core, 3),
+            "hardware_probe_fixed_total_sec": hw,
+            "executors": {str(n): best_exec[n] for n in best_exec},
+            "cores": {str(c): best_core[c] for c in best_core},
+            "raw": {
+                "executors": {str(n): raw_exec[n] for n in raw_exec},
+                "cores": {str(c): raw_core[c] for c in raw_core},
+            },
+        }
+        print(json.dumps(summary))
+
+        hw_2_8 = hw[2] / hw[8] / 4
+        md = [
+            "# BENCH_SCALING — N vs 4N executors (north_rule evidence)",
+            "",
+            "No real cluster exists in this sandbox, so the primary measurement "
+            "reproduces the rule's exact shape — separate executor processes — "
+            "on one box: the identical one-pass KG-construction job "
+            "(fused chunk→extract→fold→schema→triples; tests pin its outputs to "
+            "the staged pipeline) via `spark-submit --py-files`, fresh JVM(s) "
+            "per run.",
+            "",
+            f"Corpus: deterministic synthetic, {n_docs:,} documents (input_hint "
+            "shape).  Each config runs "
+            f"{repeats}×, interleaved; best-of reported, all raw walls below.",
+            "",
+            f"## Primary — executor scaling (1 vs {N_EXEC_HI} executors, "
+            f"{EXEC_CORES} cores each)",
+            "",
+            f"One {EXEC_CORES}-core JVM, then {N_EXEC_HI} concurrent "
+            f"{EXEC_CORES}-core JVMs pinned to disjoint CPU sets, each over its "
+            "own equal data share (weak scaling — at 10^12-file scale every "
+            "executor reads its own scan split, and the measured job is "
+            "shuffle-free so shares compose exactly; the only cross-executor "
+            "step at cluster scale is the ≤k-row schema tree-reduce fold).",
+            "",
+            "| executors | wall (s) | aggregate triples/sec | per-JVM walls (s), all reps |",
+            "|---|---|---|---|",
+        ]
         for n in (1, N_EXEC_HI):
-            print(f"executors={n} (rep {rep}) ...", file=sys.stderr)
-            r = run_executors(n, corpus_path, zip_path)
-            raw_exec[n].append(r)
-            print(f"  {r}", file=sys.stderr)
+            r = best_exec[n]
+            walls = "; ".join(", ".join(str(w) for w in x["walls"]) for x in raw_exec[n])
+            md.append(
+                f"| {n} | {r['wall_sec']} | {r['triples_per_sec']:,} | {walls} |"
+            )
+        md += [
+            "",
+            f"**Efficiency = (tps@{N_EXEC_HI} / tps@1) / {N_EXEC_HI} = "
+            f"{eff_exec:.3f}**  (target ≥ 0.8)",
+            "",
+            "## Secondary — core scaling, one JVM "
+            f"(local[{CORE_LEVELS[0]}] vs local[{CORE_LEVELS[1]}], pinned)",
+            "",
+            "| master | wall (s) | triples/sec | raw walls (s) |",
+            "|---|---|---|---|",
+        ]
         for c in CORE_LEVELS:
-            print(f"local[{c}] single-JVM (rep {rep}) ...", file=sys.stderr)
-            r = run_cores(c, corpus_path, zip_path)
-            raw_core[c].append(r)
-            print(f"  {r}", file=sys.stderr)
+            r = best_core[c]
+            walls = ", ".join(str(x["wall_sec"]) for x in raw_core[c])
+            md.append(
+                f"| local[{c}] | {r['wall_sec']} | {r['triples_per_sec']:,} | {walls} |"
+            )
+        md += [
+            "",
+            f"Core-scaling efficiency: {eff_core:.3f}.  This pair shares one "
+            "JVM, one memory controller and one turbo budget across the core "
+            "counts — single-box effects a multi-machine cluster does not "
+            "have; the pure-python hardware probe (fixed total work, no "
+            f"Spark/JVM: {hw[2]}s / {hw[8]}s / {hw[16]}s / {hw[32]}s at "
+            f"2/8/16/32 procs) shows the VM's own 2→8 ceiling is "
+            f"{hw_2_8:.2f}, with double-digit hypervisor steal above ~16 busy "
+            "CPUs — which is why all pinned measurements stay ≤8 CPUs.",
+            "",
+            "All runs `taskset`-pinned: `local[N]` caps only task slots, so "
+            "unpinned runs let GC/IO/Arrow threads and python workers spill "
+            "onto all 32 host CPUs and distort the baseline (narrow stage: "
+            "0.62 unpinned vs 0.98 pinned).",
+            "",
+            "Run `python scripts/scaling_bench.py` to reproduce.",
+        ]
+        with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+            f.write("\n".join(md) + "\n")
 
-    best_exec = {n: max(raw_exec[n], key=lambda r: r["triples_per_sec"]) for n in raw_exec}
-    best_core = {c: max(raw_core[c], key=lambda r: r["triples_per_sec"]) for c in raw_core}
-
-    eff_exec = (
-        best_exec[N_EXEC_HI]["triples_per_sec"] / best_exec[1]["triples_per_sec"]
-    ) / N_EXEC_HI
-    eff_core = (
-        best_core[CORE_LEVELS[1]]["triples_per_sec"]
-        / best_core[CORE_LEVELS[0]]["triples_per_sec"]
-    ) / (CORE_LEVELS[1] / CORE_LEVELS[0])
-
-    summary = {
-        "metric": "scaling_efficiency_executors_1_to_4",
-        "value": round(eff_exec, 3),
-        "unit": "ratio",
-        "n_docs": n_docs,
-        "exec_cores": EXEC_CORES,
-        "core_scaling_efficiency_2_to_8": round(eff_core, 3),
-        "hardware_probe_fixed_total_sec": hw,
-        "executors": {str(n): best_exec[n] for n in best_exec},
-        "cores": {str(c): best_core[c] for c in best_core},
-        "raw": {
-            "executors": {str(n): raw_exec[n] for n in raw_exec},
-            "cores": {str(c): raw_core[c] for c in raw_core},
-        },
-    }
-    print(json.dumps(summary))
-
-    hw_2_8 = hw[2] / hw[8] / 4
-    md = [
-        "# BENCH_SCALING — N vs 4N executors (north_rule evidence)",
-        "",
-        "No real cluster exists in this sandbox, so the primary measurement "
-        "reproduces the rule's exact shape — separate executor processes — "
-        "on one box: the identical one-pass KG-construction job "
-        "(fused chunk→extract→fold→schema→triples; tests pin its outputs to "
-        "the staged pipeline) via `spark-submit --py-files`, fresh JVM(s) "
-        "per run.",
-        "",
-        f"Corpus: deterministic synthetic, {n_docs:,} documents (input_hint "
-        "shape).  Each config runs "
-        f"{repeats}×, interleaved; best-of reported, all raw walls below.",
-        "",
-        f"## Primary — executor scaling (1 vs {N_EXEC_HI} executors, "
-        f"{EXEC_CORES} cores each)",
-        "",
-        f"One {EXEC_CORES}-core JVM, then {N_EXEC_HI} concurrent "
-        f"{EXEC_CORES}-core JVMs pinned to disjoint CPU sets, each over its "
-        "own equal data share (weak scaling — at 10^12-file scale every "
-        "executor reads its own scan split, and the measured job is "
-        "shuffle-free so shares compose exactly; the only cross-executor "
-        "step at cluster scale is the ≤k-row schema tree-reduce fold).",
-        "",
-        "| executors | wall (s) | aggregate triples/sec | per-JVM walls (s), all reps |",
-        "|---|---|---|---|",
-    ]
-    for n in (1, N_EXEC_HI):
-        r = best_exec[n]
-        walls = "; ".join(", ".join(str(w) for w in x["walls"]) for x in raw_exec[n])
-        md.append(
-            f"| {n} | {r['wall_sec']} | {r['triples_per_sec']:,} | {walls} |"
-        )
-    md += [
-        "",
-        f"**Efficiency = (tps@{N_EXEC_HI} / tps@1) / {N_EXEC_HI} = "
-        f"{eff_exec:.3f}**  (target ≥ 0.8)",
-        "",
-        "## Secondary — core scaling, one JVM "
-        f"(local[{CORE_LEVELS[0]}] vs local[{CORE_LEVELS[1]}], pinned)",
-        "",
-        "| master | wall (s) | triples/sec | raw walls (s) |",
-        "|---|---|---|---|",
-    ]
-    for c in CORE_LEVELS:
-        r = best_core[c]
-        walls = ", ".join(str(x["wall_sec"]) for x in raw_core[c])
-        md.append(
-            f"| local[{c}] | {r['wall_sec']} | {r['triples_per_sec']:,} | {walls} |"
-        )
-    md += [
-        "",
-        f"Core-scaling efficiency: {eff_core:.3f}.  This pair shares one "
-        "JVM, one memory controller and one turbo budget across the core "
-        "counts — single-box effects a multi-machine cluster does not "
-        "have; the pure-python hardware probe (fixed total work, no "
-        f"Spark/JVM: {hw[2]}s / {hw[8]}s / {hw[16]}s / {hw[32]}s at "
-        f"2/8/16/32 procs) shows the VM's own 2→8 ceiling is "
-        f"{hw_2_8:.2f}, with double-digit hypervisor steal above ~16 busy "
-        "CPUs — which is why all pinned measurements stay ≤8 CPUs.",
-        "",
-        "All runs `taskset`-pinned: `local[N]` caps only task slots, so "
-        "unpinned runs let GC/IO/Arrow threads and python workers spill "
-        "onto all 32 host CPUs and distort the baseline (narrow stage: "
-        "0.62 unpinned vs 0.98 pinned).",
-        "",
-        "Run `python scripts/scaling_bench.py` to reproduce.",
-    ]
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write("\n".join(md) + "\n")
-
-    shutil.rmtree(work, ignore_errors=True)
+    finally:
+        # the multi-GB temp corpus must not outlive a failed run
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

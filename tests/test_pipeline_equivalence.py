@@ -313,3 +313,31 @@ def test_content_invariant_catches_mixed_sha_rows(spark):
     assert verify_content_invariant(corpus, chunks_orphan) == 1
     # ...as is a corpus document with no chunk rows at all
     assert verify_content_invariant(corpus, chunks_ok.limit(0)) == 1
+
+
+def test_staged_fold_matches_fused_doc_entities(spark):
+    """operators/fold.fold_documents (the staged A2/A3 operator for
+    pre-chunked inputs) must produce exactly the fused kernel's
+    doc-entities rows when fed the fused pass's own chunk rows."""
+    from scrapontologies_spark.operators.extract import (
+        chunks_view,
+        doc_entities_view,
+        extract_document_rows,
+    )
+    from scrapontologies_spark.operators.fold import fold_documents
+    from scrapontologies_spark.sources.corpus import corpus_df
+
+    corpus = corpus_df(spark, 24)
+    doc_rows = extract_document_rows(corpus, 512, with_schemas=False).persist()
+    try:
+        fused = {
+            (r.repo, r.path, r.entity_name): (r.entity_type, r.attributes)
+            for r in doc_entities_view(doc_rows).collect()
+        }
+        staged = {
+            (r.repo, r.path, r.entity_name): (r.entity_type, r.attributes)
+            for r in fold_documents(chunks_view(doc_rows)).collect()
+        }
+        assert staged == fused and len(fused) > 0
+    finally:
+        doc_rows.unpersist()

@@ -136,3 +136,37 @@ def test_render_html_escapes_hostile_ids_and_title():
     assert opt["series"][0]["data"][0]["name"].startswith("x</script>")
     assert "</script><script>alert" not in embedded  # '<' is <-escaped
     assert "<title>&lt;b&gt;T&lt;/b&gt;</title>" in html
+
+
+def test_render_backend_validated_before_collect(spark):
+    """A typo'd backend raises immediately — before any Spark job runs —
+    and the api facade is equally strict (no silent html fallback)."""
+    import pytest
+
+    from scrapontologies_spark.plans.render import render_from_tables
+
+    ents = spark.createDataFrame(
+        [("a", "object", "{}")], "id string, type string, attributes string"
+    )
+    rels = spark.createDataFrame(
+        [], "id string, source string, target string, name string, rel_type string"
+    )
+    with pytest.raises(ValueError, match="unknown render backend"):
+        render_from_tables(ents, rels, backend="pyechart")
+
+
+def test_render_from_tables_drops_null_ids(spark):
+    """NULL entity ids are filtered out instead of crashing the keep-set
+    sort or emitting a null graph node."""
+    from scrapontologies_spark.plans.render import render_from_tables
+
+    ents = spark.createDataFrame(
+        [("a", "object", "{}"), (None, "object", "{}")],
+        "id string, type string, attributes string",
+    )
+    rels = spark.createDataFrame(
+        [], "id string, source string, target string, name string, rel_type string"
+    )
+    html = render_from_tables(ents, rels)
+    assert '"name": "a"' in html
+    assert '"name": null' not in html and html.count('"name":') == 1

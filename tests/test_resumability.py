@@ -202,3 +202,24 @@ def test_remote_warehouse_root_rejected(tmp_path):
     with pytest.raises(NotImplementedError):
         Warehouse("s3://bucket/wh")
     Warehouse(str(tmp_path / "ok"))  # local path fine
+
+
+def test_job_cli_corpus_parquet_flag(spark, tmp_path):
+    """--corpus reads a real parquet corpus (input_hint shape) instead of
+    synthesizing one — the parser accepts it and run_job consumes it."""
+    from scrapontologies_spark.plans.job import _arg_parser
+
+    args = _arg_parser().parse_args(["/tmp/wh", "--corpus", "/data/corpus.parquet"])
+    assert args.corpus == "/data/corpus.parquet"
+    # end-to-end: a parquet corpus drives run_job identically to the
+    # in-memory frame it was written from
+    corpus = corpus_df(spark, 30)
+    cpath = str(tmp_path / "corpus_pq")
+    corpus.write.mode("overwrite").parquet(cpath)
+    r1 = run_job(spark, spark.read.parquet(cpath), str(tmp_path / "wh_a"),
+                 chunk_bytes=512, with_cc=False, with_schemas=False)
+    r2 = run_job(spark, corpus, str(tmp_path / "wh_b"),
+                 chunk_bytes=512, with_cc=False, with_schemas=False)
+    assert {k: v.fingerprint for k, v in r1.items()} == {
+        k: v.fingerprint for k, v in r2.items()
+    }
