@@ -61,6 +61,24 @@ def sessionize(
     )
 
 
+_ASOF_RESERVED = ("_k", "_ts", "_tse", "_ord", "_side", "_r", "_m", "_mb", "_mf")
+_IVAL_RESERVED = ("_k", "_bkt")
+
+
+def _guard_reserved(op: str, reserved: "tuple[str, ...]", *frames: DataFrame) -> None:
+    """Fail fast when an input already carries one of the temp columns the
+    operator injects — a silent collision would corrupt the union/window
+    logic instead of erroring."""
+    present = sorted(
+        set(reserved) & {c for f in frames for c in f.columns}
+    )
+    if present:
+        raise ValueError(
+            f"{op}: input carries reserved temp column(s) {present}; "
+            "rename them before joining"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -69,45 +87,89 @@ def asof_join(
     order_col: str = "event_id",
     right_value_cols: "tuple[str, ...]" = ("event_id",),
     prefix: str = "prior_",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the most recent right row
-    with ``right.ts <= left.ts`` for the same key (the merge_asof /
-    ASOF JOIN operator Spark lacks as a builtin).  Returns the left rows
-    plus ``<prefix><col>`` for each requested right value column (null when
-    no prior right row exists).
+    """As-of join: for every left row, the nearest right row for the same
+    key (the merge_asof / ASOF JOIN operator Spark lacks as a builtin).
+    Returns the left rows plus ``<prefix><col>`` for each requested right
+    value column (null when no matching right row exists).
 
-    Plan shape — union + ONE window pass instead of a join: both sides are
+    ``direction`` (merge_asof parity):
+      - ``"backward"`` (default) — latest right row with ``right.ts <=
+        left.ts`` (``<`` when ``allow_exact_matches=False``);
+      - ``"forward"`` — earliest right row with ``right.ts >= left.ts``
+        (``>`` when exact matches are disallowed);
+      - ``"nearest"`` — whichever of the two is closer in time; equal
+        distances resolve to the backward match.
+
+    Plan shape — union + window pass instead of a join: both sides are
     tagged and unioned (narrow), then a single hash partition by key with
-    an in-partition sort by (ts, side, order) lets ``last(_r,
-    ignorenulls=True)`` carry the latest right payload forward.  Cost is
-    one shuffle of |left|+|right| rows — no per-row range probing, no
-    skew-amplifying theta join; a hot key is just a bigger sorted run.
+    an in-partition sort lets ``last(_r, ignorenulls=True)`` carry the
+    nearest right payload to each left row.  Cost is one shuffle of
+    |left|+|right| rows — no per-row range probing, no skew-amplifying
+    theta join; a hot key is just a bigger sorted run.  ``nearest`` runs
+    both window passes over the SAME exchange (two in-partition sorts, one
+    shuffle).
 
     Determinism: at equal timestamps the right row sorts BEFORE the left
-    row (ties are matches, `<=` semantics), and among equal-ts right rows
-    the largest ``order_col`` wins — both engines replicate this exact
-    (ts, side, order) ordering.
+    row when exact matches are allowed (AFTER when not), and among
+    equal-ts right rows the largest ``order_col`` wins backward / the
+    smallest wins forward (the exact mirror) — engine-agnostic orderings
+    an oracle replicates exactly.
     """
-    r_payload = F.struct(*[F.col(c) for c in right_value_cols])
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    _guard_reserved("asof_join", _ASOF_RESERVED, left, right)
+    if "__rts" in right_value_cols:
+        raise ValueError("asof_join: '__rts' is a reserved payload field name")
+    # side sort key: right rows sort before the left row at equal ts when
+    # ties are matches, after it when they are not
+    side_right = 0 if allow_exact_matches else 2
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # the matched right row's epoch rides inside the payload struct so the
+    # 'nearest' arbitration can compare distances without a second lookup
+    r_payload = F.struct(
+        epoch.alias("__rts"), *[F.col(c) for c in right_value_cols]
+    )
     right_tagged = right.select(
         F.col(key_col).alias("_k"),
-        F.col(ts_col).alias("_ts"),
+        epoch.alias("_tse"),
         F.col(order_col).alias("_ord"),
-        F.lit(0).alias("_side"),
+        F.lit(side_right).alias("_side"),
         r_payload.alias("_r"),
     )
     left_tagged = left.withColumn("_k", F.col(key_col)).withColumn(
-        "_ts", F.col(ts_col)
+        "_tse", epoch
     ).withColumn("_ord", F.col(order_col)).withColumn(
         "_side", F.lit(1)
     ).withColumn("_r", F.lit(None).cast(right_tagged.schema["_r"].dataType))
     unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_ord")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    part = Window.partitionBy("_k")
+    w_back = part.orderBy(
+        F.col("_tse").asc(), F.col("_side").asc(), F.col("_ord").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = part.orderBy(
+        F.col("_tse").desc(), F.col("_side").asc(), F.col("_ord").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    if direction == "backward":
+        matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w_fwd))
+    else:
+        d_back = F.col("_tse") - F.col("_mb.__rts")
+        d_fwd = F.col("_mf.__rts") - F.col("_tse")
+        matched = (
+            unioned.withColumn("_mb", F.last("_r", ignorenulls=True).over(w_back))
+            .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_fwd))
+            .withColumn(
+                "_m",
+                F.when(F.col("_mb").isNull(), F.col("_mf"))
+                .when(F.col("_mf").isNull(), F.col("_mb"))
+                .when(d_back <= d_fwd, F.col("_mb"))
+                .otherwise(F.col("_mf")),
+            )
+        )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_value_cols
     ]
@@ -137,6 +199,7 @@ def interval_join(
     fan-out against residual selectivity and is the knob to retune when
     interval spans grow 100×.
     """
+    _guard_reserved("interval_join", _IVAL_RESERVED, points, intervals)
     width_us = int(bucket_hours * 3_600_000_000)
     pt_bucket = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / width_us)
     iv_buckets = F.sequence(

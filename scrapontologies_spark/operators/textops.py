@@ -33,6 +33,14 @@ def _is_ascii_word(m: str) -> bool:
     return all(c.isascii() and (c.isalnum() or c == "_") for c in m)
 
 
+def _re_literal(m: str) -> str:
+    """Quote a marker for Java regex so regexp_replace does LITERAL
+    substring matching — the DuckDB oracle twin uses plain replace(), so a
+    marker containing a regex metacharacter ('+', '(', '.') must not be
+    interpreted as a pattern on the Spark side."""
+    return "\\Q" + m.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _count_markers(text_col: Column, markers: tuple) -> Column:
     """Marker-occurrence count with ENGINE-AGNOSTIC boundary semantics.
 
@@ -56,9 +64,10 @@ def _count_markers(text_col: Column, markers: tuple) -> Column:
         toks = F.split(text_col, r"[^A-Za-z0-9_]+")
         total = F.size(F.filter(toks, lambda t: t.isin(*ascii_words)))
     for m in other:
-        c = (F.length(text_col) - F.length(F.regexp_replace(text_col, m, ""))) / F.lit(
-            len(m)
-        )
+        c = (
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, _re_literal(m), ""))
+        ) / F.lit(len(m))
         c = c.cast("int")
         total = c if total is None else total + c
     return total if total is not None else F.lit(0)

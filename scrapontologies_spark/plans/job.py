@@ -81,6 +81,12 @@ def run_job(
         "chunk_bytes": chunk_bytes,
         "allowed_kinds": allowed_kinds,
         "allowed_terms": allowed_terms,
+        # with_schemas changes the 'extracted' rows themselves (schema rows
+        # are emitted or not) and with_cc changes the triples stage — both
+        # must invalidate checkpoints, or a re-run with the flag flipped
+        # serves a stale 'extracted' and yields an empty global schema.
+        "with_schemas": with_schemas,
+        "with_cc": with_cc,
     }
 
     # Fused one-pass extraction: chunk/fold/schema/triple rows from ONE

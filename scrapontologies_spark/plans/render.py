@@ -230,9 +230,13 @@ def render_from_tables(
         # cost two Spark jobs first
         raise ValueError(f"unknown render backend: {backend!r}")
     # NULL ids cannot be graph nodes (and would crash the sorted() below)
+    # orderBy before limit: .limit on an unordered frame picks whichever
+    # partitions answer first, so the rendered subset would vary across
+    # runs/partitionings whenever the table exceeds the cap
     ents = [
         r.asDict()
         for r in entities_df.filter(F.col("id").isNotNull())
+        .orderBy("id")
         .limit(max_nodes)
         .collect()
     ]
@@ -250,6 +254,7 @@ def render_from_tables(
             "target",
             "left_semi",
         )
+        .orderBy("source", "target")
         .limit(max_edges)
     )
     rels = [r.asDict() for r in rels_df.collect()]

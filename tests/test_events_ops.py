@@ -212,3 +212,142 @@ def test_interval_join_tolerates_shared_column_names(spark):
     )
     got = interval_join(pts, ivs).select("pid", "sid").collect()
     assert [(r.pid, r.sid) for r in got] == [("p1", "s1")]
+
+
+def test_asof_join_forward_semantics(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts(1), "view"),   # next purchase at :05
+            (2, 1, _ts(5), "purchase"),
+            (3, 1, _ts(5), "view"),   # equal ts → matches (>= semantics)
+            (4, 1, _ts(9), "view"),   # no later purchase
+            (5, 2, _ts(3), "view"),   # user without purchases
+        ],
+    )
+    res = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+        prefix="next_",
+        direction="forward",
+    )
+    got = {r["event_id"]: r["next_event_id"] for r in res.collect()}
+    assert got[1] == 2
+    assert got[2] == 2  # the purchase matches itself (>=)
+    assert got[3] == 2  # equal-ts tie IS a match
+    assert got[4] is None
+    assert got[5] is None
+    assert res.count() == ev.count()
+
+
+def test_asof_join_forward_equal_ts_right_rows_pick_min_order(spark):
+    # mirror of the backward max-order rule: forward picks the SMALLEST
+    # order_col among equal-ts right rows
+    ev = _events(
+        spark,
+        [
+            (12, 1, _ts(1), "view"),
+            (10, 1, _ts(2), "purchase"),
+            (11, 1, _ts(2), "purchase"),
+        ],
+    )
+    res = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+        direction="forward",
+    )
+    got = {r["event_id"]: r["prior_event_id"] for r in res.collect()}
+    assert got[12] == 10
+
+
+def test_asof_join_allow_exact_matches_false(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts(5), "view"),      # equal ts to both purchases
+            (2, 1, _ts(5), "purchase"),
+            (3, 1, _ts(3), "purchase"),
+            (4, 1, _ts(8), "purchase"),
+        ],
+    )
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase")
+    back = asof_join(
+        left, right, right_value_cols=("event_id",), allow_exact_matches=False
+    )
+    assert back.collect()[0]["prior_event_id"] == 3  # strict <, skips :05
+    fwd = asof_join(
+        left,
+        right,
+        right_value_cols=("event_id",),
+        direction="forward",
+        allow_exact_matches=False,
+    )
+    assert fwd.collect()[0]["prior_event_id"] == 4  # strict >, skips :05
+
+
+def test_asof_join_nearest_semantics(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts(4), "view"),    # 3 min to :01, 4 min to :08 → backward
+            (2, 1, _ts(6), "view"),    # 5 min to :01, 2 min to :08 → forward
+            (3, 1, _ts(1), "purchase"),
+            (4, 1, _ts(8), "purchase"),
+            (5, 2, _ts(0), "view"),    # only a later purchase exists
+            (6, 2, _ts(9), "purchase"),
+            (7, 3, _ts(0), "view"),    # no purchase at all
+        ],
+    )
+    res = asof_join(
+        ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+        prefix="near_",
+        direction="nearest",
+    )
+    got = {r["event_id"]: r["near_event_id"] for r in res.collect()}
+    assert got[1] == 3
+    assert got[2] == 4
+    assert got[5] == 6  # one-sided → the existing side wins
+    assert got[7] is None
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts(5), "view"),  # 2 min to both :03 and :07
+            (2, 1, _ts(3), "purchase"),
+            (3, 1, _ts(7), "purchase"),
+        ],
+    )
+    res = asof_join(
+        ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase"),
+        right_value_cols=("event_id",),
+        direction="nearest",
+    )
+    assert res.collect()[0]["prior_event_id"] == 2
+
+
+def test_time_join_reserved_name_guards(spark):
+    import pytest as _pytest
+
+    ev = _events(spark, [(1, 1, _ts(0), "view")])
+    bad = ev.withColumn("_side", F.lit(0))
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(bad.select("event_id", "user_id", "ts", "_side"), ev)
+    with _pytest.raises(ValueError, match="unknown direction"):
+        asof_join(ev, ev, direction="sideways")
+    pts = ev.select("user_id", "event_id", "ts", F.lit(0).alias("_bkt"))
+    ivs = spark.createDataFrame(
+        [(1, _ts(0), _ts(9))],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_join(pts, ivs)

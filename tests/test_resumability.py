@@ -30,7 +30,13 @@ def test_resume_skips_and_matches(spark, corpus, tmp_path):
     wh = Warehouse(resumed_root)
     from scrapontologies_spark.operators.extract import extract_document_rows
 
-    cfg = {"chunk_bytes": 512, "allowed_kinds": None, "allowed_terms": None}
+    cfg = {
+        "chunk_bytes": 512,
+        "allowed_kinds": None,
+        "allowed_terms": None,
+        "with_schemas": True,
+        "with_cc": True,
+    }
     wh.run_stage(
         spark, "extracted", lambda: extract_document_rows(corpus, 512), config=cfg
     )
@@ -54,6 +60,17 @@ def test_rerun_everything_skipped(spark, corpus, tmp_path):
     assert {k: v.fingerprint for k, v in first.items()} == {
         k: v.fingerprint for k, v in second.items()
     }
+
+
+def test_flag_flip_invalidates_checkpoints(spark, corpus, tmp_path):
+    """with_schemas changes the 'extracted' rows themselves, so flipping it
+    between runs against the same warehouse must REBUILD, not serve the
+    stale checkpoint (which would yield an empty global schema)."""
+    root = str(tmp_path / "wh")
+    run_job(spark, corpus, root, chunk_bytes=512, with_schemas=False)
+    second = run_job(spark, corpus, root, chunk_bytes=512, with_schemas=True)
+    assert not second["extracted"].skipped
+    assert second["global_schema"].rows > 0
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
