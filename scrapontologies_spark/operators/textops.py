@@ -81,30 +81,70 @@ def ascii_word_tokens_in(text_col: Column, words: tuple) -> Column:
     return F.filter(F.split(text_col, r"[^A-Za-z0-9_]+"), lambda t: t.isin(*words))
 
 
-def lang_pred_exprs(text: Column) -> "tuple[Column, Column]":
-    """(pred_lang, marker_hits) expressions — argmax marker-hit count, ties
-    broken by language code order (deterministic).  Shared by language_id
-    and the composed keep_filter so the signals stay definitionally one."""
-    langs = sorted(LANG_MARKERS)  # fixed tie order: first in sorted order wins
-    hits = {lang: _count_markers(text, LANG_MARKERS[lang]) for lang in langs}
-    best = F.greatest(*hits.values())
+def lang_hit_columns(text: Column, toks: Column) -> "dict[str, Column]":
+    """Per-language marker-hit counts with the engine-agnostic boundary
+    semantics of _count_markers, but every ASCII count drawn from the
+    SHARED word-token array ``toks`` — the text is split exactly once for
+    all languages instead of once per language."""
+    out: dict[str, Column] = {}
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        ascii_words = tuple(m for m in markers if _is_ascii_word(m))
+        other = tuple(m for m in markers if not _is_ascii_word(m))
+        total: Column | None = None
+        if ascii_words:
+            total = F.size(F.filter(toks, lambda t: t.isin(*ascii_words)))
+        for m in other:
+            c = (
+                F.length(text)
+                - F.length(F.regexp_replace(text, _re_literal(m), ""))
+            ) / F.lit(len(m))
+            c = c.cast("int")
+            total = c if total is None else total + c
+        out[lang] = total if total is not None else F.lit(0)
+    return out
+
+
+def lang_pred_from_hits(hits: "dict[str, Column]") -> "tuple[Column, Column]":
+    """(pred_lang, marker_hits) — argmax marker-hit count, ties broken by
+    language code order (first in sorted order wins), expressed as a
+    reversed when-chain so it mirrors a SQL CASE exactly.  Pass plain
+    column REFERENCES, not the counting expressions: each hit appears ~3×
+    here (greatest + CASE), and attribute refs keep each count computed
+    once per row instead of relying on codegen subexpression elimination."""
+    langs = sorted(hits)
+    best = F.greatest(*[hits[lang] for lang in langs])
     pred = F.lit(langs[0])
-    # first lang (in sorted order) whose hits == max wins the tie —
-    # expressed as a reversed when-chain so it mirrors a SQL CASE exactly
     for lang in reversed(langs):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     return pred, best
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Predicted language = argmax marker-hit count (lang_pred_exprs).
-    Returns (doc_id, pred_lang, marker_hits)."""
+    """Predicted language = argmax marker-hit count.
+    Returns (doc_id, pred_lang, marker_hits).
+
+    Plan shape: three staged projections — (1) the word-split into a shared
+    token array, (2) one materialized hit column per language, (3) the
+    argmax CASE over those columns.  Each stage's expensive expressions are
+    referenced more than once downstream, so CollapseProject keeps the
+    stages physical and every split/count runs once per row (the round-2
+    single-projection form re-split the text per language and re-evaluated
+    each count ~3× — measured 1.8 s vs 0.3 s-class at sf0.1)."""
     df = spread(df, id_col)
-    pred, best = lang_pred_exprs(F.col(text_col))
-    return df.select(
+    langs = sorted(LANG_MARKERS)
+    tokens = df.select(
         F.col(id_col).alias("doc_id"),
-        pred.alias("pred_lang"),
-        best.alias("marker_hits"),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), r"[^A-Za-z0-9_]+").alias("_toks"),
+    )
+    hits = lang_hit_columns(F.col("_text"), F.col("_toks"))
+    counted = tokens.select(
+        "doc_id", *[hits[lang].alias(f"_h_{lang}") for lang in langs]
+    )
+    pred, best = lang_pred_from_hits({l: F.col(f"_h_{l}") for l in langs})
+    return counted.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("marker_hits")
     )
 
 
@@ -160,6 +200,25 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _tagged_grams(toks: Column) -> Column:
+    """Unigrams and adjacent-pair bigrams tagged into ONE gram array
+    (b=0 unigram, b=1 bigram) so a single explode feeds one
+    map-side-combining count chain.  sequence() descends when start >
+    stop, so the <2-token bigram case is guarded explicitly.  Pass a plain
+    column reference so the token array is materialized once."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tag = lambda flag: lambda g: F.struct(F.lit(flag).alias("b"), g.alias("g"))
+    return F.concat(F.transform(toks, tag(0)), F.transform(bigrams, tag(1)))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals: top-unigram fraction,
     fraction of tokens belonging to repeated (count>1) unigrams, and
@@ -176,25 +235,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
 
-    # adjacent-pair bigrams; sequence() descends when start > stop, so guard
-    # the <2-token case explicitly
-    bigrams = F.when(
-        F.size("_toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - 2),
-            lambda i: F.concat(F.element_at("_toks", i + 1), F.lit(" "), F.element_at("_toks", i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
     # ONE scan, ONE explode: unigrams and bigrams tagged into one gram
-    # stream (is_big), counted together — a single map-side-combining
-    # aggregation chain instead of two branches + a join
-    tag = lambda flag: lambda g: F.struct(F.lit(flag).alias("b"), g.alias("g"))
+    # stream, counted together — a single map-side-combining aggregation
+    # chain instead of two branches + a join
     grams = base.select(
-        "doc_id",
-        F.explode(
-            F.concat(F.transform("_toks", tag(0)), F.transform(bigrams, tag(1)))
-        ).alias("x"),
+        "doc_id", F.explode(_tagged_grams(F.col("_toks"))).alias("x")
     )
     counts = grams.groupBy(
         "doc_id", F.col("x.b").alias("b"), F.col("x.g").alias("g")
@@ -277,41 +322,98 @@ def keep_filter(
     pipeline makes from the individual signals (language, length,
     punctuation, repetition).
 
-    Plan shape: every NARROW signal (language, quality ratios) is computed
-    in ONE projection over the scan — not by joining the per-operator
-    outputs, which would self-join the corpus once per signal.  Only the
-    repetition aggregates (genuinely grouped) arrive via a single
-    co-partitioned join on doc_id.  Returns the signals plus ``keep``."""
+    Plan shape — ONE scan of the corpus, zero joins: a staged projection
+    tokenizes once (word-split for language markers, lowered word-split
+    for stopwords, whitespace split for quality + grams), the narrow
+    signals and the tagged gram stream come out of that single pass, and
+    the per-doc narrow signals ride THROUGH the repetition aggregation via
+    first() (constant per doc, ~25 B per distinct gram on a shuffle that
+    already carries the gram strings).  The round-2 form scanned the
+    corpus twice — once for the narrow signals, once for the gram explode
+    — and joined the halves; at 100 TB the second scan costs more than the
+    carried bytes.  Empty/NULL-text docs survive via explode_outer (one
+    NULL gram row) with NULL repetition fractions, exactly like the old
+    left join's misses."""
     base = spread(df, id_col)
-    pred, _ = lang_pred_exprs(F.col(text_col))
-    q = quality_exprs(F.col(text_col))
-    narrow = base.select(
+    langs = sorted(LANG_MARKERS)
+    text = F.col(text_col)
+    # stage 1: every split exactly once, each held in its own projection so
+    # CollapseProject can't inline a multi-referenced split downstream
+    stage1 = base.select(
         F.col(id_col).alias("doc_id"),
-        pred.alias("pred_lang"),
-        q["n_tokens"].alias("n_tokens"),
-        q["punct_ratio"].alias("punct_ratio"),
-        q["stopword_ratio"].alias("stopword_ratio"),
+        text.alias("_text"),
+        F.split(text, r"[^A-Za-z0-9_]+").alias("_wtoks"),
+        F.split(F.lower(text), r"[^A-Za-z0-9_]+").alias("_ltoks"),
+        F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("_toks"),
     )
-    rep = repetition_stats(df, text_col, id_col).select(
-        "doc_id", "top_unigram_frac", "repeated_token_frac"
+    hits = lang_hit_columns(F.col("_text"), F.col("_wtoks"))
+    n_tok = F.size("_toks")
+    stage2 = stage1.select(
+        "doc_id",
+        *[hits[lang].alias(f"_h_{lang}") for lang in langs],
+        n_tok.alias("_n_tokens"),
+        (
+            F.size(F.regexp_extract_all(F.col("_text"), F.lit(r"([^\w\s])"), 1)).cast(
+                "double"
+            )
+            / F.greatest(F.length("_text"), F.lit(1))
+        ).alias("_punct_ratio"),
+        (
+            F.size(
+                F.filter(F.col("_ltoks"), lambda t: t.isin(*ENGLISH_STOPWORDS))
+            ).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("_stop_ratio"),
+        _tagged_grams(F.col("_toks")).alias("_grams"),
     )
-    joined = narrow.join(rep, "doc_id", "left")
+    pred, _ = lang_pred_from_hits({l: F.col(f"_h_{l}") for l in langs})
+    exploded = stage2.select(
+        "doc_id",
+        pred.alias("_pred"),
+        "_n_tokens",
+        "_punct_ratio",
+        "_stop_ratio",
+        F.explode_outer("_grams").alias("x"),
+    )
+    counts = exploded.groupBy(
+        "doc_id", F.col("x.b").alias("b"), F.col("x.g").alias("g")
+    ).agg(
+        F.count("*").alias("c"),
+        F.first("_pred").alias("_pred"),
+        F.first("_n_tokens").alias("_n_tokens"),
+        F.first("_punct_ratio").alias("_punct_ratio"),
+        F.first("_stop_ratio").alias("_stop_ratio"),
+    )
+    u = F.col("b") == 0
+    stats = counts.groupBy("doc_id").agg(
+        F.first("_pred").alias("pred_lang"),
+        F.first("_n_tokens").alias("n_tokens"),
+        F.first("_punct_ratio").alias("punct_ratio"),
+        F.first("_stop_ratio").alias("stopword_ratio"),
+        F.sum(F.when(u, F.col("c"))).alias("_nu"),
+        F.max(F.when(u, F.col("c"))).alias("_max_c"),
+        F.coalesce(
+            F.sum(F.when(u & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).alias("_rep"),
+    )
+    top_uni = F.col("_max_c").cast("double") / F.col("_nu")
+    rep_frac = F.col("_rep").cast("double") / F.col("_nu")
     keep = (
         F.col("pred_lang").isin(*allowed_langs)
         & (F.col("n_tokens") >= F.lit(min_tokens))
         & (F.col("n_tokens") <= F.lit(max_tokens))
         & (F.col("punct_ratio") <= F.lit(max_punct_ratio))
-        & (F.coalesce(F.col("top_unigram_frac"), F.lit(1.0)) <= F.lit(max_top_unigram_frac))
-        & (F.coalesce(F.col("repeated_token_frac"), F.lit(1.0)) <= F.lit(max_repeated_token_frac))
+        & (F.coalesce(top_uni, F.lit(1.0)) <= F.lit(max_top_unigram_frac))
+        & (F.coalesce(rep_frac, F.lit(1.0)) <= F.lit(max_repeated_token_frac))
     )
-    return joined.select(
+    return stats.select(
         "doc_id",
         "pred_lang",
         "n_tokens",
         "punct_ratio",
         "stopword_ratio",
-        "top_unigram_frac",
-        "repeated_token_frac",
+        top_uni.alias("top_unigram_frac"),
+        rep_frac.alias("repeated_token_frac"),
         keep.alias("keep"),
     )
 

@@ -132,15 +132,29 @@ def test_repetition_single_scan_no_extra_shuffle(spark):
     assert "partial_count" in plan, plan  # map-side combine on the gram agg
 
 
-def test_keep_filter_single_scan_for_narrow_signals(spark):
-    """keep_filter computes language + quality signals in ONE projection:
-    the plan must contain exactly TWO document scans (narrow signals +
-    repetition aggregates), not one per signal."""
+def test_keep_filter_single_scan_no_join(spark):
+    """keep_filter is fully fused: ONE document scan, zero joins — the
+    narrow signals ride through the repetition aggregation via first()
+    instead of a second corpus scan + join."""
     from scrapontologies_spark.operators import textops
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(textops.keep_filter(docs))
-    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_language_id_splits_text_once(spark):
+    """language_id must tokenize once into a shared array: exactly one
+    split() in the physical plan, and each language's count materialized
+    as its own column (4 ASCII-language size(filter(...)) expressions) —
+    not re-evaluated inside greatest() and the CASE chain."""
+    from scrapontologies_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textops.language_id(docs))
+    assert plan.count("split(") == 1, plan
+    assert plan.count("size(filter(") == 4, plan
 
 
 def test_sessionize_is_single_shuffle(spark):
