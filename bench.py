@@ -74,6 +74,9 @@ EXTRA_QUERIES = [
     "text_redact_pii",
     "events_asof_purchase",
     "events_interval_sessions",
+    # round-3 additions
+    "events_asof_forward",
+    "dedup_embedding_cosine_lsh",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus

@@ -96,6 +96,13 @@ def queries() -> Q:
         _emb(spark, d), threshold=0.4
     )
 
+    # the lsh_tables>0 SCALE path — deterministically approximate (md5
+    # sign-LSH planes), so the oracle replicates the same neardup{t}
+    # buckets and the result is value-checked like the exact path
+    q["dedup_embedding_cosine_lsh"] = lambda spark, d: dedup.embedding_near_dup_pairs(
+        _emb(spark, d), threshold=0.4, lsh_tables=4, lsh_planes=4
+    )
+
     # --- similarity ----------------------------------------------------------
     def sim_topk(spark, d):
         emb = _emb(spark, d)
@@ -238,6 +245,33 @@ def queries() -> Q:
         )
 
     q["events_asof_purchase"] = asof_q
+
+    # forward as-of join: every event → its user's next purchase at-or-after
+    # the event (merge_asof direction="forward" parity; same union+window
+    # single-shuffle plan with the sort flipped)
+    def asof_fwd_q(spark, d):
+        from ..operators.events import asof_join
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        res = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            ev.filter(F.col("event_type") == "purchase"),
+            right_value_cols=("event_id", "ts"),
+            prefix="next_",
+            direction="forward",
+        )
+        return res.select(
+            "event_id",
+            "user_id",
+            F.coalesce("next_event_id", F.lit(-1)).alias("next_purchase_id"),
+            F.coalesce(
+                F.unix_micros(F.col("next_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp")),
+                F.lit(-1),
+            ).alias("us_until_purchase"),
+        )
+
+    q["events_asof_forward"] = asof_fwd_q
 
     # containment range join: events ⨝ their own user's sessions — the
     # Spark side runs the bucketized interval_join; the oracle derives the
@@ -648,12 +682,20 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
-def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
-    """Per-table bucket SELECTs replicating similarity.cosine_topk_lsh's
-    sign-LSH via the SAME half-sum identity the operator's Arrow kernel
-    uses (similarity._bucket_keys_pdf): proj = 2·Σ_{w=+1} x_i − Σ x_i with
-    the SAME md5-derived positive-index sets and the same sequential
-    float64 op order, so Spark and DuckDB compute identical buckets."""
+def _lsh_bucket_sql(
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed_fmt: str = "lsh{t}",
+    prefix_fmt: str = "{t}|",
+) -> str:
+    """Per-table bucket SELECTs replicating the operators' sign-LSH via
+    the SAME half-sum identity the Arrow kernel uses
+    (similarity._bucket_keys_pdf): proj = 2·Σ_{w=+1} x_i − Σ x_i with the
+    SAME md5-derived positive-index sets and the same sequential float64
+    op order, so Spark and DuckDB compute identical buckets.  seed/prefix
+    formats select the family: cosine_topk_lsh uses ("lsh{t}", "{t}|"),
+    embedding_near_dup_pairs uses ("neardup{t}", "{t}#")."""
     from ..operators.similarity import _plane_signs
 
     total = "list_aggregate([x::DOUBLE FOR x IN embedding], 'sum')"
@@ -663,7 +705,7 @@ def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
         for p in range(n_planes):
             pos = [
                 i + 1
-                for i, s in enumerate(_plane_signs(f"lsh{t}", p, dim))
+                for i, s in enumerate(_plane_signs(seed_fmt.format(t=t), p, dim))
                 if s > 0
             ]
             if pos:
@@ -672,8 +714,9 @@ def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int) -> str:
             else:
                 ps = "0.0"
             bits.append(f"CASE WHEN 2.0 * {ps} - vs >= 0 THEN '1' ELSE '0' END")
+        prefix = prefix_fmt.format(t=t)
         selects.append(
-            f"SELECT vec_id, '{t}|' || " + " || ".join(bits)
+            f"SELECT vec_id, '{prefix}' || " + " || ".join(bits)
             + f" AS bucket FROM (SELECT vec_id, embedding, {total} AS vs FROM embeddings)"
         )
     return "\n              UNION ALL\n              ".join(selects)
@@ -920,6 +963,29 @@ def oracle_sql() -> dict[str, str]:
                   / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN a.embedding], 'sum'))
                     * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
                   >= 0.4
+        """,
+        "dedup_embedding_cosine_lsh": f"""
+            -- replica of the lsh_tables=4/lsh_planes=4 scale path: same
+            -- md5 neardup{{t}} sign-LSH buckets (half-sum identity, same
+            -- sequential float64 op order), candidate pairs = bucket
+            -- collisions, then the SAME sequential cosine as the exact path
+            WITH buckets AS (
+              {_lsh_bucket_sql(4, 4, 64, seed_fmt="neardup{t}", prefix_fmt="{t}#")}
+            ),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM buckets x JOIN buckets y USING (bucket)
+              WHERE x.vec_id < y.vec_id
+            ),
+            scored AS (
+              SELECT c.id_a, c.id_b,
+                     {_cos_sql("a.embedding", "b.embedding")} AS cos_raw
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b
+            )
+            SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+            FROM scored WHERE cos_raw >= 0.4
         """,
         "sim_cosine_topk_ivf": _ivf_topk_sql(3, 16, 4),
         "sim_cosine_topk_lsh": f"""
@@ -1176,6 +1242,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    COALESCE(pid, -1) AS prior_purchase_id,
                    COALESCE(epoch_us(ts) - pus, -1) AS us_since_purchase
+            FROM m WHERE side = 1
+        """,
+        "events_asof_forward": """
+            -- forward mirror of events_asof_purchase: the window walks ts
+            -- DESC so last_value carries the EARLIEST right row at-or-after
+            -- each left row; at equal ts the right row (side 0) still sorts
+            -- before the left, and among equal-ts rights the SMALLEST
+            -- event_id wins (event_id DESC + last_value) — exactly the
+            -- Spark plan's (_tse desc, _side asc, _ord desc) ordering
+            WITH u AS (
+              SELECT user_id, ts, event_id, 1 AS side,
+                     NULL::BIGINT AS r_id, NULL::BIGINT AS r_us
+              FROM events
+              UNION ALL
+              SELECT user_id, ts, event_id, 0,
+                     event_id, epoch_us(ts)
+              FROM events WHERE event_type = 'purchase'
+            ),
+            m AS (
+              SELECT user_id, ts, event_id, side,
+                     last_value(r_id IGNORE NULLS) OVER w AS nid,
+                     last_value(r_us IGNORE NULLS) OVER w AS nus
+              FROM u
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts DESC, side ASC, event_id DESC
+                ROWS UNBOUNDED PRECEDING
+              )
+            )
+            SELECT event_id, user_id,
+                   COALESCE(nid, -1) AS next_purchase_id,
+                   COALESCE(nus - epoch_us(ts), -1) AS us_until_purchase
             FROM m WHERE side = 1
         """,
         "events_interval_sessions": """

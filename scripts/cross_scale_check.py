@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Cross-scale oracle check (BASELINE.md's correctness claim): run registry
+queries vs their DuckDB oracles at any sf dir / parallelism, not just the
+driver's sf0.01 gate.
+
+Usage: python scripts/cross_scale_check.py <sf_dir> <cores> [query ...]
+(no query names = the full registry)
+"""
+from __future__ import annotations
+
+import sys
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    from scrapontologies_spark.plans import driver_queries as DQ
+    from scrapontologies_spark.session import build_session
+
+    sf_dir, cores = sys.argv[1], int(sys.argv[2])
+    names = sys.argv[3:] or sorted(DQ.queries())
+    spark = build_session(
+        app_name="cross-scale-check",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qmap, omap = DQ.queries(), DQ.oracle_sql()
+    failed = []
+    for name in names:
+        sp = qmap[name](spark, sf_dir).toPandas()
+        sql = omap.get(name)
+        if sql is None:
+            print(f"{name}: rows-only ({len(sp)})")
+            continue
+        du = con.execute(sql).fetchdf()
+        try:
+            cols = sorted(sp.columns)
+            a = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+            b = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+            print(f"{name}: OK ({len(sp)} rows)")
+        except Exception as e:  # noqa: BLE001 — report, keep checking
+            failed.append(name)
+            print(f"{name}: FAIL — {e}")
+    spark.stop()
+    print(f"\n{len(names) - len(failed)}/{len(names)} OK at {sf_dir} local[{cores}]")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

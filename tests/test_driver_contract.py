@@ -41,13 +41,26 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-QUERY_NAMES = sorted(E.queries().keys())
+# the FULL registry (contract + bench-only demo queries) so NON_CONTRACT
+# entries keep their local oracle verification even while off the driver file
+from scrapontologies_spark.plans import driver_queries as DQ
+
+QUERY_NAMES = sorted(DQ.queries().keys())
+
+
+def test_contract_fits_driver_cap():
+    """The driver records at most 50 CORRECTNESS rows; every exposed query
+    must land in the file (round 2 shipped 53 and 3 went unverified)."""
+    q = E.queries()
+    assert len(q) <= DQ.DRIVER_QUERY_CAP
+    assert set(E.oracle_sql()) <= set(q)
+    assert not set(q) & set(DQ.NON_CONTRACT)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    spark_df = E.queries()[name](spark, SF_DIR).toPandas()
-    oracle = E.oracle_sql().get(name)
+    spark_df = DQ.queries()[name](spark, SF_DIR).toPandas()
+    oracle = DQ.oracle_sql().get(name)
     if oracle is None:
         assert len(spark_df) >= 0  # rows-only check (non-SQL-expressible op)
         return
