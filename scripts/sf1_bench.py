@@ -1,0 +1,271 @@
+#!/usr/bin/env python3
+"""sf1-class scale bench (VERDICT r02 ask #4): ~200k-doc KG job end-to-end
+plus the operator suite over 10×-sf0.1 driver-shaped tables, at local[32].
+
+Everything is generated DISTRIBUTED and deterministically (spark.range +
+JVM expressions / the corpus mapInPandas path) — no driver-side row lists,
+no wall-clock/randomness — then persisted under ``bench_data/`` so repeat
+runs skip generation.  Prints one JSON line per phase and a final summary;
+paste results into BENCH_SCALING.md.
+
+Usage: python scripts/sf1_bench.py [--cpus 32] [--docs 200000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BENCH_DIR = os.path.join(REPO, "bench_data")
+
+# operator queries to run at sf1 over the generated driver-shaped tables.
+# dedup_embedding_cosine (EXACT all-pairs) is deliberately absent: it is the
+# opt-in small-scale oracle baseline; at 20k vectors its 2·10^8-pair cross
+# join is exactly what the LSH/IVF scale paths exist to avoid (the run
+# includes those).
+SF1_QUERIES = [
+    "m1_term_mentions",
+    "kg_fold_entities",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine_lsh",
+    "sim_cosine_topk",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "text_lang_id",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "text_repetition",
+    "text_decontaminate",
+    "text_keep_filter",
+    "text_vocabulary",
+    "text_tf_idf",
+    "text_redact_pii",
+    "cc_components",
+    "graph_pagerank_mentions",
+    "sample_stratified",
+    "pack_sequences",
+    "events_sessionize",
+    "events_asof_purchase",
+    "events_asof_forward",
+    "events_interval_sessions",
+]
+
+_WORDS = [f"w{i}" for i in range(800)] + [
+    "query", "hash", "sort", "group", "filter", "join", "merge", "scan",
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+]
+
+
+def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) -> None:
+    """Driver-shaped documents/embeddings/events at sf1, all JVM-side."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = F.array(*[F.lit(w) for w in _WORDS])
+    nw = len(_WORDS)
+
+    # documents: ~120-word seeded texts; every 20th doc is a near-copy of
+    # its predecessor (tail words perturbed) so dedup finds real structure
+    base_id = F.when(
+        (F.col("id") % 20 == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    n_words = (F.abs(F.hash(base_id, F.lit("len"))) % 80 + 60).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (
+                F.abs(
+                    F.hash(
+                        F.when(
+                            (F.col("id") % 20 == 1) & (i >= 110), F.col("id")
+                        ).otherwise(base_id),
+                        i,
+                    )
+                )
+                % nw
+                + 1
+            ).cast("int"),
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+                (F.abs(F.hash("id", F.lit("lang"))) % 4 + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(F.lit("src"), (F.col("id") % 10).cast("string")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # embeddings: dim-64 float vectors, ~32 soft clusters so ANN has signal
+    dim = 64
+    cluster = (F.abs(F.hash("id", F.lit("c"))) % 32).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
+            - 1.0
+            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
+        ).cast("float"),
+    )
+    (
+        spark.range(n_vecs)
+        .repartition(32)
+        .select(
+            F.col("id").alias("vec_id"),
+            vec.alias("embedding"),
+            cluster.cast("int").alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+    # events: 1M rows over ~5k users, 30 days, zipf-ish hot users
+    n_users = max(1000, n_events // 200)
+    hot = F.when(F.abs(F.hash("id", F.lit("hot"))) % 10 == 0, F.lit(7)).otherwise(
+        (F.abs(F.hash("id", F.lit("u"))) % n_users).cast("bigint")
+    )
+    ts = F.to_timestamp(
+        F.from_unixtime(
+            F.lit(1700000000) + (F.abs(F.hash("id", F.lit("t"))) % (30 * 86400))
+        )
+    )
+    etype = F.element_at(
+        F.array(
+            F.lit("view"), F.lit("click"), F.lit("view"), F.lit("cart"), F.lit("purchase")
+        ),
+        (F.abs(F.hash("id", F.lit("e"))) % 5 + 1).cast("int"),
+    )
+    (
+        spark.range(n_events)
+        .repartition(64)
+        .select(
+            F.col("id").alias("event_id"),
+            ts.alias("ts"),
+            hot.alias("user_id"),
+            etype.alias("event_type"),
+            ((F.abs(F.hash("id", F.lit("v"))) % 10000).cast("double") / 100.0).alias(
+                "value"
+            ),
+            F.concat(
+                F.lit('{"k": '), (F.col("id") % 100).cast("string"), F.lit("}")
+            ).alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+
+
+def _jvm_heap_mb(spark) -> int:
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--skip-job", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    from scrapontologies_spark.plans import driver_queries
+    from scrapontologies_spark.plans.job import run_job
+    from scrapontologies_spark.session import build_session
+    from scrapontologies_spark.sources.corpus import corpus_df
+
+    spark = build_session(
+        app_name="sf1-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=2 * args.cpus,
+        extra_conf={
+            # local-mode default is a 1g driver JVM; 32 concurrent Arrow
+            # tasks over up-to-50KB rows need real heap + direct memory
+            # (on a cluster this is plain executor sizing)
+            "spark.driver.memory": "48g",
+            # bound each Arrow batch: a 5000-row generator partition of
+            # ~50KB rows would otherwise serialize as ONE ~250MB batch
+            # per task × 32 tasks of direct memory
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10_000).selectExpr("sum(id)").collect()
+
+    report: dict = {"metric": "sf1_bench", "cpus": args.cpus, "unit": "sec"}
+
+    # --- phase 0: distributed generation (timed, but excluded from op walls)
+    corpus_path = os.path.join(BENCH_DIR, f"sf1_corpus_{args.docs}.parquet")
+    tables_dir = os.path.join(BENCH_DIR, "sf1")
+    t0 = time.time()
+    if not os.path.exists(corpus_path):
+        corpus_df(spark, args.docs).write.mode("overwrite").parquet(corpus_path)
+    if not os.path.exists(os.path.join(tables_dir, "events.parquet")):
+        _gen_tables(
+            spark, tables_dir, n_docs=50_000, n_vecs=20_000, n_events=1_000_000
+        )
+    report["gen_wall"] = round(time.time() - t0, 1)
+
+    # --- phase 1: run_job end-to-end (fresh warehouse each run) ---------
+    if not args.skip_job:
+        wh_root = os.path.join(BENCH_DIR, "sf1_warehouse")
+        shutil.rmtree(wh_root, ignore_errors=True)
+        corpus = spark.read.parquet(corpus_path)
+        t0 = time.time()
+        infos = run_job(spark, corpus, wh_root, chunk_bytes=1024)
+        job_wall = time.time() - t0
+        stages = {k: round(v.wall_ms / 1000.0, 2) for k, v in infos.items()}
+        n_triples = spark.read.parquet(os.path.join(wh_root, "triples")).count()
+        report["job"] = {
+            "wall": round(job_wall, 1),
+            "stages": stages,
+            "n_docs": args.docs,
+            "n_triples": n_triples,
+            "triples_per_sec": round(n_triples / job_wall, 1),
+            "jvm_heap_mb_after": _jvm_heap_mb(spark),
+        }
+        print(json.dumps({"phase": "job", **report["job"]}), flush=True)
+
+    # --- phase 2: operator suite over the sf1 tables --------------------
+    if not args.skip_queries:
+        qmap = driver_queries.queries()
+        times: dict[str, float] = {}
+        for _pass in range(2):
+            for name in SF1_QUERIES:
+                t0 = time.time()
+                qmap[name](spark, tables_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 2)
+                times[name] = min(times.get(name, dt), dt)
+                if _pass == 0:
+                    print(json.dumps({"phase": "query", name: dt}), flush=True)
+        report["queries"] = times
+        report["queries_wall"] = round(sum(times.values()), 1)
+        report["jvm_heap_mb_final"] = _jvm_heap_mb(spark)
+
+    print(json.dumps(report), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
