@@ -17,14 +17,51 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LSH_GRID = [(2, 4), (4, 4), (8, 4), (8, 6), (16, 6), (16, 8)]  # (tables, planes)
+LSH_GRID = [  # (tables, planes)
+    (2, 4), (4, 4), (8, 4), (16, 4), (32, 4),
+    (8, 3), (16, 3), (8, 6), (16, 6), (16, 8),
+]
 IVF_GRID = [(16, 2), (16, 4), (16, 8), (32, 4), (32, 8), (64, 8)]  # (cells, probes)
+
+
+def _clustered(spark, n: int, dim: int = 64, n_clusters: int = 32):
+    """Deterministic clustered embeddings (the sf1 generator's shape): the
+    realistic corpus-embedding case, vs testdata's isotropic worst case."""
+    from pyspark.sql import functions as F
+
+    cluster = (F.abs(F.hash("id", F.lit("c"))) % n_clusters).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
+            - 1.0
+            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def _lsh_theory(mean_top_cos: float, planes: int, tables: int) -> float:
+    """Sign-LSH union recall for a pair at the top-k mean cosine:
+    1 - (1 - (1 - theta/pi)^planes)^tables."""
+    import math
+
+    p = (1.0 - math.acos(max(-1.0, min(1.0, mean_top_cos))) / math.pi) ** planes
+    return 1.0 - (1.0 - p) ** tables
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # "clustered:<n>" instead of a dir -> deterministic clustered generator
+    clustered_n = (
+        int(sf_dir.split(":", 1)[1]) if sf_dir.startswith("clustered") else 0
+    )
+
+    from pyspark.sql import functions as F
 
     from scrapontologies_spark.operators import similarity
     from scrapontologies_spark.session import build_session
@@ -35,19 +72,27 @@ def main() -> None:
         shuffle_partitions=2 * cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    if clustered_n:
+        emb = _clustered(spark, clustered_n).persist()
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     n = emb.count()
 
     t0 = time.time()
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in similarity.cosine_topk_bruteforce(emb, emb, k=k).collect()
-    }
+    bf = similarity.cosine_topk_bruteforce(emb, emb, k=k)
+    rows = bf.collect()
+    exact = {(r.query_id, r.neighbor_id) for r in rows}
+    mean_top_cos = sum(r.cosine for r in rows) / len(rows)
     bf_wall = time.time() - t0
-    print(f"n={n} k={k} brute-force pairs={len(exact)} wall={bf_wall:.2f}s\n")
+    print(
+        f"data={'clustered' if clustered_n else sf_dir} n={n} k={k} "
+        f"pairs={len(exact)} mean_topk_cos={mean_top_cos:.3f} "
+        f"BF wall={bf_wall:.2f}s\n",
+        flush=True,
+    )
 
-    print(f"| n_tables | n_planes | recall@{k} | wall (s) | vs BF |")
-    print("|---|---|---|---|---|")
+    print(f"| n_tables | n_planes | recall@{k} | theory | wall (s) | vs BF |")
+    print("|---|---|---|---|---|---|")
     for tables, planes in LSH_GRID:
         t0 = time.time()
         got = {
@@ -58,7 +103,12 @@ def main() -> None:
         }
         w = time.time() - t0
         rec = len(got & exact) / len(exact)
-        print(f"| {tables} | {planes} | {rec:.3f} | {w:.2f} | {w / bf_wall:.2f}x |")
+        th = _lsh_theory(mean_top_cos, planes, tables)
+        print(
+            f"| {tables} | {planes} | {rec:.3f} | {th:.3f} | {w:.2f} "
+            f"| {w / bf_wall:.2f}x |",
+            flush=True,
+        )
 
     print(f"\n| k_cells | n_probe | recall@{k} | wall (s) | vs BF |")
     print("|---|---|---|---|---|")
@@ -72,7 +122,10 @@ def main() -> None:
         }
         w = time.time() - t0
         rec = len(got & exact) / len(exact)
-        print(f"| {cells} | {probes} | {rec:.3f} | {w:.2f} | {w / bf_wall:.2f}x |")
+        print(
+            f"| {cells} | {probes} | {rec:.3f} | {w:.2f} | {w / bf_wall:.2f}x |",
+            flush=True,
+        )
 
     spark.stop()
 

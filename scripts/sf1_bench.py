@@ -184,6 +184,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--table-docs", type=int, default=50_000)
+    ap.add_argument("--table-vecs", type=int, default=20_000)
+    ap.add_argument("--table-events", type=int, default=1_000_000)
     ap.add_argument("--skip-job", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
     args = ap.parse_args()
@@ -215,19 +218,30 @@ def main() -> None:
 
     # --- phase 0: distributed generation (timed, but excluded from op walls)
     corpus_path = os.path.join(BENCH_DIR, f"sf1_corpus_{args.docs}.parquet")
-    tables_dir = os.path.join(BENCH_DIR, "sf1")
+    tables_dir = os.path.join(
+        BENCH_DIR,
+        "sf1"
+        if args.table_docs == 50_000
+        else f"sf1_d{args.table_docs}_v{args.table_vecs}_e{args.table_events}",
+    )
     t0 = time.time()
-    if not os.path.exists(corpus_path):
+    if not args.skip_job and not os.path.exists(corpus_path):
         corpus_df(spark, args.docs).write.mode("overwrite").parquet(corpus_path)
-    if not os.path.exists(os.path.join(tables_dir, "events.parquet")):
+    if not args.skip_queries and not os.path.exists(
+        os.path.join(tables_dir, "events.parquet")
+    ):
         _gen_tables(
-            spark, tables_dir, n_docs=50_000, n_vecs=20_000, n_events=1_000_000
+            spark,
+            tables_dir,
+            n_docs=args.table_docs,
+            n_vecs=args.table_vecs,
+            n_events=args.table_events,
         )
     report["gen_wall"] = round(time.time() - t0, 1)
 
     # --- phase 1: run_job end-to-end (fresh warehouse each run) ---------
     if not args.skip_job:
-        wh_root = os.path.join(BENCH_DIR, "sf1_warehouse")
+        wh_root = os.path.join(BENCH_DIR, f"sf1_warehouse_{args.docs}")
         shutil.rmtree(wh_root, ignore_errors=True)
         corpus = spark.read.parquet(corpus_path)
         t0 = time.time()

@@ -235,20 +235,84 @@ def test_cosine_topk_bruteforce(spark, emb):
                 assert r.cosine == pytest.approx(-neg_by_id[r.neighbor_id], abs=1e-9)
 
 
+def _sign_lsh_theory_recall(mean_top_cos: float, planes: int, tables: int) -> float:
+    """Union recall of `tables` independent sign-LSH tables for a pair at
+    the given cosine: 1 - (1 - (1 - theta/pi)^planes)^tables."""
+    p = (1.0 - math.acos(max(-1.0, min(1.0, mean_top_cos))) / math.pi) ** planes
+    return 1.0 - (1.0 - p) ** tables
+
+
 def test_lsh_topk_recall(spark, emb):
-    """LSH top-k recall vs brute force ≥ 0.4 at 6 planes on sf0.001 (sanity
-    bound for the approximate path; exactness is NOT the contract)."""
-    bf = similarity.cosine_topk_bruteforce(emb, emb, k=3)
+    """LSH top-k recall vs brute force tracks sign-LSH theory on sf0.001's
+    ISOTROPIC embeddings (the worst case for any ANN — mean top-k cosine
+    ~0.3, so theory itself caps recall; the sf0.01 sweep in
+    BENCH_SCALING.md matches theory within ±0.01 across a 10-point grid).
+    The gate is implementation-shaped — measured ≥ theory − 0.15 — not a
+    data-dependent magic floor; the quality gate at realistic data lives in
+    test_lsh_topk_recall_clustered."""
+    bf_rows = similarity.cosine_topk_bruteforce(emb, emb, k=3).collect()
     lsh = similarity.cosine_topk_lsh(emb, k=3, n_planes=4, n_tables=8)
-    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf_rows}
+    mean_top_cos = sum(r.cosine for r in bf_rows) / len(bf_rows)
     lsh_set = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
     recall = len(bf_set & lsh_set) / len(bf_set)
+    theory = _sign_lsh_theory_recall(mean_top_cos, planes=4, tables=8)
+    assert recall >= theory - 0.15, (recall, theory)
     assert recall >= 0.4, recall
     # bucket sizes: no bucket should hold more than half the table (skew guard)
     from scrapontologies_spark.operators.similarity import hyperplane_bucket
 
     sizes = hyperplane_bucket(emb, 6).groupBy("bucket").count().collect()
     assert max(r["count"] for r in sizes) <= emb.count() / 2
+
+
+@pytest.fixture(scope="module")
+def emb_clustered(spark):
+    """Deterministic clustered embeddings (the realistic corpus-embedding
+    shape: mean top-k cosine ~0.97) — the quality-gate fixture for the
+    approximate similarity paths.  Same construction as the sf1 bench
+    generator: cluster centroid from hash(cluster, i), per-row jitter from
+    hash(id, i)."""
+    cluster = (F.abs(F.hash("id", F.lit("c"))) % 16).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: (
+            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
+            - 1.0
+            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
+        ).cast("float"),
+    )
+    return (
+        spark.range(400)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .persist()
+    )
+
+
+def test_lsh_topk_recall_clustered(spark, emb_clustered):
+    """Quality gate at the DEFAULT knobs (n_tables=8, n_planes=4) on
+    clustered data: recall ≥ 0.95 (measured 1.000 at n=2000 in the sf0.01
+    sweep, BENCH_SCALING.md)."""
+    emb = emb_clustered
+    bf = similarity.cosine_topk_bruteforce(emb, emb, k=5)
+    lsh = similarity.cosine_topk_lsh(emb, k=5, n_planes=4, n_tables=8)
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    lsh_set = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.95, recall
+
+
+def test_ivf_topk_recall_clustered(spark, emb_clustered):
+    """Quality gate at the DEFAULT knobs (k_cells=16, n_probe=4) on
+    clustered data: recall ≥ 0.95 (measured 0.997 at n=2000 in the sf0.01
+    sweep, BENCH_SCALING.md)."""
+    emb = emb_clustered
+    bf = similarity.cosine_topk_bruteforce(emb, emb, k=5)
+    ivf = similarity.cosine_topk_ivf(emb, emb, k=5, k_cells=16, n_probe=4)
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.95, recall
 
 
 def test_ivf_topk_recall_and_candidate_bound(spark, emb):
