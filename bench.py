@@ -96,6 +96,31 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _persistent_ids(spark) -> set:
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _release_new_persists(spark, keep_ids: set) -> None:
+    """Unpersist RDDs persisted since ``keep_ids`` was snapshotted
+    (operator-internal localCheckpoints).  Each timed query is a standalone
+    workload; letting ~80 executions' checkpoint blocks accumulate grows
+    the heap until a multi-minute full GC lands on an arbitrary query
+    (observed on the sf1 suite: same query 8.5 s vs 107 s, identical
+    code/data).  The intentionally long-lived corpus cache is excluded."""
+    sc = spark.sparkContext._jsc.sc()
+    m = sc.getPersistentRDDs()
+    it = m.keysIterator()
+    while it.hasNext():
+        rdd_id = it.next()
+        if rdd_id not in keep_ids:
+            m.apply(rdd_id).unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -142,6 +167,7 @@ def main() -> None:
     corpus.count()  # input materialization excluded (on a cluster the
     # corpus is an Iceberg table already on disk)
     qmap = driver_queries.queries()
+    baseline_persists = _persistent_ids(spark)
 
     for _pass in range(repeats):
         # --- flagship KG pipeline ----------------------------------------
@@ -162,6 +188,7 @@ def main() -> None:
         extra["kg_n_entities"] = n_entities
         extra["kg_n_docs"] = n_docs
         res.doc_rows.unpersist()
+        _release_new_persists(spark, baseline_persists)
 
         # --- operator catalog over the driver tables ---------------------
         for name in HEADLINE:
@@ -170,6 +197,7 @@ def main() -> None:
             t0 = time.time()
             _force(qmap[name](spark, sf_dir))
             _keep_min(timings, name, time.time() - t0)
+            _release_new_persists(spark, baseline_persists)
 
         # round-2 additions, timed OUTSIDE the headline wall so the
         # headline stays comparable across rounds (round 1's 21-query basis)
@@ -179,6 +207,7 @@ def main() -> None:
             t0 = time.time()
             _force(qmap[name](spark, sf_dir))
             _keep_min(extra_queries, name, time.time() - t0)
+            _release_new_persists(spark, baseline_persists)
 
     corpus.unpersist()
     total = round(sum(timings.values()), 3)

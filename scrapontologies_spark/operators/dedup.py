@@ -76,13 +76,22 @@ def shingles(
     over duplicates — turning signature derivation into a single map-side-
     combining aggregation with no shingle ever crossing the wire."""
     df = spread(df, id_col)
-    toks = _tokens(text_col)
+    # Materialize the token array ONCE per row before the gram transform.
+    # ArrayTransform has no codegen (interpreted eval), so a raw
+    # split(text) referenced inside the lambda re-splits the WHOLE document
+    # for every element_at — O(tokens² · k) per doc, minutes on long
+    # documents (jstack: StringSplit.nullSafeEval under ConcatWs.eval under
+    # ArrayTransform.nullSafeEval).  A separate projection keeps it one
+    # split per row: CollapseProject never inlines a non-cheap alias
+    # referenced more than once, and `_toks` is referenced k+2 times.
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     # Bounds-correct index range: with i ≤ size-k every element_at is
-    # in-range, so each gram re-splits to exactly k tokens by construction
+    # in-range, so each gram has exactly k tokens by construction
     # (tokens cannot contain the delimiter) — docs shorter than k tokens
-    # yield an empty array that explode drops.  Equivalent to, and cheaper
-    # than, emitting boundary grams and re-splitting every shingle to
-    # filter size == k (one split per shingle row saved).
+    # yield an empty array that explode drops.
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -92,9 +101,7 @@ def shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
-    )
+    out = base.select("doc_id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -152,21 +152,35 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Whitespace token count, distinct-token count, and a BPE-ish subword
     count (alnum runs + punctuation marks as separate tokens)."""
     df = spread(df, id_col)
-    toks = F.split(F.col(text_col), r"\s+")
-    bpe = F.regexp_extract_all(F.col(text_col), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
-    return df.select(
+    # filtered token array materialized once (it is referenced twice, and
+    # ArrayFilter is interpreted — an inline split would run 2× per row)
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.filter(toks, lambda t: t != "")).alias("n_tokens"),
-        F.size(F.array_distinct(F.filter(toks, lambda t: t != ""))).alias("n_distinct_tokens"),
+        F.col(text_col).alias("_text"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_ftoks"
+        ),
+    )
+    bpe = F.regexp_extract_all(F.col("_text"), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
+    return base.select(
+        "doc_id",
+        F.size("_ftoks").alias("n_tokens"),
+        F.size(F.array_distinct("_ftoks")).alias("n_distinct_tokens"),
         F.size(bpe).alias("n_subword_tokens"),
     )
 
 
-def quality_exprs(text: Column) -> "dict[str, Column]":
+def quality_exprs(text: Column, toks: Column | None = None) -> "dict[str, Column]":
     """The quality-signal expressions keyed by output column name — shared
     by quality_score and keep_filter.  Ratios are double divisions with
-    fixed operand order → SQL-exact."""
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    fixed operand order → SQL-exact.
+
+    Pass ``toks`` as a plain column REFERENCE to a pre-materialized token
+    array where possible: the expressions below reference it ~5× and
+    higher-order functions are interpreted (no codegen CSE), so an inline
+    filter(split(...)) re-splits the text once per reference per row."""
+    if toks is None:
+        toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"([^\w\s])"), 1))
@@ -193,9 +207,16 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
     heuristics (the deterministic analog of an LLM quality filter)."""
     df = spread(df, id_col)
-    exprs = quality_exprs(F.col(text_col))
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+    exprs = quality_exprs(F.col("_text"), F.col("_toks"))
+    return base.select(
+        "doc_id",
         *[c.alias(name) for name, c in exprs.items()],
     )
 
@@ -283,7 +304,18 @@ def decontaminate(
     (doc_id, gram) with map-side combine."""
 
     def grams(frame: DataFrame, keep_id: bool) -> DataFrame:
-        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        # Token array materialized in its own projection: ArrayTransform is
+        # interpreted (no codegen), so a split() inlined in the lambda would
+        # re-split the whole document per element_at — O(tokens² · ngram)
+        # per doc (same fix as dedup.shingles).
+        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
+        base = frame.select(
+            *cols,
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+                "_toks"
+            ),
+        )
+        toks = F.col("_toks")
         arr = F.when(
             F.size(toks) >= ngram,
             F.transform(
@@ -293,8 +325,9 @@ def decontaminate(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
-        return frame.select(*cols, F.explode(arr).alias("gram"))
+        return base.select(
+            *(["doc_id"] if keep_id else []), F.explode(arr).alias("gram")
+        )
 
     eval_grams = grams(eval_df, keep_id=False).distinct()
     train_grams = grams(spread(df, id_col), keep_id=True)

@@ -175,6 +175,20 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
     )
 
 
+def _release_cached(spark) -> None:
+    """Unpersist every persistent RDD (localCheckpoint blocks included —
+    catalog.clearCache misses RDD-level persists).  Each suite query is a
+    standalone workload; without this, checkpoint blocks from 60 query
+    executions pile up to a ~30 GB heap and a migrating multi-minute full
+    GC lands on whichever query triggers it (observed: the same query
+    8.5 s in one run, 107 s in another, identical code and data)."""
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    spark.catalog.clearCache()
+
+
 def _jvm_heap_mb(spark) -> int:
     rt = spark._jvm.java.lang.Runtime.getRuntime()
     return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
@@ -273,6 +287,7 @@ def main() -> None:
                 times[name] = min(times.get(name, dt), dt)
                 if _pass == 0:
                     print(json.dumps({"phase": "query", name: dt}), flush=True)
+                _release_cached(spark)
         report["queries"] = times
         report["queries_wall"] = round(sum(times.values()), 1)
         report["jvm_heap_mb_final"] = _jvm_heap_mb(spark)
