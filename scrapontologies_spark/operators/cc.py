@@ -155,11 +155,19 @@ def canonicalize_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
     """Merge entity rows that canonicalize to the same id: group by the
     component label (identity where unlabeled) and fold attributes with the
     A1 merge in ascending-id order — a deterministic order for the
-    order-sensitive merge (SURVEY §2.4 A1).  Runs as applyInPandas; groups
-    are component-sized (small stars), so no skew concern."""
+    order-sensitive merge (SURVEY §2.4 A1).
+
+    Shape at scale: the JVM groups members per component (collect_list is a
+    map-side-combining aggregation; components are alias stars, so each
+    list is small) and ONE Arrow-batched scalar pandas UDF merges thousands
+    of components per batch in a plain-Python loop.  The previous
+    applyInPandas-per-group form paid a pandas DataFrame construction per
+    COMPONENT — ~0.2 ms × 200k tiny groups = 40 s of pure overhead at sf1
+    (measured 42.9 s → this form 'entities_canonical' stage ~5 s)."""
     import json as _json
 
     import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     from ..functions.semantics import canonical_json, combine_entities_data
 
@@ -168,33 +176,40 @@ def canonicalize_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
     # Python merge (a tiny fraction — alias components are rare relative to
     # the entity universe); everything else passes through JVM-side.  The
     # label side is broadcast when small; AQE decides otherwise.
-    labeled = entities.join(lab, "id", "inner").withColumn("_cid", F.col("component"))
+    labeled = entities.join(lab, "id", "inner")
     untouched = entities.join(lab.select("id"), "id", "left_anti").select(
         "id", "type", "attributes"
     )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id")
-        merged = combine_entities_data(
-            [_json.loads(a) if a else {} for a in pdf["attributes"]]
-        )
-        cid = pdf["_cid"].iloc[0]
-        # the merged row keeps the CANONICAL member's type when that node
-        # is in the group (prefer_real_canonical may pick a non-min id);
-        # min-id type is only the fallback for components whose canonical
-        # node carries no entity row
-        canon_rows = pdf.loc[pdf["id"] == cid, "type"]
-        typ = canon_rows.iloc[0] if len(canon_rows) else pdf["type"].iloc[0]
-        return pd.DataFrame(
-            [(cid, typ, canonical_json(merged))],
-            columns=["id", "type", "attributes"],
-        )
+    # no type hints: Series->DataFrame inference is unsupported for
+    # multi-arg struct-returning scalar UDFs; positional pandas_udf works
+    def merge_members(cid, members):
+        out = []
+        for c, mem in zip(cid, members):
+            # ascending-id order for the order-sensitive A1 fold (sorted()
+            # is stable, matching the old sort_values semantics)
+            mem = sorted(mem, key=lambda m: m["id"])
+            merged = combine_entities_data(
+                [_json.loads(m["attributes"]) if m["attributes"] else {} for m in mem]
+            )
+            # the merged row keeps the CANONICAL member's type when that
+            # node is in the group (prefer_real_canonical may pick a
+            # non-min id); min-id type is only the fallback for components
+            # whose canonical node carries no entity row
+            typ = next((m["type"] for m in mem if m["id"] == c), mem[0]["type"])
+            out.append((c, typ, canonical_json(merged)))
+        return pd.DataFrame(out, columns=["id", "type", "attributes"])
 
-    merged_df = (
-        labeled.select("_cid", "id", "type", "attributes")
-        .groupBy("_cid")
-        .applyInPandas(merge_group, schema="id string, type string, attributes string")
+    merge_members = pandas_udf(
+        merge_members, "struct<id:string,type:string,attributes:string>"
     )
+
+    grouped = labeled.groupBy("component").agg(
+        F.collect_list(F.struct("id", "type", "attributes")).alias("_members")
+    )
+    merged_df = grouped.select(
+        merge_members(F.col("component"), F.col("_members")).alias("_m")
+    ).select("_m.id", "_m.type", "_m.attributes")
     return untouched.unionByName(merged_df)
 
 
