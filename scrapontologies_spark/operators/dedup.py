@@ -120,16 +120,15 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_key_rows(
     sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_key): docs
-    sharing any band become candidate pairs (a < b).  The join key is a
-    32-char md5 — bucket-join, never O(n²)."""
+    """(doc_id, band_idx, band_key) rows from a MinHash signature table —
+    one narrow pass: per-row array of (band_idx, band_key) structs,
+    exploded — instead of n_bands unions that each recompute the signature
+    aggregation subplan.  Shared by the batch candidate join and the
+    streaming near-dup store."""
     n_bands = num_hashes // band_size
-    # One narrow pass: per-row array of (band_idx, band_key) structs,
-    # exploded — instead of n_bands unions that each recompute the
-    # signature aggregation subplan.
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -141,9 +140,18 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("_b")
     ).select("doc_id", "_b.band_idx", "_b.band_key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_key): docs
+    sharing any band become candidate pairs (a < b).  The join key is a
+    32-char md5 — bucket-join, never O(n²)."""
+    bands = band_key_rows(sigs, num_hashes, band_size)
     left = bands.select(
         F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("doc_a")
     )
