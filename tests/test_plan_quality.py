@@ -225,3 +225,30 @@ def test_redact_pii_is_narrow(spark):
     plan = _plan(redact_pii(docs))
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Aggregate" not in plan and "Join" not in plan, plan
+
+
+def test_shingle_split_stays_out_of_the_gram_lambda(spark):
+    """ArrayTransform is interpreted (no codegen); a split(text) inlined in
+    the gram lambda re-splits the whole document per element_at —
+    O(tokens² · k) per doc (the round-3 sf1 cold-pass regression: 74-122 s
+    walls).  The token array must be materialized in its own projection:
+    exactly one split() in the whole plan, none inside transform(...)."""
+    from scrapontologies_spark.operators.dedup import shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(shingles(docs, distinct=False))
+    lam = [l for l in plan.splitlines() if "transform(" in l]
+    assert lam and all("split(" not in l for l in lam), plan
+    assert plan.count("split(") == 1, plan
+
+
+def test_decontaminate_gram_lambda_has_no_inline_split(spark):
+    """Same gate for the decontamination gram derivation — one split per
+    side (train + eval), never inside a transform lambda."""
+    from scrapontologies_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textops.decontaminate(docs, docs.limit(5), ngram=5))
+    lam = [l for l in plan.splitlines() if "transform(" in l]
+    assert lam and all("split(" not in l for l in lam), plan
+    assert plan.count("split(") == 2, plan
