@@ -77,6 +77,7 @@ EXTRA_QUERIES = [
     # round-3 additions
     "events_asof_forward",
     "dedup_embedding_cosine_lsh",
+    "dedup_keep_canonical",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus

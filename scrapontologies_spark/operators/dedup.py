@@ -384,6 +384,27 @@ def duplicate_clusters(
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
 
 
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus itself: full payload rows for the canonical
+    member of every near-duplicate cluster (singletons included) — the
+    operation a training-data pipeline actually materializes after any
+    pair generator.
+
+    Scale shape: duplicate_clusters works on the pair set + bare ids; the
+    payload never enters the CC loop.  The final filter is a semi-join of
+    the corpus against the canonical-id set — broadcast when the id set is
+    small, plain hash join otherwise; either way the corpus is scanned
+    once and never shuffled on a non-key column."""
+    canon = (
+        duplicate_clusters(df, pairs, id_col)
+        .filter(F.col("is_canonical"))
+        .select(id_col)
+    )
+    return df.join(canon, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

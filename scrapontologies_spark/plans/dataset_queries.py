@@ -90,6 +90,15 @@ def queries() -> Q:
 
     q["dedup_clusters"] = clusters_q
 
+    def keep_canonical_q(spark, d):
+        docs = _docs(spark, d)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        return dedup.keep_canonical(docs, pairs)
+
+    q["dedup_keep_canonical"] = keep_canonical_q
+
     # exact variant (SQL-checkable); the lsh_tables>0 scale path shares the
     # scoring expression and is exercised in tests
     q["dedup_embedding_cosine"] = lambda spark, d: dedup.embedding_near_dup_pairs(
@@ -947,6 +956,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(lab) AS cluster_id,
                    node = min(lab) AS is_canonical
             FROM reach GROUP BY node
+        """,
+        "dedup_keep_canonical": f"""
+            -- canonical survivors of dedup_clusters with full payload:
+            -- same LSH candidates -> jaccard >= 0.5 -> transitive closure,
+            -- keep rows whose doc_id is its component's min member
+            WITH RECURSIVE {_SH_CTE},
+            sigs AS (
+              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands8}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ),
+            sym AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+            ),
+            canon AS (
+              SELECT node AS doc_id FROM reach
+              GROUP BY node HAVING node = min(lab)
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d JOIN canon USING (doc_id)
         """,
         "dedup_embedding_cosine": """
             -- sequential float64 cosine (matches Spark's aggregate() fold)

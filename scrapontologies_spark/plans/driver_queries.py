@@ -262,12 +262,15 @@ def queries() -> Q:
 #     sessionize event evidence (VERDICT r02 "what's missing" #1)
 #   - events_hourly_rollup    plain time-bucket groupBy, same
 #   - tpch_q1/q3/q6           generic SQL demos, not SURVEY §2 operators
+#   - dedup_keep_canonical    payload-filter composition of dedup_clusters
+#     (whose CC + canonical choice the contract already value-checks)
 NON_CONTRACT = (
     "events_user_rollup",
     "events_hourly_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
+    "dedup_keep_canonical",
 )
 
 DRIVER_QUERY_CAP = 50

@@ -42,9 +42,8 @@ footprint the batch signature table already costs.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import band_key_rows, minhash_signatures, shingles
@@ -83,7 +82,10 @@ def neardup_filter_batch(
     Exposed separately from the streaming wiring so tests (and batch
     backfills) can drive the exact per-batch semantics directly.
     Documents too short to shingle (< k tokens) carry no band keys and are
-    always emitted, matching the batch path (no candidates)."""
+    always emitted, matching the batch path (no candidates).  ``id_col``
+    is assumed unique within a batch (exact-duplicate rows should be
+    removed upstream, e.g. incremental.dedup_stream); duplicate ids share
+    one signature row and would all pass or fail together."""
     spark = docs.sparkSession
     bands = _batch_band_keys(
         docs, text_col, id_col, k, num_hashes, band_size
