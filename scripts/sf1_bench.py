@@ -38,6 +38,7 @@ SF1_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_keep_canonical",
     "dedup_embedding_cosine_lsh",
     "sim_cosine_topk",
     "sim_cosine_topk_lsh",
@@ -272,6 +273,10 @@ def main() -> None:
             "jvm_heap_mb_after": _jvm_heap_mb(spark),
         }
         print(json.dumps({"phase": "job", **report["job"]}), flush=True)
+        # job-internal localCheckpoint blocks would otherwise shadow the
+        # query phase (same migrating-full-GC artifact the query loop
+        # releases between entries)
+        _release_cached(spark)
 
     # --- phase 2: operator suite over the sf1 tables --------------------
     if not args.skip_queries:
