@@ -134,3 +134,33 @@ def test_neardup_store_survives_for_new_batches(spark, tmp_path):
     third = [(20, "one two three four five six seven eight nine ten")]
     novel = neardup_filter_batch(_mk_docs(spark, third), store)
     assert novel.count() == 0
+
+
+def test_neardup_multiple_microbatches_one_query(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces one micro-batch per file inside a single
+    availableNow query: the band store must carry verdicts BETWEEN
+    micro-batches of the same run (doc 10 dupes doc 1 across files)."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    _mk_docs(spark, BATCH1).coalesce(1).write.mode("append").parquet(in_dir)
+    _mk_docs(spark, BATCH2).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = run_neardup_stream(stream, out_dir, store, ckpt)
+    assert q.awaitTermination(180)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # file order is unspecified, but BATCH1/BATCH2 contents are symmetric
+    # under the greedy rule: whichever lands first, exactly one of each
+    # duplicate-text family survives plus both bandless docs
+    assert len(got) == 5, got
+    assert len({0, 2, 12} & set(got)) == 1, got  # alpha family: 1 survivor
+    assert len({1, 10} & set(got)) == 1, got     # one-two family: 1 survivor
+    assert {3, 13} <= set(got) and 11 in got, got
