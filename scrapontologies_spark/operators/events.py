@@ -61,7 +61,7 @@ def sessionize(
     )
 
 
-_ASOF_RESERVED = ("_k", "_ts", "_tse", "_ord", "_side", "_r", "_m", "_mb", "_mf")
+_ASOF_RESERVED = ("_k", "_tse", "_ord", "_side", "_r", "_m", "_mb", "_mf")
 _IVAL_RESERVED = ("_k", "_bkt")
 
 

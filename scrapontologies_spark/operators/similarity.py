@@ -473,3 +473,15 @@ def cosine_topk_lsh(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_lsh_union_recall(mean_cos: float, n_planes: int, n_tables: int) -> float:
+    """Textbook sign-LSH union recall for a pair at cosine ``mean_cos``:
+    P(same bucket in one table) = (1 - θ/π)^planes with θ = arccos(cos);
+    union over independent tables = 1 - (1 - p)^tables.  The single home of
+    the formula the recall gates (tests) and the documented recall/cost
+    curves (scripts/ann_recall_curve.py, BENCH_SCALING.md) are anchored to."""
+    import math
+
+    p = (1.0 - math.acos(max(-1.0, min(1.0, mean_cos))) / math.pi) ** n_planes
+    return 1.0 - (1.0 - p) ** n_tables

@@ -41,7 +41,9 @@ def _re_literal(m: str) -> str:
     return "\\Q" + m.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
-def _count_markers(text_col: Column, markers: tuple) -> Column:
+def _count_markers(
+    text_col: Column, markers: tuple, toks: Column | None = None
+) -> Column:
     """Marker-occurrence count with ENGINE-AGNOSTIC boundary semantics.
 
     ``\\b`` is a trap here: Java (Spark), RE2 (DuckDB) and Python disagree
@@ -56,12 +58,16 @@ def _count_markers(text_col: Column, markers: tuple) -> Column:
     - non-ASCII (CJK) markers: plain substring occurrence counts via
       length deltas (CJK has no word boundaries; counting in-run
       occurrences is also linguistically the right thing).
-    """
+
+    Pass ``toks`` as a column reference to a pre-materialized word-token
+    array to share one split across many marker sets (language_id /
+    keep_filter do; see quality_exprs for why inline splits repeat)."""
     ascii_words = tuple(m for m in markers if _is_ascii_word(m))
     other = tuple(m for m in markers if not _is_ascii_word(m))
     total: Column | None = None
     if ascii_words:
-        toks = F.split(text_col, r"[^A-Za-z0-9_]+")
+        if toks is None:
+            toks = F.split(text_col, r"[^A-Za-z0-9_]+")
         total = F.size(F.filter(toks, lambda t: t.isin(*ascii_words)))
     for m in other:
         c = (
@@ -82,27 +88,14 @@ def ascii_word_tokens_in(text_col: Column, words: tuple) -> Column:
 
 
 def lang_hit_columns(text: Column, toks: Column) -> "dict[str, Column]":
-    """Per-language marker-hit counts with the engine-agnostic boundary
-    semantics of _count_markers, but every ASCII count drawn from the
-    SHARED word-token array ``toks`` — the text is split exactly once for
-    all languages instead of once per language."""
-    out: dict[str, Column] = {}
-    for lang in sorted(LANG_MARKERS):
-        markers = LANG_MARKERS[lang]
-        ascii_words = tuple(m for m in markers if _is_ascii_word(m))
-        other = tuple(m for m in markers if not _is_ascii_word(m))
-        total: Column | None = None
-        if ascii_words:
-            total = F.size(F.filter(toks, lambda t: t.isin(*ascii_words)))
-        for m in other:
-            c = (
-                F.length(text)
-                - F.length(F.regexp_replace(text, _re_literal(m), ""))
-            ) / F.lit(len(m))
-            c = c.cast("int")
-            total = c if total is None else total + c
-        out[lang] = total if total is not None else F.lit(0)
-    return out
+    """Per-language marker-hit counts — _count_markers (the single home of
+    the engine-agnostic boundary semantics) with every ASCII count drawn
+    from the SHARED word-token array ``toks``: the text is split exactly
+    once for all languages instead of once per language."""
+    return {
+        lang: _count_markers(text, LANG_MARKERS[lang], toks=toks)
+        for lang in sorted(LANG_MARKERS)
+    }
 
 
 def lang_pred_from_hits(hits: "dict[str, Column]") -> "tuple[Column, Column]":
@@ -357,15 +350,15 @@ def keep_filter(
 
     Plan shape — ONE scan of the corpus, zero joins: a staged projection
     tokenizes once (word-split for language markers, lowered word-split
-    for stopwords, whitespace split for quality + grams), the narrow
-    signals and the tagged gram stream come out of that single pass, and
-    the per-doc narrow signals ride THROUGH the repetition aggregation via
-    first() (constant per doc, ~25 B per distinct gram on a shuffle that
-    already carries the gram strings).  The round-2 form scanned the
+    for stopwords, whitespace split for quality + the token stream), the
+    narrow signals and the unigram explode come out of that single pass,
+    and the per-doc narrow signals ride THROUGH the repetition aggregation
+    via first() (constant per doc, ~25 B per distinct token on a shuffle
+    that already carries the token strings).  The round-2 form scanned the
     corpus twice — once for the narrow signals, once for the gram explode
     — and joined the halves; at 100 TB the second scan costs more than the
     carried bytes.  Empty/NULL-text docs survive via explode_outer (one
-    NULL gram row) with NULL repetition fractions, exactly like the old
+    NULL token row) with NULL repetition fractions, exactly like the old
     left join's misses."""
     base = spread(df, id_col)
     langs = sorted(LANG_MARKERS)
@@ -397,27 +390,31 @@ def keep_filter(
             ).cast("double")
             / F.greatest(n_tok, F.lit(1))
         ).alias("_stop_ratio"),
-        _tagged_grams(F.col("_toks")).alias("_grams"),
+        F.col("_toks"),
     )
     pred, _ = lang_pred_from_hits({l: F.col(f"_h_{l}") for l in langs})
+    # keep's repetition signals are UNIGRAM-only (top_unigram_frac,
+    # repeated_token_frac), so explode the token array directly — the
+    # round-2 _tagged_grams form also exploded and shuffled every bigram
+    # only to discard it in the aggregates (~2× wasted explode rows and
+    # shuffle bytes at corpus scale).  Empty/NULL-text docs survive via
+    # explode_outer (one NULL-token row) with NULL fractions, as before.
     exploded = stage2.select(
         "doc_id",
         pred.alias("_pred"),
         "_n_tokens",
         "_punct_ratio",
         "_stop_ratio",
-        F.explode_outer("_grams").alias("x"),
+        F.explode_outer("_toks").alias("_tok"),
     )
-    counts = exploded.groupBy(
-        "doc_id", F.col("x.b").alias("b"), F.col("x.g").alias("g")
-    ).agg(
+    counts = exploded.groupBy("doc_id", "_tok").agg(
         F.count("*").alias("c"),
         F.first("_pred").alias("_pred"),
         F.first("_n_tokens").alias("_n_tokens"),
         F.first("_punct_ratio").alias("_punct_ratio"),
         F.first("_stop_ratio").alias("_stop_ratio"),
     )
-    u = F.col("b") == 0
+    u = F.col("_tok").isNotNull()
     stats = counts.groupBy("doc_id").agg(
         F.first("_pred").alias("pred_lang"),
         F.first("_n_tokens").alias("n_tokens"),

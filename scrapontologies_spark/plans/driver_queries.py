@@ -279,10 +279,11 @@ DRIVER_QUERY_CAP = 50
 def contract_queries() -> Q:
     """The ≤50-entry registry __spark_entry__ exposes to the driver."""
     q = {k: v for k, v in queries().items() if k not in NON_CONTRACT}
-    assert len(q) <= DRIVER_QUERY_CAP, (
-        f"{len(q)} contract queries exceed the driver's {DRIVER_QUERY_CAP}-row "
-        "CORRECTNESS cap; move an entry to NON_CONTRACT or retire one"
-    )
+    if len(q) > DRIVER_QUERY_CAP:  # not assert: must survive python -O
+        raise ValueError(
+            f"{len(q)} contract queries exceed the driver's {DRIVER_QUERY_CAP}-row "
+            "CORRECTNESS cap; move an entry to NON_CONTRACT or retire one"
+        )
     return q
 
 

@@ -165,3 +165,35 @@ def corpus_df(spark, n_rows: int, seed: int = 42, distributed_threshold: int = 2
         .repartition(max(32, n_rows // 5_000))
         .mapInPandas(gen, schema=CORPUS_SCHEMA)
     )
+
+
+def clustered_embeddings(
+    spark,
+    n_rows: int,
+    dim: int = 64,
+    n_clusters: int = 32,
+    labeled: bool = False,
+    partitions: int = 32,
+):
+    """Deterministic clustered embedding table (vec_id, embedding[, label])
+    — the realistic corpus-embedding shape (tight soft clusters, mean top-k
+    cosine ~0.97) shared by the sf1 bench generator, the ANN recall-curve
+    harness and the pytest quality-gate fixtures.  ONE construction — a
+    tweak here moves all recall gates and documented curves together:
+    cluster centroid coordinates from hash(cluster, i), per-row jitter from
+    hash(id, i); all JVM-side, no driver rows, no wall-clock randomness."""
+    from pyspark.sql import functions as F
+
+    cluster = (F.abs(F.hash("id", F.lit("c"))) % n_clusters).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
+            - 1.0
+            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
+        ).cast("float"),
+    )
+    cols = [F.col("id").alias("vec_id"), vec.alias("embedding")]
+    if labeled:
+        cols.append(cluster.alias("label"))
+    return spark.range(n_rows).repartition(partitions).select(*cols)

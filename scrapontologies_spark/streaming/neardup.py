@@ -15,21 +15,23 @@ only cross-batch state is the band-key store table.
 
 Semantics (deterministic greedy first-arrival-wins):
 
-- a document is SUPPRESSED if any of its band keys already exists in the
-  store (an earlier arrival collides with it), or if a smaller ``doc_id``
-  in the SAME micro-batch occupies one of its band buckets;
-- band keys of ALL batch documents (survivors and suppressed alike) are
-  appended to the store, so a later document colliding only with a
-  suppressed one is still suppressed — the transitive closure of the
-  greedy rule, matching how duplicate clusters chain in the batch path
+- a document is SUPPRESSED if any of its band keys was stored by an
+  EARLIER batch (an earlier arrival collides with it), or if a smaller
+  ``doc_id`` in the SAME micro-batch occupies one of its band buckets;
+- band keys of ALL batch documents (survivors and suppressed alike) enter
+  the store, so a later document colliding only with a suppressed one is
+  still suppressed — the transitive closure of the greedy rule, matching
+  how duplicate clusters chain in the batch path
   (dedup.duplicate_clusters).
 
-Exactly-once: the checkpoint gives at-least-once ``foreachBatch``
-execution; a re-run batch re-appends band keys (harmless — duplicates in
-the store cannot change any verdict) and may re-emit its novel documents
-(standard foreachBatch contract; the emitted table is idempotent under
-downstream ``doc_id`` dedup, and the store-first write order below means a
-retry can only over-suppress, never double-admit a duplicate).
+Retry safety: store rows are tagged with the writing ``batch_id`` and the
+probe EXCLUDES the current batch's own rows, so a foreachBatch re-run
+(after a failure between the store append and the checkpoint commit)
+reaches the exact same verdict as the first attempt — the batch's novel
+documents are never suppressed by their own keys.  The store may carry
+duplicate key rows from retried appends (harmless for a semi-join probe),
+and the emitted table is at-least-once (standard foreachBatch contract;
+dedupe downstream by ``doc_id`` if the sink is not idempotent).
 
 Scale shape: the per-batch store probe is a left-semi join of a small
 batch band set against the big store — on a cluster the store is a
@@ -41,14 +43,13 @@ footprint the batch signature table already costs.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..operators.dedup import band_key_rows, minhash_signatures, shingles
 
-_STORE_SCHEMA = "band_idx INT, band_key STRING"
+_STORE_SCHEMA = "band_idx INT, band_key STRING, batch_id BIGINT"
 
 
 def _batch_band_keys(
@@ -67,17 +68,83 @@ def _batch_band_keys(
     return band_key_rows(sigs, num_hashes=num_hashes, band_size=band_size)
 
 
+def _batch_plan(
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    band_size: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """Build one batch's verdict plan: persists the band table, appends the
+    batch's (batch_id-tagged) keys to the store, and returns
+    ``(novel, bands)`` — ``novel`` still lazy, ``bands`` persisted so the
+    caller can unpersist after materializing ``novel``."""
+    spark = docs.sparkSession
+    bands = _batch_band_keys(
+        docs, text_col, id_col, k, num_hashes, band_size
+    ).persist()  # probed three ways below; evictable-safe (plain persist)
+
+    # in-batch greedy: every bucket is owned by its smallest doc_id
+    owner = bands.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("_owner")
+    )
+    suppressed = (
+        bands.join(owner, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") > F.col("_owner"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    # cross-batch: any band key stored by an EARLIER batch suppresses the
+    # doc.  The current batch_id is excluded, so this plan is correct even
+    # when executed after the append below (and on foreachBatch retries,
+    # whose prior partial append carries the same batch_id).  The
+    # existence probe is the read itself — engine-side, so hdfs://s3a://
+    # store paths work, not only the driver-local filesystem.
+    try:
+        seen = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+    except AnalysisException:  # first batch: no store yet
+        seen = None
+    if seen is not None:
+        # null-safe: rows from an untagged (legacy 2-column) store read as
+        # NULL batch_id and must count as PRIOR, not as the current batch
+        prior = seen.filter(
+            ~F.col("batch_id").eqNullSafe(F.lit(batch_id))
+        ).select("band_idx", "band_key")
+        hits = (
+            bands.join(prior, ["band_idx", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        suppressed = suppressed.unionByName(hits).distinct()
+
+    bands.select("band_idx", "band_key").distinct().withColumn(
+        "batch_id", F.lit(batch_id)
+    ).write.mode("append").parquet(store_dir)
+
+    novel = docs.join(
+        suppressed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+    return novel, bands
+
+
 def neardup_filter_batch(
     docs: DataFrame,
     store_dir: str,
+    batch_id: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """One micro-batch of the greedy rule: returns the NOVEL documents of
-    ``docs`` and appends the batch's band keys to ``store_dir``.
+    """One batch of the greedy rule: appends the batch's band keys to
+    ``store_dir`` (tagged with ``batch_id``, which must be unique per
+    logical batch and stable across retries) and returns the NOVEL
+    documents of ``docs`` as a lazy DataFrame.
 
     Exposed separately from the streaming wiring so tests (and batch
     backfills) can drive the exact per-batch semantics directly.
@@ -86,50 +153,14 @@ def neardup_filter_batch(
     is assumed unique within a batch (exact-duplicate rows should be
     removed upstream, e.g. incremental.dedup_stream); duplicate ids share
     one signature row and would all pass or fail together."""
-    spark = docs.sparkSession
-    bands = _batch_band_keys(
-        docs, text_col, id_col, k, num_hashes, band_size
-    ).localCheckpoint()  # derived once, probed three ways below
-
-    # in-batch greedy: every bucket is owned by its smallest doc_id
-    owner = bands.groupBy("band_idx", "band_key").agg(
-        F.min("doc_id").alias("_owner")
+    novel, bands = _batch_plan(
+        docs, store_dir, batch_id, text_col, id_col, k, num_hashes, band_size
     )
-    in_batch_losers = (
-        bands.join(owner, ["band_idx", "band_key"])
-        .filter(F.col("doc_id") > F.col("_owner"))
-        .select("doc_id")
-        .distinct()
-    )
-
-    # cross-batch: any band key already in the store suppresses the doc
-    if os.path.exists(store_dir):
-        seen = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-        store_hits = (
-            bands.join(seen, ["band_idx", "band_key"], "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        suppressed = in_batch_losers.unionByName(store_hits).distinct()
-    else:
-        suppressed = in_batch_losers
-
-    # Materialize the verdict BEFORE appending to the store: `suppressed`
-    # lazily reads store_dir, and a post-append execution would see the
-    # batch's own keys and suppress every document.
-    suppressed = suppressed.localCheckpoint()
-
-    # Store append after the verdict, before the emit: on a foreachBatch
-    # retry the keys are already present, so the re-run can only suppress
-    # more, never admit a duplicate.
-    bands.select("band_idx", "band_key").distinct().write.mode("append").parquet(
-        store_dir
-    )
+    # release the cache now: the returned plan recomputes the (narrow +
+    # one-agg) band subtree once when the caller acts — correctness does
+    # not depend on the cache, only the store append above did
     bands.unpersist()
-
-    return docs.join(
-        suppressed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-    )
+    return novel
 
 
 def run_neardup_stream(
@@ -149,16 +180,12 @@ def run_neardup_stream(
     Returns the started StreamingQuery."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        novel = neardup_filter_batch(
-            batch_df,
-            store_dir,
-            text_col=text_col,
-            id_col=id_col,
-            k=k,
-            num_hashes=num_hashes,
-            band_size=band_size,
+        novel, bands = _batch_plan(
+            batch_df, store_dir, batch_id,
+            text_col, id_col, k, num_hashes, band_size,
         )
         novel.write.mode("append").parquet(out_dir)
+        bands.unpersist()  # emitted — drop the cache before the next batch
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

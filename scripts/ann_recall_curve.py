@@ -24,32 +24,18 @@ LSH_GRID = [  # (tables, planes)
 IVF_GRID = [(16, 2), (16, 4), (16, 8), (32, 4), (32, 8), (64, 8)]  # (cells, probes)
 
 
-def _clustered(spark, n: int, dim: int = 64, n_clusters: int = 32):
-    """Deterministic clustered embeddings (the sf1 generator's shape): the
+def _clustered(spark, n: int):
+    """Shared deterministic clustered generator (sources/corpus.py): the
     realistic corpus-embedding case, vs testdata's isotropic worst case."""
-    from pyspark.sql import functions as F
+    from scrapontologies_spark.sources.corpus import clustered_embeddings
 
-    cluster = (F.abs(F.hash("id", F.lit("c"))) % n_clusters).cast("int")
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
-            - 1.0
-            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
-        ).cast("float"),
-    )
-    return spark.range(n).select(
-        F.col("id").alias("vec_id"), vec.alias("embedding")
-    )
+    return clustered_embeddings(spark, n)
 
 
 def _lsh_theory(mean_top_cos: float, planes: int, tables: int) -> float:
-    """Sign-LSH union recall for a pair at the top-k mean cosine:
-    1 - (1 - (1 - theta/pi)^planes)^tables."""
-    import math
+    from scrapontologies_spark.operators.similarity import sign_lsh_union_recall
 
-    p = (1.0 - math.acos(max(-1.0, min(1.0, mean_top_cos))) / math.pi) ** planes
-    return 1.0 - (1.0 - p) ** tables
+    return sign_lsh_union_recall(mean_top_cos, planes, tables)
 
 
 def main() -> None:

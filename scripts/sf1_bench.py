@@ -118,27 +118,13 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
     docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     # embeddings: dim-64 float vectors, ~32 soft clusters so ANN has signal
-    dim = 64
-    cluster = (F.abs(F.hash("id", F.lit("c"))) % 32).cast("int")
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
-            - 1.0
-            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
-        ).cast("float"),
-    )
-    (
-        spark.range(n_vecs)
-        .repartition(32)
-        .select(
-            F.col("id").alias("vec_id"),
-            vec.alias("embedding"),
-            cluster.cast("int").alias("label"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/embeddings.parquet")
-    )
+    # (the SHARED generator — sources/corpus.clustered_embeddings — also
+    # feeds the recall-curve harness and the pytest recall gates)
+    from scrapontologies_spark.sources.corpus import clustered_embeddings
+
+    clustered_embeddings(spark, n_vecs, labeled=True).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
 
     # events: 1M rows over ~5k users, 30 days, zipf-ish hot users
     n_users = max(1000, n_events // 200)

@@ -81,8 +81,8 @@ BATCH2 = [
 def test_neardup_batch_matches_greedy_replay(spark, tmp_path):
     store = str(tmp_path / "store")
     got = []
-    for rows in (BATCH1, BATCH2):
-        novel = neardup_filter_batch(_mk_docs(spark, rows), store)
+    for bid, rows in enumerate((BATCH1, BATCH2)):
+        novel = neardup_filter_batch(_mk_docs(spark, rows), store, bid)
         got.extend(sorted(r.doc_id for r in novel.collect()))
 
     expected = _greedy_replay(
@@ -129,11 +129,36 @@ def test_neardup_store_survives_for_new_batches(spark, tmp_path):
     """A third independent arrival colliding only with suppressed doc 10's
     text is still suppressed (the store holds bands of suppressed docs)."""
     store = str(tmp_path / "store")
-    neardup_filter_batch(_mk_docs(spark, BATCH1), store).collect()
-    neardup_filter_batch(_mk_docs(spark, BATCH2), store).collect()
+    neardup_filter_batch(_mk_docs(spark, BATCH1), store, 0).collect()
+    neardup_filter_batch(_mk_docs(spark, BATCH2), store, 1).collect()
     third = [(20, "one two three four five six seven eight nine ten")]
-    novel = neardup_filter_batch(_mk_docs(spark, third), store)
+    novel = neardup_filter_batch(_mk_docs(spark, third), store, 2)
     assert novel.count() == 0
+
+
+def test_neardup_retry_same_batch_id_reproduces_verdict(spark, tmp_path):
+    """A foreachBatch retry re-runs the SAME batch_id after the failed
+    attempt already appended its band keys: the probe excludes the current
+    batch's own rows, so the retry must emit the same novel docs instead
+    of suppressing the whole batch against its own keys."""
+    store = str(tmp_path / "store")
+    neardup_filter_batch(_mk_docs(spark, BATCH1), store, 0).collect()
+
+    first = sorted(
+        r.doc_id
+        for r in neardup_filter_batch(_mk_docs(spark, BATCH2), store, 1).collect()
+    )
+    retry = sorted(
+        r.doc_id
+        for r in neardup_filter_batch(_mk_docs(spark, BATCH2), store, 1).collect()
+    )
+    assert first == retry == [11, 13]
+
+    # and a LATER batch still sees batch 1's keys as prior
+    again = neardup_filter_batch(
+        _mk_docs(spark, [(30, BATCH2[1][1])]), store, 2
+    )
+    assert again.count() == 0
 
 
 def test_neardup_multiple_microbatches_one_query(spark, tmp_path):

@@ -236,10 +236,9 @@ def test_cosine_topk_bruteforce(spark, emb):
 
 
 def _sign_lsh_theory_recall(mean_top_cos: float, planes: int, tables: int) -> float:
-    """Union recall of `tables` independent sign-LSH tables for a pair at
-    the given cosine: 1 - (1 - (1 - theta/pi)^planes)^tables."""
-    p = (1.0 - math.acos(max(-1.0, min(1.0, mean_top_cos))) / math.pi) ** planes
-    return 1.0 - (1.0 - p) ** tables
+    """The engine's own formula (similarity.sign_lsh_union_recall) — one
+    home, so the gate and the documented curves cannot drift apart."""
+    return similarity.sign_lsh_union_recall(mean_top_cos, planes, tables)
 
 
 def test_lsh_topk_recall(spark, emb):
@@ -270,21 +269,13 @@ def test_lsh_topk_recall(spark, emb):
 def emb_clustered(spark):
     """Deterministic clustered embeddings (the realistic corpus-embedding
     shape: mean top-k cosine ~0.97) — the quality-gate fixture for the
-    approximate similarity paths.  Same construction as the sf1 bench
-    generator: cluster centroid from hash(cluster, i), per-row jitter from
-    hash(id, i)."""
-    cluster = (F.abs(F.hash("id", F.lit("c"))) % 16).cast("int")
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda i: (
-            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
-            - 1.0
-            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
-        ).cast("float"),
-    )
+    approximate similarity paths.  Literally the sf1 bench generator
+    (sources/corpus.clustered_embeddings) at a smaller size, so the gate
+    and the documented recall curves cannot drift apart."""
+    from scrapontologies_spark.sources.corpus import clustered_embeddings
+
     return (
-        spark.range(400)
-        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        clustered_embeddings(spark, 400, dim=32, n_clusters=16, partitions=8)
         .persist()
     )
 
