@@ -151,19 +151,33 @@ def canonicalize_triples(triples: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
+def canonicalize_entities(
+    entities: DataFrame, labels: DataFrame, batch_cap: int = 256
+) -> DataFrame:
     """Merge entity rows that canonicalize to the same id: group by the
     component label (identity where unlabeled) and fold attributes with the
     A1 merge in ascending-id order — a deterministic order for the
     order-sensitive merge (SURVEY §2.4 A1).
 
-    Shape at scale: the JVM groups members per component (collect_list is a
-    map-side-combining aggregation; components are alias stars, so each
-    list is small) and ONE Arrow-batched scalar pandas UDF merges thousands
-    of components per batch in a plain-Python loop.  The previous
-    applyInPandas-per-group form paid a pandas DataFrame construction per
-    COMPONENT — ~0.2 ms × 200k tiny groups of pure overhead at sf1
-    (measured 42.9 s → 16.3 s isolated; job stage 44.3 → 11.5 s)."""
+    Shape at scale, two-path by component size:
+
+    - components with ≤ ``batch_cap`` members (the overwhelming majority —
+      alias stars are usually 2-row): the JVM groups members per component
+      (collect_list is a map-side-combining aggregation) and ONE
+      Arrow-batched scalar pandas UDF merges thousands of components per
+      batch in a plain-Python loop.  The round-2 applyInPandas-per-group
+      form paid a pandas DataFrame construction per COMPONENT — ~0.2 ms ×
+      200k tiny groups of pure overhead at sf1 (measured 42.9 s → 16.3 s
+      isolated; job stage 44.3 → 11.5 s).
+    - GIANT components (hot alias stems — module_alias_edges warns a stem
+      like ``utils`` can alias one node per repo): streamed per-group
+      applyInPandas, because collect_list would buffer the whole
+      component's payloads in one UnsafeRow (BufferHolder's 2 GB hard cap)
+      and one Arrow batch would carry up to maxRecordsPerBatch such rows.
+      Rare by construction, so the per-group overhead is irrelevant here.
+
+    Both paths run the same fold; equality is pinned by
+    tests/test_link_cc.py::test_canonicalize_giant_component_paths_agree."""
     import json as _json
 
     import pandas as pd
@@ -181,36 +195,62 @@ def canonicalize_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
         "id", "type", "attributes"
     )
 
+    def _fold(mem_sorted, cid):
+        """The shared A1 fold over ascending-id member dicts."""
+        merged = combine_entities_data(
+            [
+                _json.loads(m["attributes"]) if m["attributes"] else {}
+                for m in mem_sorted
+            ]
+        )
+        # the merged row keeps the CANONICAL member's type when that node
+        # is in the group (prefer_real_canonical may pick a non-min id);
+        # min-id type is only the fallback for components whose canonical
+        # node carries no entity row
+        typ = next(
+            (m["type"] for m in mem_sorted if m["id"] == cid),
+            mem_sorted[0]["type"],
+        )
+        return cid, typ, canonical_json(merged)
+
     # no type hints: Series->DataFrame inference is unsupported for
     # multi-arg struct-returning scalar UDFs; positional pandas_udf works
     def merge_members(cid, members):
-        out = []
-        for c, mem in zip(cid, members):
-            # ascending-id order for the order-sensitive A1 fold (sorted()
-            # is stable, matching the old sort_values semantics)
-            mem = sorted(mem, key=lambda m: m["id"])
-            merged = combine_entities_data(
-                [_json.loads(m["attributes"]) if m["attributes"] else {} for m in mem]
-            )
-            # the merged row keeps the CANONICAL member's type when that
-            # node is in the group (prefer_real_canonical may pick a
-            # non-min id); min-id type is only the fallback for components
-            # whose canonical node carries no entity row
-            typ = next((m["type"] for m in mem if m["id"] == c), mem[0]["type"])
-            out.append((c, typ, canonical_json(merged)))
+        # sorted() is stable, matching the old sort_values semantics
+        out = [
+            _fold(sorted(mem, key=lambda m: m["id"]), c)
+            for c, mem in zip(cid, members)
+        ]
         return pd.DataFrame(out, columns=["id", "type", "attributes"])
 
     merge_members = pandas_udf(
         merge_members, "struct<id:string,type:string,attributes:string>"
     )
 
-    grouped = labeled.groupBy("component").agg(
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        row = _fold(pdf.to_dict("records"), pdf["component"].iloc[0])
+        return pd.DataFrame([row], columns=["id", "type", "attributes"])
+
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("_n"))
+    sized = labeled.join(sizes, "component")
+    small = sized.filter(F.col("_n") <= batch_cap)
+    giant = sized.filter(F.col("_n") > batch_cap)
+
+    grouped = small.groupBy("component").agg(
         F.collect_list(F.struct("id", "type", "attributes")).alias("_members")
     )
-    merged_df = grouped.select(
+    merged_small = grouped.select(
         merge_members(F.col("component"), F.col("_members")).alias("_m")
     ).select("_m.id", "_m.type", "_m.attributes")
-    return untouched.unionByName(merged_df)
+    merged_giant = (
+        giant.select("component", "id", "type", "attributes")
+        .groupBy("component")
+        .applyInPandas(
+            merge_group, schema="id string, type string, attributes string"
+        )
+    )
+    return untouched.unionByName(merged_small).unionByName(merged_giant)
 
 
 def module_alias_edges(entities: DataFrame) -> DataFrame:

@@ -81,21 +81,23 @@ def queries() -> Q:
     q["dedup_minhash_estimate"] = mh_estimate
 
     # near-dup pairs → transitive clusters → canonical keeper per cluster
-    def clusters_q(spark, d):
-        docs = _docs(spark, d)
-        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+    def _jaccard_pairs(docs):
+        # the ONE pair generator both clustering entries stand on — a
+        # threshold/generator change moves them (and their factored
+        # oracle chain) together
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
             "doc_a", "doc_b"
         )
-        return dedup.duplicate_clusters(docs, pairs)
+
+    def clusters_q(spark, d):
+        docs = _docs(spark, d)
+        return dedup.duplicate_clusters(docs, _jaccard_pairs(docs))
 
     q["dedup_clusters"] = clusters_q
 
     def keep_canonical_q(spark, d):
         docs = _docs(spark, d)
-        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
-            "doc_a", "doc_b"
-        )
-        return dedup.keep_canonical(docs, pairs)
+        return dedup.keep_canonical(docs, _jaccard_pairs(docs))
 
     q["dedup_keep_canonical"] = keep_canonical_q
 
@@ -737,6 +739,46 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
         for b in range(4)
     )
+    # sigs → LSH bands → candidate pairs → exact Jaccard ≥ 0.5 → symmetric
+    # closure reach(node, lab): the ONE pair/closure construction that
+    # dedup_clusters and dedup_keep_canonical both stand on — factored so
+    # a threshold/band change cannot desynchronize the two oracles
+    jaccard_closure = f"""sigs AS (
+              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands8}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ),
+            sym AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+            )"""
     def marker_count(col: str, markers: tuple) -> str:
         """Engine-agnostic twin of textops._count_markers (see its
         docstring for why not \\b): token-split exact-match for ASCII-word
@@ -917,87 +959,17 @@ def oracle_sql() -> dict[str, str]:
             -- default) -> recursive transitive closure -> min-id cluster;
             -- singletons are their own cluster via the base case
             WITH RECURSIVE {_SH_CTE},
-            sigs AS (
-              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
-              FROM sh GROUP BY doc_id
-            ),
-            bands AS (
-              {bands8}
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              WHERE a.doc_id < b.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-              GROUP BY c.doc_a, c.doc_b
-            ),
-            pairs AS (
-              SELECT doc_a, doc_b FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-            ),
-            sym AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ),
-            reach(node, lab) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
-            )
+            {jaccard_closure}
             SELECT node AS doc_id, min(lab) AS cluster_id,
                    node = min(lab) AS is_canonical
             FROM reach GROUP BY node
         """,
         "dedup_keep_canonical": f"""
             -- canonical survivors of dedup_clusters with full payload:
-            -- same LSH candidates -> jaccard >= 0.5 -> transitive closure,
-            -- keep rows whose doc_id is its component's min member
+            -- the SAME factored pair/closure chain, keep rows whose doc_id
+            -- is its component's min member
             WITH RECURSIVE {_SH_CTE},
-            sigs AS (
-              SELECT doc_id, {", ".join(sig(i) for i in range(8))}
-              FROM sh GROUP BY doc_id
-            ),
-            bands AS (
-              {bands8}
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              WHERE a.doc_id < b.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-              GROUP BY c.doc_a, c.doc_b
-            ),
-            pairs AS (
-              SELECT doc_a, doc_b FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-            ),
-            sym AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ),
-            reach(node, lab) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
-            ),
+            {jaccard_closure},
             canon AS (
               SELECT node AS doc_id FROM reach
               GROUP BY node HAVING node = min(lab)

@@ -255,7 +255,7 @@ def queries() -> Q:
 # The grading driver records CORRECTNESS rows for at most 50 queries()
 # entries (round 2 shipped 53 and the file stopped at 50, silently leaving
 # the tail unverified).  The contract therefore exposes EXACTLY the 50
-# entries that evidence SURVEY §2 + training-data operators; these five are
+# entries that evidence SURVEY §2 + training-data operators; these six are
 # demo/redundant surfaces kept in the FULL registry (bench.py timings,
 # test_driver_contract pytest oracles) but off the driver contract:
 #   - events_user_rollup      plain groupBy, subsumed by the asof/interval/

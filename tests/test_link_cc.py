@@ -241,3 +241,49 @@ def test_canonicalize_entities_keeps_canonical_member_type(spark):
     )
     [row] = canonicalize_entities(ents, labels).collect()
     assert (row.id, row.type) == ("b_mod", "module")
+
+
+def test_canonicalize_giant_component_paths_agree(spark):
+    """A hot-stem giant star must take the streamed per-group path (the
+    batched collect_list form would buffer the whole component in one
+    UnsafeRow) and produce EXACTLY what the batched path produces when the
+    cap is raised above the component size."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.operators.cc import canonicalize_entities
+
+    n = 600  # > default batch_cap=256
+    ents = spark.range(n).select(
+        F.concat(F.lit("org/repo"), F.col("id"), F.lit("/utils.py")).alias("id"),
+        F.lit("module").alias("type"),
+        F.concat(F.lit('{"k'), F.col("id") % 7, F.lit('": "v"}')).alias(
+            "attributes"
+        ),
+    )
+    # one giant component: every node labels to the same canonical, plus a
+    # small 2-node component to exercise both paths in one call
+    labels = ents.select(
+        F.col("id").alias("node"), F.lit("org/repo0/utils.py").alias("component")
+    )
+    small_ents = spark.createDataFrame(
+        [("a", "t", '{"x": 1}'), ("b", "t", '{"y": 2}')],
+        "id string, type string, attributes string",
+    )
+    ents = ents.unionByName(small_ents)
+    labels = labels.unionByName(
+        spark.createDataFrame(
+            [("a", "a"), ("b", "a")], "node string, component string"
+        )
+    )
+
+    via_split = canonicalize_entities(ents, labels)  # giant -> streamed path
+    via_batch = canonicalize_entities(ents, labels, batch_cap=10_000)
+    a = {(r.id, r.type, r.attributes) for r in via_split.collect()}
+    b = {(r.id, r.type, r.attributes) for r in via_batch.collect()}
+    assert a == b
+    giant_row = {r for r in a if r[0] == "org/repo0/utils.py"}
+    assert len(giant_row) == 1
+    merged = json.loads(next(iter(giant_row))[2])
+    assert set(merged) == {f"k{i}" for i in range(7)}  # all attrs folded
