@@ -158,10 +158,13 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
         for m in _PY_FROM.finditer(text):
             decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
-        for m in _PY_CLASS.finditer(text):
-            decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
-        # defs: indented def inside a class body = method of nearest class above
-        class_spans = sorted((m.start(), m.group(1)) for m in _PY_CLASS.finditer(text))
+        # one class-regex pass feeds both the decl rows and the
+        # method-owner spans (this runs per chunk in the Arrow hot path)
+        class_spans = sorted(
+            (m.start(), m.group(1)) for m in _PY_CLASS.finditer(text)
+        )
+        for start, name in class_spans:
+            decls.append((start, {"kind": "class", "name": name, "owner": ""}))
         for m in _PY_DEF.finditer(text):
             indent, name = m.group(1), m.group(2)
             owner = ""

@@ -273,13 +273,34 @@ _TYPE_PRECEDENCE = {
 }
 
 
+def _type_elems(t: Any) -> Optional[List[str]]:
+    """Type-keyword value as a list of primitive names: 'string' → one
+    element, a JSON-Schema union list ['string','null'] → its elements,
+    anything else (malformed) → None."""
+    if isinstance(t, str):
+        return [t]
+    if isinstance(t, list) and t and all(isinstance(x, str) for x in t):
+        return list(t)
+    return None
+
+
 def _resolve_type(t1: Any, t2: Any, conflicts: Optional[List[str]], path: str) -> Any:
     if t1 == t2:
         return t1
     if conflicts is not None:
         conflicts.append(f"{path}: {t1!r} vs {t2!r}")
-    key = lambda t: (_TYPE_PRECEDENCE.get(t, 99), str(t))
-    return min((t1, t2), key=key)
+    e1, e2 = _type_elems(t1), _type_elems(t2)
+    if e1 is not None and e2 is not None:
+        # most-general element of the UNION — a semilattice min, so the
+        # documented commutative/associative algebra holds for union-type
+        # lists too (disagreeing unions collapse to their most general
+        # member; equal values short-circuit above)
+        key = lambda t: (_TYPE_PRECEDENCE.get(t, 99), t)
+        return min(set(e1) | set(e2), key=key)
+    # malformed 'type' values: deterministic order-independent pick, never
+    # a crash (the old int-precedence lookup raised TypeError on any
+    # unhashable value)
+    return copy.deepcopy(min((t1, t2), key=canonical_json))
 
 
 def schema_union(
@@ -308,12 +329,16 @@ def schema_union(
         in1, in2 = key in s1, key in s2
         if in1 and in2:
             v1, v2 = s1[key], s2[key]
-            if key == "type":
+            # dict-dict recursion FIRST: inside a ``properties`` map the
+            # key is a property NAME, so a property literally named
+            # 'type' (or 'required') must merge as a subschema, not be
+            # mistaken for the JSON-Schema keyword
+            if isinstance(v1, dict) and isinstance(v2, dict):
+                out[key] = schema_union(v1, v2, conflicts, f"{_path}.{key}")
+            elif key == "type":
                 out[key] = _resolve_type(v1, v2, conflicts, _path)
             elif key == "required" and isinstance(v1, list) and isinstance(v2, list):
                 out[key] = sorted(set(v1) & set(v2))
-            elif isinstance(v1, dict) and isinstance(v2, dict):
-                out[key] = schema_union(v1, v2, conflicts, f"{_path}.{key}")
             elif v1 == v2:
                 out[key] = copy.deepcopy(v1)
             else:
@@ -358,12 +383,14 @@ def schema_union_owned(
             acc[key] = v2
             continue
         v1 = acc[key]
-        if key == "type":
+        # branch order mirrors schema_union: dict-dict recursion first so
+        # a property named 'type'/'required' merges as a subschema
+        if isinstance(v1, dict) and isinstance(v2, dict):
+            acc[key] = schema_union_owned(v1, v2, conflicts, f"{_path}.{key}")
+        elif key == "type":
             acc[key] = _resolve_type(v1, v2, conflicts, _path)
         elif key == "required" and isinstance(v1, list) and isinstance(v2, list):
             acc[key] = sorted(set(v1) & set(v2))
-        elif isinstance(v1, dict) and isinstance(v2, dict):
-            acc[key] = schema_union_owned(v1, v2, conflicts, f"{_path}.{key}")
         elif v1 == v2:
             pass
         else:

@@ -184,13 +184,21 @@ def clustered_embeddings(
     hash(id, i); all JVM-side, no driver rows, no wall-clock randomness."""
     from pyspark.sql import functions as F
 
-    cluster = (F.abs(F.hash("id", F.lit("c"))) % n_clusters).cast("int")
+    # abs over the hash CAST TO LONG: int32 abs(Int.MinValue) throws
+    # ARITHMETIC_OVERFLOW under ANSI mode (default-on in Spark 4) — a
+    # probabilistic whole-job crash at ~n_rows×dim hash draws.  The long
+    # cast is value-preserving for every other hash, so documented recall
+    # curves and gates keyed to this construction are unchanged.
+    def _h(*cols):
+        return F.abs(F.hash(*cols).cast("long"))
+
+    cluster = (_h("id", F.lit("c")) % n_clusters).cast("int")
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
-            (F.abs(F.hash(cluster, i)) % 2000).cast("double") / 1000.0
+            (_h(cluster, i) % 2000).cast("double") / 1000.0
             - 1.0
-            + ((F.abs(F.hash("id", i)) % 400).cast("double") / 1000.0 - 0.2)
+            + ((_h("id", i) % 400).cast("double") / 1000.0 - 0.2)
         ).cast("float"),
     )
     cols = [F.col("id").alias("vec_id"), vec.alias("embedding")]

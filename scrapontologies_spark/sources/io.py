@@ -245,8 +245,16 @@ class Warehouse:
         the parameters this stage's output depends on); either way return
         the stored DataFrame (so downstream stages read the checkpoint, not
         the lineage — restart-safe).  A marker from a run with different
-        parameters triggers a rebuild instead of serving stale data."""
-        token = _config_token(config)
+        parameters triggers a rebuild instead of serving stale data.
+
+        ``partition_by`` is folded into the token: the stage's on-disk
+        LAYOUT is part of its output (partition pruning, bucketed-join
+        co-location), so changing it must rebuild rather than silently
+        serve the old layout — the same stale-checkpoint class the config
+        token exists to prevent."""
+        token = _config_token(
+            {"cfg": config, "partition_by": list(partition_by or []), "fmt": self.fmt}
+        )
         if self.is_complete(name, token):
             with open(self._marker(name)) as f:
                 meta = json.load(f)

@@ -34,7 +34,7 @@ def stream_corpus(
     (schema per BASELINE input_hint).  maxFilesPerTrigger bounds batch size
     so executor memory stays flat regardless of backlog."""
     reader = spark.readStream.schema(CORPUS_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:  # 0/None distinguishable
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(input_dir)
 
@@ -88,6 +88,7 @@ def run_incremental_triples(
     checkpoint_dir: str,
     chunk_bytes: int = 1024,
     available_now: bool = True,
+    max_files_per_trigger: Optional[int] = 256,
 ):
     """Start (or resume) the incremental triple-extraction query.
 
@@ -95,12 +96,17 @@ def run_incremental_triples(
     catch-up mode used in tests and cron-style incremental runs; False runs
     continuously.  Restart with the same checkpoint_dir resumes exactly
     where the previous run stopped (files already processed are never
-    re-emitted)."""
+    re-emitted).  ``max_files_per_trigger`` (default 256) bounds each
+    micro-batch during catch-up so a large accumulated backlog drains in
+    memory-flat slices instead of one giant batch (availableNow still
+    processes EVERYTHING before stopping — just in bounded triggers); pass
+    None to deliberately take the whole backlog in one batch."""
     # emit selection: only triple rows are consumed, so don't serialize
     # chunk payloads or run the entity fold per micro-batch (the chunk rows
     # alone would add Arrow volume the size of the corpus text itself)
     doc_rows = extract_document_rows(
-        stream_corpus(spark, input_dir), chunk_bytes, with_schemas=False,
+        stream_corpus(spark, input_dir, max_files_per_trigger),
+        chunk_bytes, with_schemas=False,
         with_entities=False, emit_chunks=False,
     )
     triples = triples_view(doc_rows)

@@ -121,8 +121,11 @@ def _batch_plan(
         )
         suppressed = suppressed.unionByName(hits).distinct()
 
+    # explicit BIGINT: F.lit of a small int is INT32, and mixed INT32/INT64
+    # parquet files in one store break schema-widening-free readers (and a
+    # caller's epoch-millis batch_id would genuinely be INT64)
     bands.select("band_idx", "band_key").distinct().withColumn(
-        "batch_id", F.lit(batch_id)
+        "batch_id", F.lit(batch_id).cast("bigint")
     ).write.mode("append").parquet(store_dir)
 
     novel = docs.join(
@@ -156,9 +159,13 @@ def neardup_filter_batch(
     novel, bands = _batch_plan(
         docs, store_dir, batch_id, text_col, id_col, k, num_hashes, band_size
     )
-    # release the cache now: the returned plan recomputes the (narrow +
-    # one-agg) band subtree once when the caller acts — correctness does
-    # not depend on the cache, only the store append above did
+    # Materialize while the band cache is hot (it appears three times in
+    # novel's plan — owner agg, in-batch join, store semi-join), then drop
+    # it.  The result stays persisted (evictable, recompute-safe) for the
+    # caller's action; the streaming wrapper manages the cache itself and
+    # skips this eager step.
+    novel = novel.persist()
+    novel.count()
     bands.unpersist()
     return novel
 

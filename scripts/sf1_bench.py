@@ -74,6 +74,11 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+
+    # abs over hash cast to long: int32 abs(Int.MinValue) throws under
+    # ANSI mode (Spark 4 default); value-preserving otherwise
+    def _h(*cols):
+        return F.abs(F.hash(*cols).cast("long"))
     vocab = F.array(*[F.lit(w) for w in _WORDS])
     nw = len(_WORDS)
 
@@ -82,19 +87,17 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
     base_id = F.when(
         (F.col("id") % 20 == 1) & (F.col("id") > 0), F.col("id") - 1
     ).otherwise(F.col("id"))
-    n_words = (F.abs(F.hash(base_id, F.lit("len"))) % 80 + 60).cast("int")
+    n_words = (_h(base_id, F.lit("len")) % 80 + 60).cast("int")
     words = F.transform(
         F.sequence(F.lit(0), n_words),
         lambda i: F.element_at(
             vocab,
             (
-                F.abs(
-                    F.hash(
-                        F.when(
-                            (F.col("id") % 20 == 1) & (i >= 110), F.col("id")
-                        ).otherwise(base_id),
-                        i,
-                    )
+                _h(
+                    F.when(
+                        (F.col("id") % 20 == 1) & (i >= 110), F.col("id")
+                    ).otherwise(base_id),
+                    i,
                 )
                 % nw
                 + 1
@@ -109,7 +112,7 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
             F.array_join(words, " ").alias("text"),
             F.element_at(
                 F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
-                (F.abs(F.hash("id", F.lit("lang"))) % 4 + 1).cast("int"),
+                (_h("id", F.lit("lang")) % 4 + 1).cast("int"),
             ).alias("lang"),
             F.concat(F.lit("src"), (F.col("id") % 10).cast("string")).alias("source"),
         )
@@ -128,19 +131,19 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
 
     # events: 1M rows over ~5k users, 30 days, zipf-ish hot users
     n_users = max(1000, n_events // 200)
-    hot = F.when(F.abs(F.hash("id", F.lit("hot"))) % 10 == 0, F.lit(7)).otherwise(
-        (F.abs(F.hash("id", F.lit("u"))) % n_users).cast("bigint")
+    hot = F.when(_h("id", F.lit("hot")) % 10 == 0, F.lit(7)).otherwise(
+        (_h("id", F.lit("u")) % n_users).cast("bigint")
     )
     ts = F.to_timestamp(
         F.from_unixtime(
-            F.lit(1700000000) + (F.abs(F.hash("id", F.lit("t"))) % (30 * 86400))
+            F.lit(1700000000) + (_h("id", F.lit("t")) % (30 * 86400))
         )
     )
     etype = F.element_at(
         F.array(
             F.lit("view"), F.lit("click"), F.lit("view"), F.lit("cart"), F.lit("purchase")
         ),
-        (F.abs(F.hash("id", F.lit("e"))) % 5 + 1).cast("int"),
+        (_h("id", F.lit("e")) % 5 + 1).cast("int"),
     )
     (
         spark.range(n_events)
@@ -150,7 +153,7 @@ def _gen_tables(spark, out_dir: str, n_docs: int, n_vecs: int, n_events: int) ->
             ts.alias("ts"),
             hot.alias("user_id"),
             etype.alias("event_type"),
-            ((F.abs(F.hash("id", F.lit("v"))) % 10000).cast("double") / 100.0).alias(
+            ((_h("id", F.lit("v")) % 10000).cast("double") / 100.0).alias(
                 "value"
             ),
             F.concat(

@@ -160,3 +160,56 @@ def test_digest_dedup_equals_naive_fold(payload):
             naive, {"type": "object", "properties": {key: induce_schema(attrs)}}
         )
     assert canonical_json(chunk_schema_digest(payload)) == canonical_json(naive)
+
+
+def test_union_type_lists_and_keyword_shadowing():
+    """Regressions for two crash classes: JSON-Schema union-type lists
+    ('type': ['string','null']) and properties literally NAMED 'type' /
+    'required' (keyword-vs-property-name conflation inside properties
+    maps).  Both variants must agree and obey the commutative algebra."""
+    import copy
+
+    from scrapontologies_spark.functions.semantics import (
+        schema_union,
+        schema_union_owned,
+    )
+
+    # union-type list vs plain string: most-general element of the union
+    a = {"type": ["string", "null"]}
+    b = {"type": "string"}
+    assert schema_union(a, b) == {"type": "string"}
+    assert schema_union(b, a) == {"type": "string"}
+    assert schema_union(a, a) == a  # idempotent, list preserved
+    assert (
+        schema_union_owned(copy.deepcopy(a), copy.deepcopy(b))
+        == {"type": "string"}
+    )
+
+    # a property literally named 'type' (and 'required') merges as a
+    # SUBSCHEMA, not via the keyword rules
+    p1 = {
+        "type": "object",
+        "properties": {
+            "type": {"type": "string"},
+            "required": {"type": "boolean"},
+        },
+    }
+    p2 = {
+        "type": "object",
+        "properties": {
+            "type": {"type": "integer"},
+            "required": {"type": "boolean"},
+        },
+    }
+    got = schema_union(p1, p2)
+    assert got["properties"]["type"] == {"type": "string"}  # precedence
+    assert got["properties"]["required"] == {"type": "boolean"}
+    assert got == schema_union(p2, p1)
+    assert (
+        schema_union_owned(copy.deepcopy(p1), copy.deepcopy(p2)) == got
+    )
+
+    # malformed 'type' value: deterministic pick, never a crash
+    m1 = {"type": {"weird": 1}}
+    m2 = {"type": "string"}
+    assert schema_union(m1, m2) == schema_union(m2, m1)
