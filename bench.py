@@ -191,24 +191,24 @@ def main() -> None:
         res.doc_rows.unpersist()
         _release_new_persists(spark, baseline_persists)
 
-        # --- operator catalog over the driver tables ---------------------
-        for name in HEADLINE:
-            if name not in qmap:
-                continue
-            t0 = time.time()
-            _force(qmap[name](spark, sf_dir))
-            _keep_min(timings, name, time.time() - t0)
-            _release_new_persists(spark, baseline_persists)
+        def _time_queries(names, store):
+            for name in names:
+                if name not in qmap:
+                    # a rename/typo must not silently shrink the timed
+                    # suite — cross-round walls would misread as a win
+                    raise KeyError(
+                        f"bench query {name!r} missing from the registry"
+                    )
+                t0 = time.time()
+                _force(qmap[name](spark, sf_dir))
+                _keep_min(store, name, time.time() - t0)
+                _release_new_persists(spark, baseline_persists)
 
-        # round-2 additions, timed OUTSIDE the headline wall so the
+        # --- operator catalog over the driver tables ---------------------
+        _time_queries(HEADLINE, timings)
+        # round-2+ additions, timed OUTSIDE the headline wall so the
         # headline stays comparable across rounds (round 1's 21-query basis)
-        for name in EXTRA_QUERIES:
-            if name not in qmap:
-                continue
-            t0 = time.time()
-            _force(qmap[name](spark, sf_dir))
-            _keep_min(extra_queries, name, time.time() - t0)
-            _release_new_persists(spark, baseline_persists)
+        _time_queries(EXTRA_QUERIES, extra_queries)
 
     corpus.unpersist()
     total = round(sum(timings.values()), 3)

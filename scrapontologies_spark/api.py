@@ -35,6 +35,7 @@ exactly like the reference, which holds all entities in a Python list.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Callable, Dict, List, Optional
 
@@ -190,7 +191,16 @@ class CorpusExtractor:
 
     def delete_entity_or_relation(self, item_description: str) -> None:
         """C3 route (deterministic DELETE_PROMPT stand-in) + C1/C2 cascade
-        on the schema-level state, exactly the reference's flow."""
+        on the schema-level state, exactly the reference's flow.
+
+        Reference-faithful quirks, both pinned by tests:
+        - deletes touch ``_entities``/``_relations`` ONLY — the reference's
+          ``_delete_entity`` (extractor.py:150-160) never updates the
+          parser's stored JSON schema, so ``get_json_schema``/
+          ``create_tables``/``merge_schemas`` keep seeing the pre-delete
+          schema (the DDL still contains the deleted entity's table);
+        - an unroutable description is a LOGGED no-op, not an exception
+          (extractor.py:148 ``logger.error``)."""
         decision = route_delete(
             item_description,
             [e.id for e in self._entities],
@@ -216,6 +226,19 @@ class CorpusExtractor:
                 self._relations = delete_relation(
                     self._relations, tuple(str(x) for x in t)
                 )
+            else:
+                logging.getLogger(__name__).error(
+                    "delete_entity_or_relation: malformed relation ID %r "
+                    "— nothing deleted", decision.get("ID")
+                )
+        else:
+            # reference: logger.error("Invalid type returned from LLM.")
+            # (extractor.py:148) — a no-op, but never a silent one; the
+            # router's Clarification explains what failed to match
+            logging.getLogger(__name__).error(
+                "delete_entity_or_relation: %s — nothing deleted",
+                decision.get("Clarification", "no matching entity/relation"),
+            )
 
     # -- sinks (extractor.py:278-387; K1) -----------------------------------
 

@@ -168,3 +168,28 @@ def test_delete_relation_with_apostrophe_id(spark):
     ex._entities = []
     ex.delete_entity_or_relation(str(("a'b", "c", "knows")))
     assert [(r.source, r.target, r.name) for r in ex._relations] == [("x", "y", "likes")]
+
+
+def test_delete_keeps_json_schema_stale_like_reference(spark, caplog):
+    """Reference-faithful quirk (extractor.py:150-160): deletes update the
+    entity/relation lists ONLY — the stored JSON schema is untouched, so
+    get_json_schema still contains the deleted entity.  Pinned so a future
+    'fix' is a deliberate, documented divergence."""
+    import logging
+
+    ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
+    ex.extract_entities_schema()
+    schema_before = ex.get_json_schema()
+    target = next(iter(schema_before.get("properties", {"import": {}})))
+
+    ex.delete_entity_or_relation(f"remove the {target} entity")
+    assert all(e.id != target for e in ex.get_entities_schema())
+    assert ex.get_json_schema() == schema_before  # stale by design
+
+    # unroutable description: LOGGED no-op (reference logger.error), state
+    # unchanged, no exception
+    ents = list(ex.get_entities_schema())
+    with caplog.at_level(logging.ERROR, logger="scrapontologies_spark.api"):
+        ex.delete_entity_or_relation("remove the zz_nonexistent_zz node")
+    assert ex.get_entities_schema() == ents
+    assert any("nothing deleted" in r.message for r in caplog.records)
