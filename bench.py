@@ -168,7 +168,20 @@ def main() -> None:
     corpus.count()  # input materialization excluded (on a cluster the
     # corpus is an Iceberg table already on disk)
     qmap = driver_queries.queries()
+    # fail BEFORE any timed work: a rename/typo must not silently shrink
+    # the timed suite (cross-round walls would misread as a win) nor
+    # discard a long run mid-suite
+    missing = [n for n in (*HEADLINE, *EXTRA_QUERIES) if n not in qmap]
+    if missing:
+        raise KeyError(f"bench queries missing from the registry: {missing}")
     baseline_persists = _persistent_ids(spark)
+
+    def _time_queries(names, store):
+        for name in names:
+            t0 = time.time()
+            _force(qmap[name](spark, sf_dir))
+            _keep_min(store, name, time.time() - t0)
+            _release_new_persists(spark, baseline_persists)
 
     for _pass in range(repeats):
         # --- flagship KG pipeline ----------------------------------------
@@ -190,19 +203,6 @@ def main() -> None:
         extra["kg_n_docs"] = n_docs
         res.doc_rows.unpersist()
         _release_new_persists(spark, baseline_persists)
-
-        def _time_queries(names, store):
-            for name in names:
-                if name not in qmap:
-                    # a rename/typo must not silently shrink the timed
-                    # suite — cross-round walls would misread as a win
-                    raise KeyError(
-                        f"bench query {name!r} missing from the registry"
-                    )
-                t0 = time.time()
-                _force(qmap[name](spark, sf_dir))
-                _keep_min(store, name, time.time() - t0)
-                _release_new_persists(spark, baseline_persists)
 
         # --- operator catalog over the driver tables ---------------------
         _time_queries(HEADLINE, timings)

@@ -53,6 +53,8 @@ from .functions.semantics import (
     schema_union,
 )
 
+logger = logging.getLogger(__name__)
+
 _KINDS = {"function", "class", "method", "import", "call", "term"}
 
 
@@ -227,7 +229,7 @@ class CorpusExtractor:
                     self._relations, tuple(str(x) for x in t)
                 )
             else:
-                logging.getLogger(__name__).error(
+                logger.error(
                     "delete_entity_or_relation: malformed relation ID %r "
                     "— nothing deleted", decision.get("ID")
                 )
@@ -235,7 +237,7 @@ class CorpusExtractor:
             # reference: logger.error("Invalid type returned from LLM.")
             # (extractor.py:148) — a no-op, but never a silent one; the
             # router's Clarification explains what failed to match
-            logging.getLogger(__name__).error(
+            logger.error(
                 "delete_entity_or_relation: %s — nothing deleted",
                 decision.get("Clarification", "no matching entity/relation"),
             )

@@ -12,6 +12,7 @@ scaled down by the session's core count for sandbox runs:
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import SparkSession
@@ -19,10 +20,13 @@ from pyspark.sql import SparkSession
 
 def _default_shuffle_partitions(master: str, local_cores: int) -> int:
     """2× the session's core count: parsed from an explicit ``local[N]``
-    master so ``build_session(master="local[32]")`` is not undersized to
-    the ``local_cores`` default's 16."""
-    m = re.fullmatch(r"local\[(\d+)\]", master)
+    (also ``local[*]`` and ``local[N,maxFailures]``) master so
+    ``build_session(master="local[32]")`` is not undersized to the
+    ``local_cores`` default's 16."""
+    m = re.fullmatch(r"local\[(\d+|\*)(?:,\d+)?\]", master)
     if m:
+        if m.group(1) == "*":
+            return 2 * (os.cpu_count() or local_cores)
         return 2 * int(m.group(1))
     return 2 * local_cores
 
@@ -34,8 +38,9 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or f"local[{local_cores}]"
+    master = (extra_conf or {}).get("spark.master") or master or f"local[{local_cores}]"
     settings = {
+        "spark.master": master,
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -54,28 +59,43 @@ def build_session(
     # draws a spurious warning)
     settings.update({k: str(v) for k, v in (extra_conf or {}).items()})
 
-    b = SparkSession.builder.appName(app_name).master(master)
+    pre_existing = SparkSession.getActiveSession() is not None
+
+    b = SparkSession.builder.appName(app_name)
     for k, v in settings.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
 
-    # S4-style validation.  getOrCreate DOES apply modifiable SQL confs to
-    # a pre-existing session (applyModifiableSettings), but STATIC settings
-    # — spark.master above all, plus driver memory and friends passed via
-    # extra_conf — stay whatever the live session was created with.  Warn
-    # when a load-bearing requested value did not take effect, instead of
-    # silently benchmarking / running under the wrong configuration.
+    # S4-style validation.  getOrCreate applies modifiable SQL confs to a
+    # pre-existing session, but STATIC settings (spark.master, driver
+    # memory and friends) keep their creation-time values — and the conf
+    # MAP cannot be trusted to detect this: Spark 4 copies every requested
+    # option into it even when the option did not take effect (verified:
+    # conf.get('spark.master') reports the requested value while
+    # sparkContext.master still holds the real one).  So check the master
+    # through the SparkContext, and for static extra_conf keys warn on the
+    # pre-existing-session condition itself.
     import warnings
 
-    for key in ("spark.master", *(extra_conf or {})):
-        want = master if key == "spark.master" else settings[key]
-        got = spark.conf.get(key, None)
-        if got is not None and got != want:
-            warnings.warn(
-                f"build_session: live SparkSession has {key}={got!r}, "
-                f"requested {want!r} — this setting is fixed at session "
-                "creation; stop the existing session first if it matters",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+    actual_master = spark.sparkContext.master
+    if actual_master != master:
+        warnings.warn(
+            f"build_session: live SparkSession runs master={actual_master!r}, "
+            f"requested {master!r} — fixed at session creation; stop the "
+            "existing session first if it matters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    static_keys = [
+        k for k in (extra_conf or {}) if not k.startswith("spark.sql.")
+    ]
+    if pre_existing and static_keys:
+        warnings.warn(
+            "build_session: reusing a live SparkSession — static settings "
+            f"{static_keys} from extra_conf are NOT applied to an existing "
+            "session (only runtime SQL confs are); stop it first if they "
+            "matter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark

@@ -175,12 +175,15 @@ def test_delete_keeps_json_schema_stale_like_reference(spark, caplog):
     entity/relation lists ONLY — the stored JSON schema is untouched, so
     get_json_schema still contains the deleted entity.  Pinned so a future
     'fix' is a deliberate, documented divergence."""
+    import copy
     import logging
 
     ex = CorpusExtractor(corpus_df(spark, N), chunk_bytes=CHUNK)
     ex.extract_entities_schema()
-    schema_before = ex.get_json_schema()
-    target = next(iter(schema_before.get("properties", {"import": {}})))
+    # deep copy: get_json_schema returns the live dict, and an aliased
+    # snapshot could not detect an in-place mutation
+    schema_before = copy.deepcopy(ex.get_json_schema())
+    target = next(iter(schema_before["properties"]))  # loud on malformed
 
     ex.delete_entity_or_relation(f"remove the {target} entity")
     assert all(e.id != target for e in ex.get_entities_schema())
