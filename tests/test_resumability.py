@@ -240,3 +240,37 @@ def test_job_cli_corpus_parquet_flag(spark, tmp_path):
     assert {k: v.fingerprint for k, v in r1.items()} == {
         k: v.fingerprint for k, v in r2.items()
     }
+
+
+def test_partition_layout_change_rebuilds_stage(spark, tmp_path):
+    """run_stage's resume token covers partition_by: the stage's on-disk
+    LAYOUT is part of its output (pruning, bucketed-join co-location), so
+    re-running with a different partitioning must rebuild — not silently
+    serve the old layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    _, info1 = wh.run_stage(spark, "s", lambda: df, config={"k": 1})
+    assert not info1.skipped
+
+    # same config, same builder, NEW layout -> rebuild
+    _, info2 = wh.run_stage(
+        spark, "s", lambda: df, partition_by=["lang"], config={"k": 1}
+    )
+    assert not info2.skipped
+    assert any(
+        name.startswith("lang=")
+        for name in os.listdir(os.path.join(str(tmp_path / "wh"), "s"))
+    )
+
+    # identical layout + config -> skipped
+    _, info3 = wh.run_stage(
+        spark, "s", lambda: df, partition_by=["lang"], config={"k": 1}
+    )
+    assert info3.skipped
+    assert info3.fingerprint == info2.fingerprint
