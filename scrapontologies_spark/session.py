@@ -59,7 +59,15 @@ def build_session(
     # draws a spurious warning)
     settings.update({k: str(v) for k, v in (extra_conf or {}).items()})
 
-    pre_existing = SparkSession.getActiveSession() is not None
+    # getActiveSession() is thread-local; getOrCreate reuses the
+    # PROCESS-global session (and an existing bare SparkContext), so check
+    # those to catch reuse from any thread
+    from pyspark import SparkContext
+
+    pre_existing = (
+        getattr(SparkSession, "_instantiatedSession", None) is not None
+        or getattr(SparkContext, "_active_spark_context", None) is not None
+    )
 
     b = SparkSession.builder.appName(app_name)
     for k, v in settings.items():
@@ -86,8 +94,17 @@ def build_session(
             RuntimeWarning,
             stacklevel=2,
         )
+    # "spark.sql." confs are usually runtime-modifiable, but a few are
+    # fixed at session creation despite the prefix
+    static_sql = {
+        "spark.sql.warehouse.dir",
+        "spark.sql.extensions",
+        "spark.sql.catalogImplementation",
+    }
     static_keys = [
-        k for k in (extra_conf or {}) if not k.startswith("spark.sql.")
+        k
+        for k in (extra_conf or {})
+        if not k.startswith("spark.sql.") or k in static_sql
     ]
     if pre_existing and static_keys:
         warnings.warn(

@@ -49,7 +49,7 @@ from pyspark.errors import AnalysisException
 
 from ..operators.dedup import band_key_rows, minhash_signatures, shingles
 
-_STORE_SCHEMA = "band_idx INT, band_key STRING, batch_id BIGINT"
+_STORE_SCHEMA = "band_idx INT, band_key STRING, batch_id BIGINT, writer STRING"
 
 
 def _batch_band_keys(
@@ -72,6 +72,7 @@ def _batch_plan(
     docs: DataFrame,
     store_dir: str,
     batch_id: int,
+    writer_id: str,
     text_col: str,
     id_col: str,
     k: int,
@@ -79,15 +80,26 @@ def _batch_plan(
     band_size: int,
 ) -> "tuple[DataFrame, DataFrame]":
     """Build one batch's verdict plan: persists the band table, appends the
-    batch's (batch_id-tagged) keys to the store, and returns
+    batch's keys to the store tagged with (writer, batch_id), and returns
     ``(novel, bands)`` — ``novel`` still lazy, ``bands`` persisted so the
-    caller can unpersist after materializing ``novel``."""
+    caller can unpersist after materializing ``novel``.
+
+    ``writer_id`` namespaces the retry exclusion: foreachBatch batch_ids
+    are only unique per CHECKPOINT, so a stream restarted with a fresh
+    checkpoint against a long-lived store would otherwise hide the old
+    run's batch-0 keys behind its own batch 0.  The streaming wrapper
+    derives it from the checkpoint dir (stable across driver restarts of
+    the same query — retry exclusion still works — and distinct for a
+    reset checkpoint or another stream sharing the store)."""
     spark = docs.sparkSession
     bands = _batch_band_keys(
         docs, text_col, id_col, k, num_hashes, band_size
     ).persist()  # probed three ways below; evictable-safe (plain persist)
 
-    # in-batch greedy: every bucket is owned by its smallest doc_id
+    # in-batch greedy: every bucket is owned by its smallest doc_id.  No
+    # distinct on any suppressed-id set: they only ever feed the build side
+    # of the final left_anti join, where duplicates (bounded by n_bands per
+    # doc) are semantically free and a distinct costs a shuffle per batch.
     owner = bands.groupBy("band_idx", "band_key").agg(
         F.min("doc_id").alias("_owner")
     )
@@ -95,38 +107,49 @@ def _batch_plan(
         bands.join(owner, ["band_idx", "band_key"])
         .filter(F.col("doc_id") > F.col("_owner"))
         .select("doc_id")
-        .distinct()
     )
 
     # cross-batch: any band key stored by an EARLIER batch suppresses the
-    # doc.  The current batch_id is excluded, so this plan is correct even
-    # when executed after the append below (and on foreachBatch retries,
-    # whose prior partial append carries the same batch_id).  The
+    # doc.  The current (writer, batch_id) is excluded, so this plan is
+    # correct even when executed after the append below (and on foreachBatch
+    # retries, whose prior partial append carries the same tag).  The
     # existence probe is the read itself — engine-side, so hdfs://s3a://
     # store paths work, not only the driver-local filesystem.
     try:
         seen = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-    except AnalysisException:  # first batch: no store yet
+    except AnalysisException as e:
+        # ONLY the missing-path case means "first batch"; any other
+        # analysis failure (bad scheme, catalog error) must propagate —
+        # treating it as an empty store would silently disable dedup
+        get = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        klass = get() or ""
+        if "PATH_NOT_FOUND" not in klass:
+            raise
         seen = None
     if seen is not None:
-        # null-safe: rows from an untagged (legacy 2-column) store read as
-        # NULL batch_id and must count as PRIOR, not as the current batch
+        # null-safe: rows from an untagged (legacy/compacted) store read
+        # as NULL writer/batch_id and must count as PRIOR
         prior = seen.filter(
-            ~F.col("batch_id").eqNullSafe(F.lit(batch_id))
+            ~(
+                F.col("writer").eqNullSafe(F.lit(writer_id))
+                & F.col("batch_id").eqNullSafe(F.lit(batch_id))
+            )
         ).select("band_idx", "band_key")
-        hits = (
-            bands.join(prior, ["band_idx", "band_key"], "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        suppressed = suppressed.unionByName(hits).distinct()
+        hits = bands.join(
+            prior, ["band_idx", "band_key"], "left_semi"
+        ).select("doc_id")
+        suppressed = suppressed.unionByName(hits)
 
     # explicit BIGINT: F.lit of a small int is INT32, and mixed INT32/INT64
     # parquet files in one store break schema-widening-free readers (and a
     # caller's epoch-millis batch_id would genuinely be INT64)
     bands.select("band_idx", "band_key").distinct().withColumn(
         "batch_id", F.lit(batch_id).cast("bigint")
-    ).write.mode("append").parquet(store_dir)
+    ).withColumn("writer", F.lit(writer_id)).write.mode("append").parquet(
+        store_dir
+    )
 
     novel = docs.join(
         suppressed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
@@ -143,10 +166,12 @@ def neardup_filter_batch(
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    writer_id: str = "batch",
 ) -> DataFrame:
     """One batch of the greedy rule: appends the batch's band keys to
-    ``store_dir`` (tagged with ``batch_id``, which must be unique per
-    logical batch and stable across retries) and returns the NOVEL
+    ``store_dir`` (tagged with ``(writer_id, batch_id)`` — the pair must be
+    unique per logical batch across every writer that shares the store, and
+    stable across retries of the same batch) and returns the NOVEL
     documents of ``docs`` as a lazy DataFrame.
 
     Exposed separately from the streaming wiring so tests (and batch
@@ -157,7 +182,8 @@ def neardup_filter_batch(
     removed upstream, e.g. incremental.dedup_stream); duplicate ids share
     one signature row and would all pass or fail together."""
     novel, bands = _batch_plan(
-        docs, store_dir, batch_id, text_col, id_col, k, num_hashes, band_size
+        docs, store_dir, batch_id, writer_id,
+        text_col, id_col, k, num_hashes, band_size,
     )
     # Materialize while the band cache is hot (it appears three times in
     # novel's plan — owner agg, in-batch join, store semi-join), then drop
@@ -184,11 +210,22 @@ def run_neardup_stream(
 ):
     """Wire the per-batch filter into a foreachBatch sink: novel documents
     append to ``out_dir`` parquet, band keys accumulate in ``store_dir``.
-    Returns the started StreamingQuery."""
+    Returns the started StreamingQuery.
+
+    The store writer tag derives from the CHECKPOINT DIR: stable across
+    driver restarts of the same query (retry exclusion keeps working for
+    an uncommitted batch) and distinct for a reset checkpoint or a second
+    stream sharing the store (whose epoch ids would otherwise collide and
+    hide prior keys)."""
+    import hashlib
+
+    writer_id = "ckpt:" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no rows: skip the store append (small-file growth)
         novel, bands = _batch_plan(
-            batch_df, store_dir, batch_id,
+            batch_df, store_dir, batch_id, writer_id,
             text_col, id_col, k, num_hashes, band_size,
         )
         novel.write.mode("append").parquet(out_dir)
@@ -202,3 +239,31 @@ def run_neardup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_band_store(spark, store_dir: str) -> int:
+    """Rewrite the band store as distinct (band_idx, band_key) rows with
+    NULL writer/batch tags (pure PRIOR rows — every future probe treats
+    them as earlier arrivals, which compaction makes true by definition).
+    Run BETWEEN streaming runs, never concurrently with one: in continuous
+    mode each micro-batch appends a file and the every-batch probe re-lists
+    the store, so periodic compaction bounds file-count growth.  Local-FS
+    directory swap; on an object store / catalog deployment this is a
+    table rewrite (sources/io.py bucketed tables).  Returns the compacted
+    row count."""
+    import shutil
+
+    compacted = (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(store_dir)
+        .select("band_idx", "band_key")
+        .distinct()
+        .withColumn("batch_id", F.lit(None).cast("bigint"))
+        .withColumn("writer", F.lit(None).cast("string"))
+    )
+    tmp = store_dir.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.schema(_STORE_SCHEMA).parquet(tmp).count()
+    shutil.rmtree(store_dir)
+    shutil.move(tmp, store_dir)
+    return n

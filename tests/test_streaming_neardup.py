@@ -189,3 +189,47 @@ def test_neardup_multiple_microbatches_one_query(spark, tmp_path):
     assert len({0, 2, 12} & set(got)) == 1, got  # alpha family: 1 survivor
     assert len({1, 10} & set(got)) == 1, got     # one-two family: 1 survivor
     assert {3, 13} <= set(got) and 11 in got, got
+
+
+def test_checkpoint_reset_does_not_hide_old_batch_zero(spark, tmp_path):
+    """foreachBatch batch_ids restart at 0 with a fresh checkpoint; the
+    writer tag (derived from the checkpoint dir) must keep the OLD run's
+    batch-0 keys visible as prior — otherwise every duplicate of the old
+    first arrival re-admits."""
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    _mk_docs(spark, BATCH1).coalesce(1).write.parquet(in1)
+    q = run_neardup_stream(
+        spark.readStream.schema(DOCS_SCHEMA).parquet(in1),
+        out_dir, store, str(tmp_path / "ckpt1"),
+    )
+    assert q.awaitTermination(180)
+
+    # NEW checkpoint (reset), same store; BATCH2 arrives as ITS batch 0
+    _mk_docs(spark, BATCH2).coalesce(1).write.parquet(in2)
+    q = run_neardup_stream(
+        spark.readStream.schema(DOCS_SCHEMA).parquet(in2),
+        out_dir, store, str(tmp_path / "ckpt2"),
+    )
+    assert q.awaitTermination(180)
+
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    # 10 and 12 duplicate batch-0 texts of the FIRST run and must stay out
+    assert got == {0, 1, 3, 11, 13}
+
+
+def test_compact_band_store_preserves_suppression(spark, tmp_path):
+    """Compaction rewrites the store as distinct untagged rows; future
+    batches must still see every prior key (NULL tags count as prior)."""
+    from scrapontologies_spark.streaming.neardup import compact_band_store
+
+    store = str(tmp_path / "store")
+    neardup_filter_batch(_mk_docs(spark, BATCH1), store, 0).collect()
+    neardup_filter_batch(_mk_docs(spark, BATCH2), store, 1).collect()
+    n = compact_band_store(spark, store)
+    assert n > 0
+
+    dup = [(40, BATCH1[0][1]), (41, "totally novel words appear here now ok")]
+    novel = neardup_filter_batch(_mk_docs(spark, dup), store, 2)
+    assert {r.doc_id for r in novel.collect()} == {41}
