@@ -17,25 +17,55 @@ documents, wrong for archives).
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+import re
+from typing import Mapping, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# extension → gazetteer language id (code_gazetteer grammars + "text" prose
-# fallback); unknown extensions ingest as plain text so the prose gazetteer
-# still runs rather than dropping the file
+# extension → gazetteer language id.  REAL grammars exist for python /
+# javascript / go / java (functions/code_gazetteer.py); every other mapping
+# routes to the "text" prose gazetteer — declared here, not silent: C-family,
+# Rust, Ruby, shell and config files ingest as prose term mentions until a
+# grammar lands.  Unknown extensions also fall to "text" so no file is
+# dropped (the reference's parser never skips a page).
 EXT_LANG = {
+    # real grammars
     "py": "python",
     "js": "javascript",
+    "jsx": "javascript",
+    "mjs": "javascript",
+    "cjs": "javascript",
+    "ts": "javascript",   # TS decl shapes match the JS grammar's regexes
+    "tsx": "javascript",
     "go": "go",
     "java": "java",
+    # prose fallback (no dedicated grammar yet)
+    "c": "text",
+    "h": "text",
+    "cc": "text",
+    "cpp": "text",
+    "hpp": "text",
+    "rs": "text",
+    "rb": "text",
+    "sh": "text",
+    "json": "text",
+    "yaml": "text",
+    "yml": "text",
+    "toml": "text",
     "md": "markdown",
     "markdown": "markdown",
+    "rst": "markdown",
     "txt": "text",
 }
 
-DEFAULT_GLOB = "*.{" + ",".join(sorted(EXT_LANG)) + "}"
+
+def _default_glob(ext_lang: Mapping[str, str]) -> str:
+    return "*.{" + ",".join(sorted(ext_lang)) + "}"
+
+
+DEFAULT_GLOB = _default_glob(EXT_LANG)
 
 
 def corpus_from_files(
@@ -45,6 +75,7 @@ def corpus_from_files(
     commit: str = "HEAD",
     path_glob: Optional[str] = None,
     max_bytes: int = 10 * 1024 * 1024,
+    ext_lang: Optional[Mapping[str, str]] = None,
 ) -> DataFrame:
     """Directory tree → corpus DataFrame (repo, path, commit, lang, content).
 
@@ -53,30 +84,45 @@ def corpus_from_files(
     - ``commit``: caller-provided revision label (no VCS probing — the
       engine is hermetic; pass the real SHA when the tree is a checkout).
     - ``path_glob``: binaryFile ``pathGlobFilter``; defaults to the
-      extensions the gazetteer understands.
+      extensions of ``ext_lang``.
     - ``max_bytes``: files larger than this are EXCLUDED by the scan's
       length column (pushed before content reaches memory).
+    - ``ext_lang``: extension → gazetteer language map; defaults to
+      ``EXT_LANG``.  Values must be gazetteer ids ("python" / "javascript"
+      / "go" / "java" have real grammars; anything else behaves as prose).
 
-    Paths are made relative to ``root_dir``; content is decoded as UTF-8
-    (invalid bytes become replacement characters — the deterministic analog
-    of the reference's text extraction never failing a page).
+    Paths are made relative to ``root_dir`` by stripping the resolved
+    absolute root as a prefix (anchored — a subdirectory that repeats the
+    root's name cannot corrupt the relative path).  Content is decoded as
+    UTF-8 with invalid byte sequences replaced by U+FFFD
+    (``make_valid_utf8``, ANSI-safe — the deterministic analog of the
+    reference's text extraction never failing a page).
     """
+    langs = dict(ext_lang) if ext_lang is not None else EXT_LANG
     root = root_dir.rstrip("/")
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", path_glob or DEFAULT_GLOB)
+        .option("pathGlobFilter", path_glob or _default_glob(langs))
         .option("recursiveFileLookup", "true")
         .load(root)
     )
     repo_col = F.lit(repo if repo is not None else root.rsplit("/", 1)[-1])
-    # relative path: binaryFile yields absolute URIs (file:/...), so take
-    # everything after the LAST occurrence of "<root's last segment>/"
-    anchor = root.rsplit("/", 1)[-1] + "/"
-    rel = F.substring_index(F.col("path"), anchor, -1)
+    # relative path: binaryFile yields URIs (file:/..., file:///..., s3a://
+    # bucket/...) whose exact scheme spelling Hadoop chooses.  Anchor on the
+    # driver-resolved ABSOLUTE root path and strip everything through its
+    # FIRST occurrence (non-greedy ^.*?): scheme-agnostic, and a nested
+    # directory that repeats the root's basename (pkg/sub/pkg/a.txt) keeps
+    # its true relative path — substring_index on the basename took the
+    # LAST occurrence and collapsed distinct files onto one identity.
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://?", root):
+        abs_root = root  # caller passed a URI (hdfs://, s3a://): trust it
+        # strip any scheme+authority so the anchor is the path part only
+        abs_root = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://?[^/]*", "", abs_root) or root
+    else:
+        abs_root = os.path.abspath(root)
+    rel = F.regexp_replace(F.col("path"), "^.*?" + re.escape(abs_root + "/"), "")
     ext = F.lower(F.substring_index(F.col("path"), ".", -1))
-    lang_map = F.create_map(
-        *[F.lit(x) for kv in EXT_LANG.items() for x in kv]
-    )
+    lang_map = F.create_map(*[F.lit(x) for kv in langs.items() for x in kv])
     return (
         raw.filter(F.col("length") <= max_bytes)
         .select(
@@ -84,6 +130,10 @@ def corpus_from_files(
             rel.alias("path"),
             F.lit(commit).alias("commit"),
             F.coalesce(lang_map[ext], F.lit("text")).alias("lang"),
-            F.decode(F.col("content"), "UTF-8").alias("content"),
+            # cast(binary AS string) is non-validating (never throws, even
+            # under ANSI — F.decode does, MALFORMED_CHARACTER_CODING);
+            # make_valid_utf8 then rewrites invalid sequences to U+FFFD so
+            # every downstream byte-length / hash sees one canonical form
+            F.make_valid_utf8(F.col("content").cast("string")).alias("content"),
         )
     )

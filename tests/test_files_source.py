@@ -52,3 +52,81 @@ def test_corpus_from_files_feeds_extraction(spark, tmp_path):
         "myrepo/pkg/mod.py::hello",
     ) in triples
     assert ("myrepo/pkg/mod.py", "imports", "lib::os") in triples
+
+
+def test_malformed_utf8_never_fails_ingest(spark, tmp_path):
+    """ANSI-mode regression: one file with invalid UTF-8 bytes must not
+    abort the scan (F.decode raised MALFORMED_CHARACTER_CODING); invalid
+    sequences become U+FFFD and valid siblings are untouched."""
+    root = tmp_path / "badbytes"
+    root.mkdir()
+    (root / "ok.txt").write_text("clean prose row")
+    (root / "bad.txt").write_bytes(b"hello \xff\xfe world")
+    rows = {r.path: r.content for r in corpus_from_files(spark, str(root)).collect()}
+    assert rows["ok.txt"] == "clean prose row"
+    assert rows["bad.txt"] == "hello �� world"
+
+
+def test_relative_path_with_nested_same_name_dir(spark, tmp_path):
+    """Anchor regression: a subdirectory named like the root must not
+    collapse distinct files onto one relative path (substring_index on the
+    basename took the LAST occurrence: sub/myrepo/a.txt became a.txt)."""
+    root = tmp_path / "myrepo"
+    (root / "sub" / "myrepo").mkdir(parents=True)
+    (root / "a.txt").write_text("top-level a")
+    (root / "sub" / "myrepo" / "a.txt").write_text("nested a")
+    rows = {r.path: r.content for r in corpus_from_files(spark, str(root)).collect()}
+    assert set(rows) == {"a.txt", "sub/myrepo/a.txt"}
+    assert rows["a.txt"] == "top-level a"
+    assert rows["sub/myrepo/a.txt"] == "nested a"
+
+
+def test_ext_lang_parameter_and_broadened_defaults(spark, tmp_path):
+    root = tmp_path / "langs"
+    root.mkdir()
+    (root / "m.ts").write_text("function greet(): void {}\n")
+    (root / "m.rs").write_text("fn main() {}\n")
+    (root / "m.scala").write_text("object Main\n")
+
+    # broadened defaults: .ts rides the JS grammar, .rs falls to prose
+    rows = {r.path: r.lang for r in corpus_from_files(spark, str(root)).collect()}
+    assert rows["m.ts"] == "javascript"
+    assert rows["m.rs"] == "text"
+    assert "m.scala" not in rows  # not in the default glob
+
+    # caller-supplied map: both glob and lang routing follow it
+    rows2 = {
+        r.path: r.lang
+        for r in corpus_from_files(
+            spark, str(root), ext_lang={"scala": "java", "ts": "javascript"}
+        ).collect()
+    }
+    assert rows2 == {"m.scala": "java", "m.ts": "javascript"}
+
+
+def test_golden_triples_from_fixture_tree(spark, tmp_path):
+    """Exact (subj, pred, obj) golden set for a pinned fixture tree through
+    corpus_from_files → run_pipeline (VERDICT r03 ask #5: the end-to-end
+    front-door assertion must be a fixed fixture, not the drifting live
+    repo, and must pin VALUES, not just shape)."""
+    from scrapontologies_spark.plans.pipeline import run_pipeline
+
+    root = tmp_path / "golden"
+    (root / "pkg").mkdir(parents=True)
+    (root / "pkg" / "mod.py").write_text(
+        "import os\n\nclass Greeter:\n    def hello(self):\n        return os.name\n"
+    )
+    (root / "notes.txt").write_text("sort then merge the rows; sort wins")
+
+    corpus = corpus_from_files(spark, str(root), commit="pinned")
+    res = run_pipeline(corpus, chunk_bytes=512, with_schemas=False)
+    triples = sorted((r.subj, r.pred, r.obj) for r in res.triples.collect())
+    res.doc_rows.unpersist()
+    assert triples == [
+        ("golden/notes.txt", "mentions", "term::merge"),
+        ("golden/notes.txt", "mentions", "term::sort"),
+        ("golden/pkg/mod.py", "defines", "golden/pkg/mod.py::Greeter"),
+        ("golden/pkg/mod.py", "defines", "golden/pkg/mod.py::hello"),
+        ("golden/pkg/mod.py", "imports", "lib::os"),
+        ("golden/pkg/mod.py::Greeter", "has_method", "golden/pkg/mod.py::hello"),
+    ]
