@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import spread
+from .util import drop_hot_buckets, spread
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -146,12 +146,26 @@ def band_key_rows(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_df: "int | None" = None,
+    bucket_metrics: "dict | None" = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key): docs
     sharing any band become candidate pairs (a < b).  The join key is a
-    32-char md5 — bucket-join, never O(n²)."""
-    bands = band_key_rows(sigs, num_hashes, band_size)
+    32-char md5 — bucket-join, never all-pairs; but a band key shared by n
+    docs still contributes n² candidate rows, so ``max_bucket_df`` (the
+    hot-bucket analog of ``max_shingle_df``) drops band buckets hotter
+    than the cap from the candidate space (util.drop_hot_buckets — pairs
+    colliding only there are missed, exactly like dropping a band;
+    ``bucket_metrics`` receives the dropped-bucket counts)."""
+    bands = drop_hot_buckets(
+        band_key_rows(sigs, num_hashes, band_size),
+        ("band_idx", "band_key"),
+        max_bucket_df,
+        bucket_metrics,
+    )
     left = bands.select(
         F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("doc_a")
     )
@@ -177,6 +191,7 @@ def ngram_jaccard_pairs(
     band_size: int = 2,
     max_shingle_df: int | None = None,
     reuse_shingles: bool = True,
+    max_bucket_df: "int | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.  Returns
     (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b.
@@ -195,6 +210,10 @@ def ngram_jaccard_pairs(
       blow up the join; values then reflect the capped space) or the
       corpus is known small.
     - a DataFrame of (doc_a, doc_b): caller-supplied candidate pairs.
+
+    ``max_bucket_df`` (lsh mode): cap on LSH band-bucket document
+    frequency, forwarded to lsh_candidate_pairs — the guard against a
+    boilerplate-heavy corpus turning one band bucket quadratic.
 
     ``reuse_shingles`` (default on): the shingle table feeds 4-5 plan
     subtrees (signatures, both sides of the intersection join, sizes);
@@ -220,7 +239,10 @@ def ngram_jaccard_pairs(
         if candidates != "lsh":
             raise ValueError(f"unknown candidates mode: {candidates!r}")
         candidates = lsh_candidate_pairs(
-            minhash_signatures(sh, num_hashes), num_hashes, band_size
+            minhash_signatures(sh, num_hashes),
+            num_hashes,
+            band_size,
+            max_bucket_df=max_bucket_df,
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
@@ -417,6 +439,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     lsh_tables: int = 0,
     lsh_planes: int = 6,
+    max_bucket_df: "int | None" = None,
+    bucket_metrics: "dict | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine) with
     id_a < id_b and cosine ≥ threshold.
@@ -427,6 +451,12 @@ def embedding_near_dup_pairs(
     with bucket-colliding candidates (same recall/cost trade as
     similarity.cosine_topk_lsh).  Arithmetic is sequential float64
     (zip_with + aggregate), DuckDB-checkable to 1e-6.
+
+    ``max_bucket_df`` (lsh path): drops sign-LSH buckets hotter than the
+    cap before the self-join (util.drop_hot_buckets) — the guard against a
+    degenerate bucket of near-identical vectors going quadratic; pairs
+    colliding only in dropped buckets are missed.  ``bucket_metrics``
+    receives the dropped-bucket counts when provided.
     """
     from .similarity import (
         _bucket_keys_pdf,
@@ -463,9 +493,14 @@ def embedding_near_dup_pairs(
             [f"{t}#" for t in range(lsh_tables)],
             dim,
         )
-        buckets = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.explode(keys(F.col(vec_col))).alias("bucket"),
+        buckets = drop_hot_buckets(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.explode(keys(F.col(vec_col))).alias("bucket"),
+            ),
+            ("bucket",),
+            max_bucket_df,
+            bucket_metrics,
         )
         cand = (
             buckets.alias("x")

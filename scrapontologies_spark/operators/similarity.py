@@ -32,7 +32,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, StringType
 from pyspark.sql.window import Window
 
-from .util import spread
+from .util import drop_hot_buckets, spread
 
 
 def _dot_hof(a, b):
@@ -381,6 +381,8 @@ def cosine_topk_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_df: "int | None" = None,
+    bucket_metrics: "dict | None" = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs that share a bucket in ANY of
     ``n_tables`` independent sign-LSH tables (multi-probe union — the
@@ -391,7 +393,14 @@ def cosine_topk_lsh(
     Scale shape: candidate generation is n_tables narrow bucket hashes +
     same-bucket self-joins on short string keys; the distance computation
     touches candidates only.  Tuning n_planes trades bucket size (compute)
-    against recall."""
+    against recall.  On clustered data sign collisions are irreducible
+    (BENCH_SCALING.md) — ``max_bucket_df`` is the guard: buckets hotter
+    than the cap are dropped before the self-join (util.drop_hot_buckets),
+    bounding any bucket's contribution to cap² candidate rows; a query
+    whose every collision was in dropped buckets simply returns fewer than
+    k neighbors (recall loss, not failure).  IVF remains the better scale
+    path for clustered data.  ``bucket_metrics`` receives the dropped
+    counts when provided."""
     # All tables' buckets in ONE narrow pass (explode of a per-row array)
     # instead of n_tables unions that each rescan the input.  Spread first:
     # the n_tables × n_planes projection sums are the heavy narrow work.
@@ -405,9 +414,14 @@ def cosine_topk_lsh(
         [f"{t}|" for t in range(n_tables)],
         dim,
     )
-    buckets = embeddings.select(
-        F.col(id_col).alias("_bid"),
-        F.explode(keys(F.col(vec_col))).alias("bucket"),
+    buckets = drop_hot_buckets(
+        embeddings.select(
+            F.col(id_col).alias("_bid"),
+            F.explode(keys(F.col(vec_col))).alias("bucket"),
+        ),
+        ("bucket",),
+        max_bucket_df,
+        bucket_metrics,
     )
     left = buckets.select(F.col("_bid").alias("query_id"), "bucket")
     right = buckets.select(F.col("_bid").alias("neighbor_id"), "bucket")

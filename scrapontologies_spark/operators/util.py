@@ -52,3 +52,49 @@ def _partition_count_at_least(df: DataFrame, target: int) -> bool:
             _SPREAD_MEMO.clear()
         _SPREAD_MEMO[key] = enough
     return enough
+
+
+def drop_hot_buckets(
+    buckets: DataFrame,
+    key_cols: "tuple[str, ...] | list[str]",
+    max_bucket_df: "int | None",
+    metrics: "dict | None" = None,
+) -> DataFrame:
+    """Hot-bucket guard for LSH bucket self-joins (the ``max_shingle_df``
+    analog for band/bucket keys).
+
+    A bucket key shared by n rows yields O(n²) candidate rows in the
+    self-join BEFORE any distinct — on adversarial data (a million
+    near-identical vectors, a MinHash band shared by boilerplate before
+    exact dedup runs) one degenerate bucket is a job-killer.  With
+    ``max_bucket_df`` set, buckets whose document frequency exceeds the cap
+    are dropped entirely from the candidate space, bounding every bucket's
+    join contribution to max_bucket_df² rows.  Dropping is recall-lossy in
+    exactly the way dropping an LSH band is: pairs colliding ONLY in a hot
+    bucket are missed (pairs also sharing a cool bucket still surface).
+    The count aggregation is map-side-combining on the key; over-cap keys
+    are few by construction (≤ rows/cap), so the anti side broadcasts.
+
+    ``metrics`` (optional dict) receives ``hot_buckets`` (number of dropped
+    bucket keys) and ``hot_bucket_rows`` (rows they carried) — the logged
+    drop metric; computing it costs one extra small aggregation job, so it
+    is opt-in.  ``max_bucket_df=None`` returns ``buckets`` unchanged.
+    """
+    if max_bucket_df is None:
+        return buckets
+    if max_bucket_df < 1:
+        raise ValueError(f"max_bucket_df must be >= 1, got {max_bucket_df}")
+    keys = list(key_cols)
+    hot = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_bucket_df)
+    )
+    if metrics is not None:
+        row = hot.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("_df"), F.lit(0)).alias("rows"),
+        ).collect()[0]
+        metrics["hot_buckets"] = int(row["n"])
+        metrics["hot_bucket_rows"] = int(row["rows"])
+    return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")

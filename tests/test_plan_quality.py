@@ -33,10 +33,11 @@ def test_fused_extract_is_shuffle_free(spark):
 
 def test_documents_scan_prunes_and_pushes(spark):
     df = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .filter(F.col("doc_id") < 10)
-        .select("doc_id", "text")
-    )
+        spark.read.option("_plan_probe", "1")  # defeat CacheManager plan
+        .parquet("/root/testdata/sf0.001/documents.parquet")  # matching: a
+        .filter(F.col("doc_id") < 10)  # sibling module's persisted read of
+        .select("doc_id", "text")  # the same file must not swap in an
+    )  # InMemoryRelation here (order-dependent otherwise)
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan
     # ReadSchema must carry only the two projected columns

@@ -737,3 +737,130 @@ def test_decode_pgm_truncated_raster_raises():
         multimodal.decode_pgm(b"P5\n4 2\n255\n" + bytes([1, 2, 3]))
     with pytest.raises(ValueError, match="truncated PGM raster"):
         multimodal.decode_pgm(b"P2\n2 2\n255\n0 64 128")
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket guard (max_bucket_df) on the three LSH bucket self-joins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    """60 clones of one boilerplate doc (one MinHash band bucket holding all
+    60 → 1770 candidate pairs from a single bucket) + a cool near-dup pair."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(60)]
+    rows += [
+        (100, "completely different content about spark shuffle plans"),
+        (101, "completely different content about spark shuffle plan"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").persist()
+
+
+def test_hot_bucket_guard_noop_when_under_cap(spark, docs):
+    sigs = dedup.minhash_signatures(dedup.shingles(docs), num_hashes=8)
+    base = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    metrics: dict = {}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, max_bucket_df=10**9, bucket_metrics=metrics
+        ).collect()
+    }
+    assert capped == base
+    assert metrics == {"hot_buckets": 0, "hot_bucket_rows": 0}
+
+
+def test_hot_bucket_guard_bounds_candidates(spark, hot_docs):
+    sigs = dedup.minhash_signatures(dedup.shingles(hot_docs), num_hashes=8)
+    uncapped = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    clone_pairs = {(a, b) for a in range(60) for b in range(60) if a < b}
+    assert clone_pairs <= uncapped  # the quadratic bucket is real
+    metrics: dict = {}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, max_bucket_df=10, bucket_metrics=metrics
+        ).collect()
+    }
+    # every clone bucket (df=60 > 10) dropped; the cool pair survives
+    assert capped & clone_pairs == set()
+    assert (100, 101) in capped
+    assert metrics["hot_buckets"] > 0
+    assert metrics["hot_bucket_rows"] >= 60
+    # drop is recall-lossy, never additive
+    assert capped <= uncapped
+
+
+def test_ngram_jaccard_forwards_bucket_cap(spark, hot_docs):
+    got = dedup.ngram_jaccard_pairs(hot_docs, threshold=0.1, max_bucket_df=10)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert all(not (a < 60 and b < 60) for a, b in pairs)
+    assert (100, 101) in pairs
+
+
+@pytest.fixture(scope="module")
+def hot_emb(spark):
+    """40 copies of one vector (a degenerate sign-LSH bucket) + an isotropic
+    tail — the adversarial shape for the embedding bucket joins."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]) for i in range(40)]
+    rows += [
+        (100 + j, [float(x) for x in rng.randn(8)]) for j in range(30)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").persist()
+
+
+def test_embedding_near_dup_hot_bucket_guard(spark, hot_emb):
+    base = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(
+            hot_emb, threshold=0.99, lsh_tables=4
+        ).collect()
+    }
+    clone_pairs = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert clone_pairs <= base
+    metrics: dict = {}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(
+            hot_emb,
+            threshold=0.99,
+            lsh_tables=4,
+            max_bucket_df=10,
+            bucket_metrics=metrics,
+        ).collect()
+    }
+    assert capped & clone_pairs == set()
+    assert capped <= base
+    assert metrics["hot_buckets"] > 0
+    # noop under a loose cap
+    loose = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(
+            hot_emb, threshold=0.99, lsh_tables=4, max_bucket_df=10**9
+        ).collect()
+    }
+    assert loose == base
+
+
+def test_cosine_topk_lsh_hot_bucket_guard(spark, hot_emb):
+    base = similarity.cosine_topk_lsh(hot_emb, k=3)
+    base_rows = {(r.query_id, r.neighbor_id) for r in base.collect()}
+    metrics: dict = {}
+    capped = similarity.cosine_topk_lsh(
+        hot_emb, k=3, max_bucket_df=10, bucket_metrics=metrics
+    )
+    capped_rows = {(r.query_id, r.neighbor_id) for r in capped.collect()}
+    # clone-to-clone neighbors only collide in dropped buckets → gone
+    assert all(not (q < 40 and n < 40) for q, n in capped_rows)
+    assert metrics["hot_buckets"] > 0
+    # the CANDIDATE space only shrinks; top-k membership may still gain
+    # tail pairs (rank 4+ neighbors promoted once clone competitors drop),
+    # so the set relation to assert is on clone involvement, not topology:
+    # uncapped must have had clone pairs at all (the guard changed something)
+    assert any(q < 40 and n < 40 for q, n in base_rows)
+    # noop under a loose cap: identical result rows
+    loose = similarity.cosine_topk_lsh(hot_emb, k=3, max_bucket_df=10**9)
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, base.collect()))
