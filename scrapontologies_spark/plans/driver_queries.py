@@ -255,22 +255,30 @@ def queries() -> Q:
 # The grading driver records CORRECTNESS rows for at most 50 queries()
 # entries (round 2 shipped 53 and the file stopped at 50, silently leaving
 # the tail unverified).  The contract therefore exposes EXACTLY the 50
-# entries that evidence SURVEY §2 + training-data operators; these six are
-# demo/redundant surfaces kept in the FULL registry (bench.py timings,
-# test_driver_contract pytest oracles) but off the driver contract:
-#   - events_user_rollup      plain groupBy, subsumed by the asof/interval/
-#     sessionize event evidence (VERDICT r02 "what's missing" #1)
-#   - events_hourly_rollup    plain time-bucket groupBy, same
+# entries that evidence SURVEY §2 + training-data operators.
+#
+# Rotation policy (VERDICT r03 ask #2): entries that have earned a driver
+# value-green row in TWO prior rounds may rotate out in favor of registry
+# entries that have never had one, so the unverified tail shrinks each
+# round while everything stays pytest-oracled + bench-timed in the FULL
+# registry.  Round 4 rotated IN dedup_keep_canonical (a user-facing
+# materialization a pipeline actually ships) and events_user_rollup, and
+# rotated OUT p2_python_fence / p3_strip_fences (value-green in r02 AND
+# r03; still pinned by tests/test_driver_contract.py pytest oracles).
+#
+# Off-contract this round:
+#   - p2_python_fence         green r02+r03; rotated out r04
+#   - p3_strip_fences         green r02+r03; rotated out r04
+#   - events_hourly_rollup    plain time-bucket groupBy, subsumed by the
+#     asof/interval/sessionize event evidence
 #   - tpch_q1/q3/q6           generic SQL demos, not SURVEY §2 operators
-#   - dedup_keep_canonical    payload-filter composition of dedup_clusters
-#     (whose CC + canonical choice the contract already value-checks)
 NON_CONTRACT = (
-    "events_user_rollup",
+    "p2_python_fence",
+    "p3_strip_fences",
     "events_hourly_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
-    "dedup_keep_canonical",
 )
 
 DRIVER_QUERY_CAP = 50
