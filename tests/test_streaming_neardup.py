@@ -233,3 +233,144 @@ def test_compact_band_store_preserves_suppression(spark, tmp_path):
     dup = [(40, BATCH1[0][1]), (41, "totally novel words appear here now ok")]
     novel = neardup_filter_batch(_mk_docs(spark, dup), store, 2)
     assert {r.doc_id for r in novel.collect()} == {41}
+
+
+# ---------------------------------------------------------------------------
+# bucketed catalog-table store (the scale layout) + compaction crash safety
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def bucketed_store(spark):
+    """A BucketedBandStore on a fresh table, dropped (with any compaction
+    leftovers) after the test."""
+    from scrapontologies_spark.streaming.neardup import BucketedBandStore
+
+    store = BucketedBandStore("nd_test_store", n_buckets=8)
+    for t in ("nd_test_store", "nd_test_store__old", "nd_test_store__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    yield store
+    for t in ("nd_test_store", "nd_test_store__old", "nd_test_store__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_store_matches_greedy_replay(spark, bucketed_store):
+    """The bucketed layout must reach the exact verdicts of the parquet
+    layout: same greedy-replay oracle as the dir-store test."""
+    got = []
+    for bid, rows in enumerate((BATCH1, BATCH2)):
+        novel = neardup_filter_batch(_mk_docs(spark, rows), bucketed_store, bid)
+        got.extend(sorted(r.doc_id for r in novel.collect()))
+    expected = _greedy_replay(
+        [_doc_bands(spark, BATCH1), _doc_bands(spark, BATCH2)]
+    )
+    assert sorted(got) == sorted(set(expected) | {3, 13})
+
+
+def test_bucketed_store_probe_no_exchange_on_store_side(spark, bucketed_store):
+    """The whole point of the bucketed layout: the every-batch semi-join
+    probe must NOT shuffle the store.  The store-side subtree of the join
+    is a bucketed FileScan (+Sort); every Exchange in the plan sits on the
+    small batch side (the ':'-prefixed left branch in the plan tree)."""
+    import pyspark.sql.functions as F
+
+    from scrapontologies_spark.streaming.neardup import _batch_band_keys
+
+    neardup_filter_batch(_mk_docs(spark, BATCH1), bucketed_store, 0).collect()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands = _batch_band_keys(
+            _mk_docs(spark, BATCH2), "text", "doc_id", 3, 8, 2
+        )
+        prior = (
+            bucketed_store.read(spark)
+            .filter(F.col("writer").isNotNull())
+            .select("band_idx", "band_key")
+        )
+        hits = bands.join(prior, ["band_idx", "band_key"], "left_semi")
+        plan = hits._sc._jvm.PythonSQLUtils.explainString(
+            hits._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines, plan  # the batch side legitimately shuffles
+    for ln in exchange_lines:  # ... but the store branch never does
+        assert ln.lstrip().startswith(":"), plan
+
+
+def test_bucketed_store_compaction_swap_and_crash_recovery(spark, bucketed_store):
+    """Catalog-rename compaction: suppression preserved after the rewrite;
+    a crash between the two renames (live table gone, aside present) makes
+    probes FAIL LOUDLY instead of silently restarting an empty store, and
+    re-running compact auto-restores."""
+    from scrapontologies_spark.streaming.neardup import compact_band_store
+
+    neardup_filter_batch(_mk_docs(spark, BATCH1), bucketed_store, 0).collect()
+    neardup_filter_batch(_mk_docs(spark, BATCH2), bucketed_store, 1).collect()
+    n = compact_band_store(spark, bucketed_store)
+    assert n > 0
+    assert not spark.catalog.tableExists("nd_test_store__old")
+    assert not spark.catalog.tableExists("nd_test_store__compacting")
+
+    dup = [(40, BATCH1[0][1]), (41, "totally novel words appear here now ok")]
+    novel = neardup_filter_batch(_mk_docs(spark, dup), bucketed_store, 2)
+    assert {r.doc_id for r in novel.collect()} == {41}
+
+    # simulate the mid-swap crash: live renamed aside, promote never ran
+    spark.sql("ALTER TABLE nd_test_store RENAME TO nd_test_store__old")
+    with pytest.raises(RuntimeError, match="compaction"):
+        bucketed_store.read(spark)
+    n2 = compact_band_store(spark, bucketed_store)  # auto-restores + rewrites
+    assert n2 >= n  # restored state + batch-2's novel keys, nothing lost
+    # NOTHING was lost to the crash: 40 still hits batch-1 keys, and 41 is
+    # now suppressed by its own batch-2 arrival (whose keys the restore kept)
+    novel = neardup_filter_batch(_mk_docs(spark, dup), bucketed_store, 3)
+    assert novel.count() == 0
+
+
+def test_parquet_compaction_crash_recovery(spark, tmp_path):
+    """The dir-store compaction is a rename-aside swap: after a simulated
+    crash between renames the probe raises instead of treating the store
+    as first-batch, and re-running compact restores the full state."""
+    import os
+
+    from scrapontologies_spark.streaming.neardup import compact_band_store
+
+    store = str(tmp_path / "store")
+    neardup_filter_batch(_mk_docs(spark, BATCH1), store, 0).collect()
+    os.rename(store, store + "__old")  # crash point: aside exists, live gone
+    with pytest.raises(RuntimeError, match="compaction"):
+        neardup_filter_batch(_mk_docs(spark, BATCH2), store, 1).collect()
+    n = compact_band_store(spark, store)  # auto-restores the aside first
+    assert n > 0
+    assert not os.path.exists(store + "__old")
+    dup = [(50, BATCH1[0][1])]
+    assert neardup_filter_batch(_mk_docs(spark, dup), store, 2).count() == 0
+
+
+def test_writer_tag_normalizes_checkpoint_spelling(tmp_path):
+    """Equivalent spellings of one checkpoint must map to one writer tag,
+    or a restart that respells the path would treat a retried batch's own
+    partial append as PRIOR keys and suppress the whole batch."""
+    import os
+
+    from scrapontologies_spark.streaming.neardup import _writer_tag
+
+    ck = str(tmp_path / "ck")
+    assert _writer_tag(ck) == _writer_tag(ck + "/")
+    assert _writer_tag(ck) == _writer_tag(ck + "//")
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        assert _writer_tag("ck") == _writer_tag(ck)  # relative == absolute
+    finally:
+        os.chdir(cwd)
+    # URI spellings shed trailing slashes but keep their scheme
+    assert _writer_tag("s3a://bkt/ck/") == _writer_tag("s3a://bkt/ck")
+    assert _writer_tag("s3a://bkt/ck") != _writer_tag(ck)
+    # distinct checkpoints stay distinct
+    assert _writer_tag(ck) != _writer_tag(str(tmp_path / "other"))
