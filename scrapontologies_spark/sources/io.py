@@ -58,6 +58,12 @@ class StageInfo:
 
 _FP_MOD = 2 ** 63
 
+# Optional hook: called as stage_observer(stage_name, "start"|"end") around
+# every non-skipped run_stage build+write.  Diagnostics only (the sf1 bench
+# installs a heap sampler here to attribute driver-JVM peaks per stage);
+# the job's behavior must never depend on it.
+stage_observer: Optional[Callable[[str, str], None]] = None
+
 
 def _config_token(config) -> Optional[str]:
     """Canonical-JSON token for a stage's declared parameters (frozensets
@@ -262,5 +268,16 @@ class Warehouse:
                 self.read_stage(spark, name),
                 StageInfo(name, meta["rows"], 0, meta["fingerprint"], skipped=True),
             )
-        info = self.write_stage(build(), name, partition_by, config_token=token)
+        # tag the Spark UI / event log with the warehouse stage name, and
+        # tell any installed observer (scripts/sf1_bench.py heap profiler)
+        # which stage the jobs about to run belong to
+        spark.sparkContext.setJobDescription(f"warehouse stage: {name}")
+        if stage_observer is not None:
+            stage_observer(name, "start")
+        try:
+            info = self.write_stage(build(), name, partition_by, config_token=token)
+        finally:
+            if stage_observer is not None:
+                stage_observer(name, "end")
+            spark.sparkContext.setJobDescription(None)
         return self.read_stage(spark, name), info

@@ -184,6 +184,53 @@ def _jvm_heap_mb(spark) -> int:
     return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
 
 
+class _HeapProfiler:
+    """Per-warehouse-stage driver-JVM heap attribution (VERDICT r03 ask #4:
+    'which stage holds the 34 GB').  Installed as sources.io.stage_observer;
+    a daemon thread samples used heap every 0.5 s and records the max seen
+    while each stage is current ('peak' — includes un-collected garbage,
+    i.e. allocation pressure), plus the heap right after the stage's write
+    completes following a System.gc() ('live' — what the stage actually
+    RETAINS: caches, localCheckpoint blocks, broadcast state)."""
+
+    def __init__(self, spark):
+        import threading
+
+        self.spark = spark
+        self.current: "str | None" = None
+        self.peak: dict[str, int] = {}
+        self.live: dict[str, int] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._sample, daemon=True)
+        self._thread.start()
+
+    def _sample(self) -> None:
+        while not self._stop.wait(0.5):
+            cur = self.current
+            if cur is not None:
+                try:
+                    mb = _jvm_heap_mb(self.spark)
+                except Exception:  # py4j gateway racing shutdown
+                    return
+                if mb > self.peak.get(cur, 0):
+                    self.peak[cur] = mb
+
+    def __call__(self, name: str, event: str) -> None:
+        if event == "start":
+            self.peak.setdefault(name, _jvm_heap_mb(self.spark))
+            self.current = name
+        else:
+            self.current = None
+            self.spark._jvm.java.lang.System.gc()
+            time.sleep(0.3)  # let the concurrent collector settle
+            self.live[name] = _jvm_heap_mb(self.spark)
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        return {"peak_mb": self.peak, "live_after_gc_mb": self.live}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
@@ -193,6 +240,11 @@ def main() -> None:
     ap.add_argument("--table-events", type=int, default=1_000_000)
     ap.add_argument("--skip-job", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument(
+        "--heap-profile",
+        action="store_true",
+        help="attribute driver-JVM heap per warehouse stage (job phase)",
+    )
     args = ap.parse_args()
 
     from scrapontologies_spark.plans import driver_queries
@@ -248,8 +300,20 @@ def main() -> None:
         wh_root = os.path.join(BENCH_DIR, f"sf1_warehouse_{args.docs}")
         shutil.rmtree(wh_root, ignore_errors=True)
         corpus = spark.read.parquet(corpus_path)
+        profiler = None
+        if args.heap_profile:
+            from scrapontologies_spark.sources import io as wh_io
+
+            profiler = _HeapProfiler(spark)
+            wh_io.stage_observer = profiler
         t0 = time.time()
-        infos = run_job(spark, corpus, wh_root, chunk_bytes=1024)
+        try:
+            infos = run_job(spark, corpus, wh_root, chunk_bytes=1024)
+        finally:
+            if profiler is not None:
+                from scrapontologies_spark.sources import io as wh_io
+
+                wh_io.stage_observer = None
         job_wall = time.time() - t0
         stages = {k: round(v.wall_ms / 1000.0, 2) for k, v in infos.items()}
         n_triples = spark.read.parquet(os.path.join(wh_root, "triples")).count()
@@ -260,6 +324,7 @@ def main() -> None:
             "n_triples": n_triples,
             "triples_per_sec": round(n_triples / job_wall, 1),
             "jvm_heap_mb_after": _jvm_heap_mb(spark),
+            **({"stage_heap": profiler.stop()} if profiler is not None else {}),
         }
         print(json.dumps({"phase": "job", **report["job"]}), flush=True)
         # job-internal localCheckpoint blocks would otherwise shadow the
