@@ -105,6 +105,65 @@ _JAVA_METHOD = re.compile(r"^\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
 _DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
 
+# --- Rust -------------------------------------------------------------------
+# `use` imports report the crate root segment; struct/enum/trait all map to
+# the "class" kind (nominal types); `fn` is a method when indented under a
+# preceding `impl` block (owner = the impl target), else a function.
+_RUST_USE = re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?use\s+(\w+)", re.M)
+_RUST_TYPE = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait)\s+(\w+)", re.M
+)
+_RUST_FN = re.compile(
+    r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
+    r'(?:extern\s+"[^"]*"\s+)?fn\s+(\w+)',
+    re.M,
+)
+# `impl Foo {` and `impl Trait for Foo {` both yield owner Foo; generics on
+# the impl are skipped (`impl<T> Vec<T>` → Vec)
+_RUST_IMPL = re.compile(r"^impl(?:\s*<[^>]*>)?\s+(?:\w+\s+for\s+)?(\w+)", re.M)
+_RUST_DECL_UPDATE = re.compile(
+    r"\s*(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
+    r'(?:extern\s+"[^"]*"\s+)?fn\s+(\w+)'
+)
+_RUST_DECL_SKIP = re.compile(r"\s*(?:pub\b|use\b|impl\b|struct\b|enum\b|trait\b|mod\b)")
+# Some/Ok/Err/None are enum-variant constructors, not call sites a KG wants;
+# macros (println! / vec!) self-exclude — `!` breaks the _CALL shape
+_RUST_KEYWORDS = frozenset({"fn", "let", "match", "impl", "use", "mod", "pub",
+                            "loop", "Some", "Ok", "Err", "None"})
+
+# --- Ruby -------------------------------------------------------------------
+# require name = the quoted path's first segment (require 'a/b' → a);
+# class and module are both nominal containers → "class" kind; a def is a
+# method when indented under a preceding class/module (python-style owner
+# attribution), else a function.  `def self.foo` strips the receiver.
+_RB_REQUIRE = re.compile(r"""^\s*require(?:_relative)?\s+['"]([\w-]+)""", re.M)
+_RB_CLASS = re.compile(r"^\s*(?:class|module)\s+(\w+)", re.M)
+_RB_DEF = re.compile(r"^(\s*)def\s+(?:self\.)?(\w+)", re.M)
+# update BEFORE the paren gate: ruby defs routinely omit parens, and the
+# paren-gated shared _calls() would never learn the enclosing method
+_RB_DECL_UPDATE = re.compile(r"\s*def\s+(?:self\.)?(\w+)")
+_RB_DECL_SKIP = re.compile(r"\s*(?:require\b|class\b|module\b|attr_\w+\b)")
+_RB_KEYWORDS = frozenset({"puts", "require", "raise", "lambda", "proc", "new",
+                          "attr_accessor", "attr_reader", "attr_writer"})
+
+# --- C / C++ ----------------------------------------------------------------
+# #include name = the header's file stem (stdio.h → stdio, a/b.hpp → b);
+# class/struct require an opening `{`/`:` so forward decls and variable
+# decls ('struct foo x;') do not register.  A function definition is a
+# line-anchored <type tokens> <name>( args ) { shape — args may span lines
+# but never contain ; or } (bounds the scan); a qualified name
+# (Foo::bar) is a method with owner Foo.  Control keywords self-exclude:
+# 'if (' / 'while (' have no second identifier before the paren.
+_C_INCLUDE = re.compile(r'^\s*#\s*include\s+[<"]([\w./-]+)[>"]', re.M)
+_C_CLASS = re.compile(r"^\s*(?:class|struct)\s+(\w+)\s*[:{]", re.M)
+_C_FN = re.compile(
+    r"^[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:(\w+)::)?(\w+)\s*\(([^;{}]*)\)\s*"
+    r"(?:const\s*)?\{",
+    re.M,
+)
+_C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
+                         "dynamic_cast", "reinterpret_cast", "const_cast"})
+
 # One alternation fusing the four per-line decl probes of _calls(); the
 # alternatives appear in the same order as the sequential matches they
 # replace, and .match anchoring makes alternation order ≡ sequential-or, so
@@ -206,6 +265,63 @@ def extract_mentions(
             owner = preceding[-1][1] if preceding else ""
             out.append({"kind": "method", "name": m.group(1), "owner": owner})
         out.extend(_calls(text))
+    elif lang == "rust":
+        decls = []
+        for m in _RUST_USE.finditer(text):
+            decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
+        for m in _RUST_TYPE.finditer(text):
+            decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        impl_spans = sorted((m.start(), m.group(1)) for m in _RUST_IMPL.finditer(text))
+        for m in _RUST_FN.finditer(text):
+            indent, name = m.group(1), m.group(2)
+            owner = ""
+            if indent:
+                preceding = [c for c in impl_spans if c[0] < m.start()]
+                if preceding:
+                    owner = preceding[-1][1]
+            kind = "method" if owner else "function"
+            decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        out.extend(
+            _calls_tracked(text, _RUST_DECL_UPDATE, _RUST_DECL_SKIP,
+                           _KEYWORDS | _RUST_KEYWORDS)
+        )
+    elif lang == "ruby":
+        decls = []
+        for m in _RB_REQUIRE.finditer(text):
+            decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
+        class_spans = sorted((m.start(), m.group(1)) for m in _RB_CLASS.finditer(text))
+        for start, name in class_spans:
+            decls.append((start, {"kind": "class", "name": name, "owner": ""}))
+        for m in _RB_DEF.finditer(text):
+            indent, name = m.group(1), m.group(2)
+            owner = ""
+            if indent:
+                preceding = [c for c in class_spans if c[0] < m.start()]
+                if preceding:
+                    owner = preceding[-1][1]
+            kind = "method" if owner else "function"
+            decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        out.extend(
+            _calls_tracked(text, _RB_DECL_UPDATE, _RB_DECL_SKIP,
+                           _KEYWORDS | _RB_KEYWORDS)
+        )
+    elif lang == "c":
+        decls = []
+        for m in _C_INCLUDE.finditer(text):
+            stem = m.group(1).rsplit("/", 1)[-1].split(".", 1)[0]
+            decls.append((m.start(), {"kind": "import", "name": stem, "owner": ""}))
+        for m in _C_CLASS.finditer(text):
+            decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        fn_spans = []
+        for m in _C_FN.finditer(text):
+            qual, name = m.group(1), m.group(2)
+            kind = "method" if qual else "function"
+            decls.append((m.start(), {"kind": kind, "name": name, "owner": qual or ""}))
+            fn_spans.append((m.start(), m.end(), name))
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        out.extend(_calls_c(text, fn_spans))
     elif lang == "text":
         for m in _TEXT_TERM_RE.finditer(text):
             out.append({"kind": "term", "name": m.group(1), "owner": ""})
@@ -242,6 +358,62 @@ def _calls(text: str) -> List[Dict[str, str]]:
             if name in _KEYWORDS:
                 continue
             calls.append({"kind": "call", "name": name, "owner": current})
+    return calls
+
+
+def _calls_tracked(
+    text: str,
+    decl_update: "re.Pattern",
+    decl_skip: "re.Pattern",
+    keywords: "frozenset",
+) -> List[Dict[str, str]]:
+    """Line-based call extraction with per-language decl handling — the
+    shared ``_calls`` generalized for grammars whose declarations don't fit
+    ``_ANY_DECL``.  ``decl_update`` runs BEFORE the paren gate (a ruby
+    ``def foo`` without parens must still become the current owner);
+    ``decl_skip`` lines never yield calls."""
+    calls: List[Dict[str, str]] = []
+    current = ""
+    for line in text.split("\n"):
+        dm = decl_update.match(line)
+        if dm:
+            current = dm.group(dm.lastindex)
+            continue
+        if "(" not in line:
+            continue
+        if decl_skip.match(line):
+            continue
+        for m in _CALL.finditer(line):
+            name = m.group(1)
+            if name in keywords:
+                continue
+            calls.append({"kind": "call", "name": name, "owner": current})
+    return calls
+
+
+def _calls_c(
+    text: str, fn_spans: "List[Tuple[int, int, str]]"
+) -> List[Dict[str, str]]:
+    """Span-based call extraction for C/C++: a definition's signature may
+    span lines (brace-on-next-line convention), so line-based owner
+    tracking misses it.  Calls inside a signature span are the definition
+    itself, not call sites; an outside call is attributed to the nearest
+    definition starting above it in the chunk ('' = file scope)."""
+    calls: List[Dict[str, str]] = []
+    for m in _CALL.finditer(text):
+        pos = m.start()
+        if any(s <= pos < e for s, e, _ in fn_spans):
+            continue
+        name = m.group(1)
+        if name in _KEYWORDS or name in _C_KEYWORDS:
+            continue
+        owner = ""
+        for s, _e, fname in fn_spans:
+            if s < pos:
+                owner = fname
+            else:
+                break
+        calls.append({"kind": "call", "name": name, "owner": owner})
     return calls
 
 

@@ -25,11 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # extension → gazetteer language id.  REAL grammars exist for python /
-# javascript / go / java (functions/code_gazetteer.py); every other mapping
-# routes to the "text" prose gazetteer — declared here, not silent: C-family,
-# Rust, Ruby, shell and config files ingest as prose term mentions until a
-# grammar lands.  Unknown extensions also fall to "text" so no file is
-# dropped (the reference's parser never skips a page).
+# javascript / go / java / rust / ruby / c (functions/code_gazetteer.py —
+# the C grammar also covers C++); every other mapping routes to the "text"
+# prose gazetteer — declared here, not silent: shell and config files
+# ingest as prose term mentions until a grammar lands.  Unknown extensions
+# also fall to "text" so no file is dropped (the reference's parser never
+# skips a page).
 EXT_LANG = {
     # real grammars
     "py": "python",
@@ -41,14 +42,14 @@ EXT_LANG = {
     "tsx": "javascript",
     "go": "go",
     "java": "java",
+    "rs": "rust",
+    "rb": "ruby",
+    "c": "c",
+    "h": "c",
+    "cc": "c",
+    "cpp": "c",
+    "hpp": "c",
     # prose fallback (no dedicated grammar yet)
-    "c": "text",
-    "h": "text",
-    "cc": "text",
-    "cpp": "text",
-    "hpp": "text",
-    "rs": "text",
-    "rb": "text",
     "sh": "text",
     "json": "text",
     "yaml": "text",
@@ -89,7 +90,8 @@ def corpus_from_files(
       length column (pushed before content reaches memory).
     - ``ext_lang``: extension → gazetteer language map; defaults to
       ``EXT_LANG``.  Values must be gazetteer ids ("python" / "javascript"
-      / "go" / "java" have real grammars; anything else behaves as prose).
+      / "go" / "java" / "rust" / "ruby" / "c" have real grammars; anything
+      else behaves as prose).
 
     Paths are made relative to ``root_dir`` by stripping the resolved
     absolute root as a prefix (anchored — a subdirectory that repeats the

@@ -88,10 +88,10 @@ def test_ext_lang_parameter_and_broadened_defaults(spark, tmp_path):
     (root / "m.rs").write_text("fn main() {}\n")
     (root / "m.scala").write_text("object Main\n")
 
-    # broadened defaults: .ts rides the JS grammar, .rs falls to prose
+    # broadened defaults: .ts rides the JS grammar, .rs the rust grammar
     rows = {r.path: r.lang for r in corpus_from_files(spark, str(root)).collect()}
     assert rows["m.ts"] == "javascript"
-    assert rows["m.rs"] == "text"
+    assert rows["m.rs"] == "rust"
     assert "m.scala" not in rows  # not in the default glob
 
     # caller-supplied map: both glob and lang routing follow it
@@ -130,3 +130,47 @@ def test_golden_triples_from_fixture_tree(spark, tmp_path):
         ("golden/pkg/mod.py", "imports", "lib::os"),
         ("golden/pkg/mod.py::Greeter", "has_method", "golden/pkg/mod.py::hello"),
     ]
+
+
+def test_new_grammars_through_front_door(spark, tmp_path):
+    """A Rust and a C file must ingest with their real grammar ids and
+    yield structural triples end-to-end (the r03 EXT_LANG gap: rs/c fell
+    to prose until the rust/ruby/c grammars landed)."""
+    from scrapontologies_spark.plans.pipeline import run_pipeline
+
+    root = tmp_path / "mixed"
+    root.mkdir()
+    (root / "graph.rs").write_text(
+        "use petgraph::graph::NodeIndex;\n"
+        "pub struct Engine;\n"
+        "impl Engine {\n"
+        "    pub fn start(&self) {}\n"
+        "}\n"
+    )
+    (root / "main.c").write_text(
+        "#include <stdlib.h>\n"
+        "int main(int argc, char **argv) {\n"
+        "    return run_engine(argc);\n"
+        "}\n"
+    )
+    corpus = corpus_from_files(spark, str(root), commit="pinned")
+    langs = {r.path: r.lang for r in corpus.select("path", "lang").collect()}
+    assert langs == {"graph.rs": "rust", "main.c": "c"}
+
+    res = run_pipeline(corpus, chunk_bytes=512, with_schemas=False)
+    triples = {(r.subj, r.pred, r.obj) for r in res.triples.collect()}
+    res.doc_rows.unpersist()
+    assert ("mixed/graph.rs", "defines", "mixed/graph.rs::Engine") in triples
+    assert (
+        "mixed/graph.rs::Engine",
+        "has_method",
+        "mixed/graph.rs::start",
+    ) in triples
+    assert ("mixed/graph.rs", "imports", "lib::petgraph") in triples
+    assert ("mixed/main.c", "defines", "mixed/main.c::main") in triples
+    assert ("mixed/main.c", "imports", "lib::stdlib") in triples
+    assert (
+        "mixed/main.c::main",
+        "calls",
+        "mixed/main.c::run_engine",
+    ) in triples

@@ -337,3 +337,115 @@ def test_document_triples_oracle_accepts_p8_filters():
         )
     assert got == sorted(want)
     assert got and all(pred == "imports" for _, pred, _, _ in got)
+
+
+def test_rust_grammar_mentions():
+    """Rust: use→import (crate root), struct/enum/trait→class, fn→function
+    or method (owner = nearest preceding impl target when indented);
+    enum-variant constructors (Some/Ok/…) and macros never register as
+    calls."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "use std::collections::HashMap;\n"
+        "pub struct Graph;\n"
+        "enum Mode { Fast, Slow }\n"
+        "pub trait Walk {}\n"
+        "impl Graph {\n"
+        "    pub fn insert(&mut self, k: u64) {\n"
+        "        self.grow();\n"
+        "        let v = Some(make_node(k));\n"
+        "        println!(\"{k}\");\n"
+        "    }\n"
+        "}\n"
+        "impl Walk for Graph {\n"
+        "    fn step(&self) {}\n"
+        "}\n"
+        "pub async fn run(g: Graph) {\n"
+        "    g.walk();\n"
+        "}\n"
+    )
+    ms = extract_mentions("rust", src)
+    assert {m["name"] for m in ms if m["kind"] == "import"} == {"std"}
+    assert {m["name"] for m in ms if m["kind"] == "class"} == {"Graph", "Mode", "Walk"}
+    methods = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
+    assert methods == {"insert": "Graph", "step": "Graph"}
+    assert {m["name"] for m in ms if m["kind"] == "function"} == {"run"}
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    # Some(…) and println!(…) are excluded; self.grow() / g.walk() are
+    # dotted receiver calls, excluded by the _CALL lookbehind in every
+    # grammar; make_node attributes to the enclosing method
+    assert calls == {("make_node", "insert")}
+
+
+def test_ruby_grammar_mentions():
+    """Ruby: require→import (first path segment), class/module→class,
+    def→method under a class (paren-less defs still become the call owner);
+    `def self.x` strips the receiver."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "require 'json'\n"
+        "require_relative 'util/helpers'\n"
+        "module Analytics\n"
+        "  class Report\n"
+        "    def self.build(rows)\n"
+        "      validate(rows)\n"
+        "    end\n"
+        "    def render\n"
+        "      emit(header)\n"
+        "    end\n"
+        "  end\n"
+        "end\n"
+        "def main\n"
+        "  Report.new\n"
+        "end\n"
+    )
+    ms = extract_mentions("ruby", src)
+    assert {m["name"] for m in ms if m["kind"] == "import"} == {"json", "util"}
+    assert {m["name"] for m in ms if m["kind"] == "class"} == {"Analytics", "Report"}
+    methods = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
+    assert methods == {"build": "Report", "render": "Report"}
+    assert {m["name"] for m in ms if m["kind"] == "function"} == {"main"}
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    # paren-less `def render` still owns emit; header is an argument, not a
+    # call; Report.new is a dotted receiver (excluded by _CALL's lookbehind)
+    assert calls == {("validate", "build"), ("emit", "render")}
+
+
+def test_c_grammar_mentions():
+    """C/C++: #include→import (file stem), class/struct with a body→class,
+    definitions→function (qualified Foo::bar→method with owner Foo);
+    brace-on-next-line signatures still register and own their calls;
+    control statements and sizeof never register."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "#include <stdio.h>\n"
+        '#include "lib/graph.hpp"\n'
+        "struct node { int id; };\n"
+        "struct fwd;\n"
+        "class Graph : public Base {\n"
+        "};\n"
+        "static int count_nodes(struct node *n)\n"
+        "{\n"
+        "    if (n == NULL) { return 0; }\n"
+        "    return 1 + count_nodes(next_of(n));\n"
+        "}\n"
+        "void Graph::insert(int id) {\n"
+        "    grow(sizeof(struct node));\n"
+        "}\n"
+    )
+    ms = extract_mentions("c", src)
+    assert {m["name"] for m in ms if m["kind"] == "import"} == {"stdio", "graph"}
+    # fwd (no body) must NOT register
+    assert {m["name"] for m in ms if m["kind"] == "class"} == {"node", "Graph"}
+    assert {m["name"] for m in ms if m["kind"] == "function"} == {"count_nodes"}
+    methods = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
+    assert methods == {"insert": "Graph"}
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    assert calls == {
+        ("count_nodes", "count_nodes"),  # recursion is a real call site
+        ("next_of", "count_nodes"),
+        ("grow", "insert"),
+    }
