@@ -119,8 +119,16 @@ _RUST_FN = re.compile(
     re.M,
 )
 # `impl Foo {` and `impl Trait for Foo {` both yield owner Foo; generics on
-# the impl are skipped (`impl<T> Vec<T>` → Vec)
-_RUST_IMPL = re.compile(r"^impl(?:\s*<[^>]*>)?\s+(?:\w+\s+for\s+)?(\w+)", re.M)
+# the impl are skipped (`impl<T> Vec<T>` → Vec).  The trait side may be
+# path-qualified and/or generic (`impl fmt::Display for Graph`,
+# `impl From<u64> for Graph`) and the target may be path-qualified
+# (`impl T for crate::Graph` → Graph) — owner is always the type after
+# `for` (or the bare impl target), never the trait's first segment.
+_RUST_IMPL = re.compile(
+    r"^impl(?:\s*<[^>]*>)?\s+(?:[\w:]+(?:\s*<[^>]*>)?\s+for\s+)?"
+    r"(?:\w+::)*(\w+)",
+    re.M,
+)
 _RUST_DECL_UPDATE = re.compile(
     r"\s*(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
     r'(?:extern\s+"[^"]*"\s+)?fn\s+(\w+)'
@@ -161,6 +169,19 @@ _C_FN = re.compile(
     r"(?:const\s*)?\{",
     re.M,
 )
+# A prototype is the same line-anchored shape ending in ';' instead of '{'
+# (`void foo(int x);`) — NOT a call site, and (unlike a definition) not an
+# owner for following calls.  The lookahead drops statement keywords so an
+# unindented `return foo(x);` body line is still counted as a call.
+_C_PROTO = re.compile(
+    r"^(?!(?:return|else|if|while|for|switch|do|case|goto)\b)"
+    r"[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:\w+::)?\w+\s*\(([^;{}()]*)\)\s*"
+    r"(?:const\s*)?;",
+    re.M,
+)
+# Two-word control forms (`else if (...)`) fit the _C_FN shape — single
+# keywords self-exclude (no second identifier) but these need a name filter.
+_C_CTRL = frozenset({"if", "for", "while", "switch", "return", "do"})
 _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
                          "dynamic_cast", "reinterpret_cast", "const_cast"})
 
@@ -317,11 +338,14 @@ def extract_mentions(
         fn_spans = []
         for m in _C_FN.finditer(text):
             qual, name = m.group(1), m.group(2)
+            if name in _C_CTRL:  # `else if (...) {` fits the def shape
+                continue
             kind = "method" if qual else "function"
             decls.append((m.start(), {"kind": kind, "name": name, "owner": qual or ""}))
             fn_spans.append((m.start(), m.end(), name))
+        proto_spans = [(m.start(), m.end()) for m in _C_PROTO.finditer(text)]
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
-        out.extend(_calls_c(text, fn_spans))
+        out.extend(_calls_c(text, fn_spans, proto_spans))
     elif lang == "text":
         for m in _TEXT_TERM_RE.finditer(text):
             out.append({"kind": "term", "name": m.group(1), "owner": ""})
@@ -392,17 +416,23 @@ def _calls_tracked(
 
 
 def _calls_c(
-    text: str, fn_spans: "List[Tuple[int, int, str]]"
+    text: str,
+    fn_spans: "List[Tuple[int, int, str]]",
+    proto_spans: "List[Tuple[int, int]] | None" = None,
 ) -> List[Dict[str, str]]:
     """Span-based call extraction for C/C++: a definition's signature may
     span lines (brace-on-next-line convention), so line-based owner
     tracking misses it.  Calls inside a signature span are the definition
-    itself, not call sites; an outside call is attributed to the nearest
-    definition starting above it in the chunk ('' = file scope)."""
+    itself, and calls inside a prototype span (`void foo(int);` — every
+    header line) are declarations — neither is a call site; an outside
+    call is attributed to the nearest definition starting above it in the
+    chunk ('' = file scope)."""
     calls: List[Dict[str, str]] = []
     for m in _CALL.finditer(text):
         pos = m.start()
         if any(s <= pos < e for s, e, _ in fn_spans):
+            continue
+        if proto_spans and any(s <= pos < e for s, e in proto_spans):
             continue
         name = m.group(1)
         if name in _KEYWORDS or name in _C_KEYWORDS:

@@ -79,11 +79,19 @@ def drop_hot_buckets(
     bucket keys) and ``hot_bucket_rows`` (rows they carried) — the logged
     drop metric; computing it costs one extra small aggregation job, so it
     is opt-in.  ``max_bucket_df=None`` returns ``buckets`` unchanged.
+
+    When the cap engages, ``buckets`` is localCheckpointed (lazy) first:
+    its derivation (for LSH bands, the MinHash aggregation — the heavy
+    step) otherwise re-runs for the hot-key count, the anti-join probe,
+    each side of the caller's self-join, and the optional metrics job.
+    Same materialize-once rationale and release path as the shingle table
+    in ``dedup.ngram_jaccard_pairs`` (bench/_release_new_persists).
     """
     if max_bucket_df is None:
         return buckets
     if max_bucket_df < 1:
         raise ValueError(f"max_bucket_df must be >= 1, got {max_bucket_df}")
+    buckets = buckets.localCheckpoint(eager=False)
     keys = list(key_cols)
     hot = (
         buckets.groupBy(*keys)

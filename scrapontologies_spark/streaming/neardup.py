@@ -146,7 +146,12 @@ class ParquetBandStore:
                 shutil.rmtree(aside)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)  # stale partial rewrite
-        _compacted_rows(self.read(spark)).write.mode("overwrite").parquet(tmp)
+        seen = self.read(spark)
+        if seen is None:
+            # never-written store (maintenance ran before the first batch,
+            # or a mistyped path): compaction is a no-op, not a crash
+            return 0
+        _compacted_rows(seen).write.mode("overwrite").parquet(tmp)
         n = spark.read.schema(_STORE_SCHEMA).parquet(tmp).count()
         os.rename(live, aside)
         os.rename(tmp, live)
@@ -223,7 +228,10 @@ class BucketedBandStore:
                 spark.sql(f"DROP TABLE {aside}")
         if cat.tableExists(tmp):
             spark.sql(f"DROP TABLE {tmp}")
-        self._write(_compacted_rows(self.read(spark)), tmp, "overwrite")
+        seen = self.read(spark)
+        if seen is None:
+            return 0  # never-written store: no-op (see ParquetBandStore)
+        self._write(_compacted_rows(seen), tmp, "overwrite")
         n = spark.table(tmp).count()
         spark.sql(f"ALTER TABLE {live} RENAME TO {aside}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {live}")

@@ -36,14 +36,23 @@ sys.path.insert(0, REPO)
 
 def synth_batch(spark, batch_idx: int, n_docs: int):
     """Deterministic 10-token texts; doc_ids [batch*n, (batch+1)*n); every
-    10th doc reuses the text of the id 7 below it (an earlier batch for
-    batch_idx>0 when the stride crosses the boundary)."""
+    10th doc repeats the text of the doc ONE FULL BATCH (plus 3) below it,
+    so from batch 1 on the duplicate's source lives in a PRIOR batch and
+    the store semi-join (not the in-batch greedy rule) must suppress it —
+    the cross-batch path is what the bench exists to measure, and the
+    cross-layout emitted-equality assert covers it.  The -3 offset keeps
+    the source id off the ``%10 == 7`` stride so a duplicate never points
+    at another duplicate."""
     from pyspark.sql import functions as F
 
     start = batch_idx * n_docs
+    reach_back = n_docs + 3
     base = spark.range(start, start + n_docs).select(
         F.col("id").alias("doc_id"),
-        F.when((F.col("id") % 10 == 7) & (F.col("id") >= 7), F.col("id") - 7)
+        F.when(
+            (F.col("id") % 10 == 7) & (F.col("id") >= reach_back),
+            F.col("id") - reach_back,
+        )
         .otherwise(F.col("id"))
         .alias("text_key"),
     )
@@ -84,6 +93,15 @@ def drive(spark, store, n_batches: int, docs_per_batch: int) -> dict:
     }
 
 
+def _drop_store_tables(spark, table: str) -> None:
+    """Drop the store table AND its compaction-swap leftovers: a bench run
+    killed mid-compaction leaves ``<t>__old``/``<t>__compacting``, which
+    makes BucketedBandStore.read refuse (crashed-mid-swap guard) and every
+    later bench run fail at batch 0 unless they are cleared here."""
+    for t in (table, table + "__old", table + "__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def seed_rows(spark, n_rows: int):
     """Synthetic PRIOR store rows (NULL writer/batch — the compacted form):
     md5-derived band keys that never collide with a real batch's keys, so
@@ -119,7 +137,7 @@ def probe_at_scale(spark, tmp: str, seed: int, docs_per_batch: int) -> dict:
     ).count()
     out["parquet_probe_sec"] = round(time.perf_counter() - t0, 3)
 
-    spark.sql("DROP TABLE IF EXISTS ndbench_seeded")
+    _drop_store_tables(spark, "ndbench_seeded")
     store = BucketedBandStore("ndbench_seeded", n_buckets=16)
     store.append(seed_rows(spark, seed))
     t0 = time.perf_counter()
@@ -128,7 +146,7 @@ def probe_at_scale(spark, tmp: str, seed: int, docs_per_batch: int) -> dict:
         writer_id="seeded",
     ).count()
     out["bucketed_probe_sec"] = round(time.perf_counter() - t0, 3)
-    spark.sql("DROP TABLE IF EXISTS ndbench_seeded")
+    _drop_store_tables(spark, "ndbench_seeded")
     return out
 
 
@@ -165,12 +183,12 @@ def main() -> None:
         parquet_res = drive(
             spark, os.path.join(tmp, "store_parquet"), n_batches, docs_per_batch
         )
-        spark.sql("DROP TABLE IF EXISTS ndbench_store")
+        _drop_store_tables(spark, "ndbench_store")
         bucketed_res = drive(
             spark, BucketedBandStore("ndbench_store", n_buckets=16),
             n_batches, docs_per_batch,
         )
-        spark.sql("DROP TABLE IF EXISTS ndbench_store")
+        _drop_store_tables(spark, "ndbench_store")
         assert parquet_res["emitted"] == bucketed_res["emitted"], (
             "layouts must emit identical novel sets"
         )

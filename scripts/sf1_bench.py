@@ -210,8 +210,13 @@ class _HeapProfiler:
             if cur is not None:
                 try:
                     mb = _jvm_heap_mb(self.spark)
-                except Exception:  # py4j gateway racing shutdown
-                    return
+                except Exception:
+                    # exit only at real shutdown; a transient py4j hiccup
+                    # mid-run must not silently end attribution for every
+                    # remaining stage
+                    if self._stop.is_set():
+                        return
+                    continue
                 if mb > self.peak.get(cur, 0):
                     self.peak[cur] = mb
 

@@ -449,3 +449,69 @@ def test_c_grammar_mentions():
         ("next_of", "count_nodes"),
         ("grow", "insert"),
     }
+
+
+def test_rust_trait_impl_owner_is_the_for_target():
+    """The most common impl forms — path-qualified trait (`impl
+    fmt::Display for Graph`), generic trait (`impl From<u64> for Graph`),
+    path-qualified target (`impl T for crate::Graph`) — must attribute
+    methods to the TYPE after `for`, never to the trait's first segment
+    (regression: `fmt::Display` failed the optional trait group and the
+    capture grabbed `fmt`, mis-owning every such method)."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "use std::fmt;\n"
+        "pub struct Graph;\n"
+        "impl fmt::Display for Graph {\n"
+        "    fn fmt(&self, f: &mut fmt::Formatter) -> fmt::Result {\n"
+        "        todo!()\n"
+        "    }\n"
+        "}\n"
+        "impl From<u64> for Graph {\n"
+        "    fn from(n: u64) -> Self { todo!() }\n"
+        "}\n"
+        "impl Walk for crate::Graph {\n"
+        "    fn step(&self) {}\n"
+        "}\n"
+        "impl<T> Wrapper<T> {\n"
+        "    fn get(&self) -> &T { todo!() }\n"
+        "}\n"
+    )
+    ms = extract_mentions("rust", src)
+    methods = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
+    assert methods == {
+        "fmt": "Graph",
+        "from": "Graph",
+        "step": "Graph",
+        "get": "Wrapper",
+    }
+
+
+def test_c_prototypes_are_not_calls_and_else_if_is_not_a_definition():
+    """Header prototypes (`void foo(int);`) fit the _CALL shape but are
+    declarations — with 'h' files routed to the C grammar, counting them
+    as calls fabricates one wrong edge per header line.  `else if (…) {`
+    at column 0 fits the definition shape with name 'if' — the two-word
+    control form must not register or steal call ownership.  An unindented
+    `return foo(a);` body line is still a genuine call site."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "#include <stdio.h>\n"
+        "void foo(int x);\n"
+        "int bar(void);\n"
+        "struct node make_node(int id,\n"
+        "                      int weight);\n"
+        "static int helper(int a) {\n"
+        "    return foo(a);\n"
+        "}\n"
+        "else if (global_flag) {\n"
+        "    run();\n"
+        "}\n"
+    )
+    ms = extract_mentions("c", src)
+    assert {m["name"] for m in ms if m["kind"] == "function"} == {"helper"}
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    # foo/bar/make_node prototypes are NOT call sites; foo inside helper is
+    assert calls == {("foo", "helper"), ("run", "helper")}

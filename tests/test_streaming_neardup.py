@@ -374,3 +374,19 @@ def test_writer_tag_normalizes_checkpoint_spelling(tmp_path):
     assert _writer_tag("s3a://bkt/ck") != _writer_tag(ck)
     # distinct checkpoints stay distinct
     assert _writer_tag(ck) != _writer_tag(str(tmp_path / "other"))
+
+
+def test_compact_never_written_store_is_a_noop(spark, tmp_path):
+    """Maintenance compaction that runs before the stream's first batch (or
+    against a mistyped path / never-created table) must return 0, not die
+    on read()'s None with an AttributeError."""
+    from scrapontologies_spark.streaming.neardup import (
+        BucketedBandStore,
+        compact_band_store,
+    )
+
+    assert compact_band_store(spark, str(tmp_path / "never_written")) == 0
+
+    spark.sql("DROP TABLE IF EXISTS nd_never_written")
+    assert BucketedBandStore("nd_never_written").compact(spark) == 0
+    assert not spark.catalog.tableExists("nd_never_written")
