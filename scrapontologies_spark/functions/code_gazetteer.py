@@ -169,13 +169,18 @@ _C_FN = re.compile(
     r"(?:const\s*)?\{",
     re.M,
 )
-# A prototype is the same line-anchored shape ending in ';' instead of '{'
-# (`void foo(int x);`) — NOT a call site, and (unlike a definition) not an
-# owner for following calls.  The lookahead drops statement keywords so an
-# unindented `return foo(x);` body line is still counted as a call.
+# A prototype is the definition shape ending in ';' instead of '{'
+# (`void foo(int x);`, indented member declarations inside a class body) —
+# NOT a call site, and (unlike a definition) not an owner for following
+# calls.  The lookahead drops statement keywords so `return foo(x);` /
+# `throw Error(msg);` body lines are still counted as calls; a bare call
+# statement (`foo(a);`) never fits because the shape requires type tokens
+# and a separator before the name, and `=`/`.`/`->` are outside the
+# type-token class so initializers and receiver calls can't span it.
 _C_PROTO = re.compile(
-    r"^(?!(?:return|else|if|while|for|switch|do|case|goto)\b)"
-    r"[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:\w+::)?\w+\s*\(([^;{}()]*)\)\s*"
+    r"^(?!\s*(?:return|else|if|while|for|switch|do|case|goto|throw|new"
+    r"|delete)\b)"
+    r"\s*[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:\w+::)?\w+\s*\(([^;{}()]*)\)\s*"
     r"(?:const\s*)?;",
     re.M,
 )

@@ -169,6 +169,14 @@ class BucketedBandStore:
     Iceberg ``bucket(N, key)`` hidden partitioning) applied to streaming
     state.
 
+    Layout choice (measured, scripts/neardup_store_bench.py +
+    BENCH_SCALING.md): while the store is within ~10× the batch size the
+    two layouts perform within noise of each other; beyond that the
+    bucketed table wins and keeps widening (1.9–2.0× at a 10M-row store)
+    because the parquet layout re-shuffles the WHOLE store into every
+    batch's probe while this one shuffles only the batch.  At corpus
+    scale the bucketed layout is the only viable one.
+
     Tables are MANAGED (data under the session warehouse dir; a real
     metastore on a cluster) so the compaction swap is pure catalog DDL:
     write the distinct rewrite to ``<table>__compacting``, rename the live

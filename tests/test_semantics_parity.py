@@ -515,3 +515,25 @@ def test_c_prototypes_are_not_calls_and_else_if_is_not_a_definition():
     calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
     # foo/bar/make_node prototypes are NOT call sites; foo inside helper is
     assert calls == {("foo", "helper"), ("run", "helper")}
+
+
+def test_cpp_class_body_member_prototypes_are_not_calls():
+    """Member declarations inside a class body are indented prototypes —
+    each would otherwise emit a false call edge per declared method;
+    statement keywords (return/throw) keep their calls even indented."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "class Graph {\n"
+        "  public:\n"
+        "    void insert(int id);\n"
+        "    int count(void) const;\n"
+        "};\n"
+        "void Graph::insert(int id) {\n"
+        "    grow(id);\n"
+        "    throw Overflow(id);\n"
+        "}\n"
+    )
+    ms = extract_mentions("c", src)
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    assert calls == {("grow", "insert"), ("Overflow", "insert")}
