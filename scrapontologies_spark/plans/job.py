@@ -17,8 +17,10 @@ alias dimension sides broadcast; the entity reconcile join runs salted when
 mega-repo's new entities can hash-skew the link join; ``salt=0`` forces
 the plain full-outer path, and both paths are equivalence-tested).
 
-Usage (cluster):  spark-submit --py-files scrapontologies_spark.zip \
-    -m scrapontologies_spark.plans.job <warehouse_root> <n_rows>
+Usage (cluster — spark-submit takes a primary .py FILE, not a module):
+    spark-submit --py-files scrapontologies_spark.zip \
+        scripts/run_job.py <warehouse_root> <n_rows>
+Local:  python -m scrapontologies_spark.plans.job <warehouse_root> <n_rows>
 """
 
 from __future__ import annotations
@@ -71,23 +73,39 @@ def run_job(
     wh = Warehouse(warehouse_root, fmt)
     infos: Dict[str, StageInfo] = {}
 
-    # Resume guard: every stage's output is a function of the extraction
-    # parameters, so the SAME token covers the whole DAG — re-running
-    # against this warehouse with a different chunking or filter rebuilds
-    # instead of serving stale checkpoints.  salt is deliberately excluded:
-    # it is a physical knob (salted == plain, equivalence-tested), and
-    # invalidating checkpoints over it would force needless rebuilds.
+    # Resume guard: each stage's token covers the parameters ITS output
+    # depends on — no more (a whole-DAG token would re-run the mapInPandas
+    # extraction, the 100 TB hot path, when only a downstream flag flips)
+    # and no less (every upstream-affecting knob present).  salt is
+    # deliberately excluded everywhere: it is a physical knob (salted ==
+    # plain, equivalence-tested), and invalidating checkpoints over it
+    # would force needless rebuilds.
+    #
+    # - cfg (extraction params): with_schemas changes the 'extracted' rows
+    #   themselves (schema rows emitted or not), so it must sit here — a
+    #   re-run with the flag flipped would otherwise serve a stale
+    #   'extracted' and yield an empty global schema.
+    # - ent_cfg adds the entities_prev state (rows + fingerprint from its
+    #   marker): writing or replacing an entities_prev table between runs
+    #   changes the reconcile's output, so it must invalidate 'entities'
+    #   and everything downstream of it — with it excluded, an identical
+    #   re-run after seeding entities_prev would silently skip the merge.
+    # - cc_cfg adds with_cc, which changes only canonicalization and the
+    #   final triples.
     cfg = {
         "chunk_bytes": chunk_bytes,
         "allowed_kinds": allowed_kinds,
         "allowed_terms": allowed_terms,
-        # with_schemas changes the 'extracted' rows themselves (schema rows
-        # are emitted or not) and with_cc changes the triples stage — both
-        # must invalidate checkpoints, or a re-run with the flag flipped
-        # serves a stale 'extracted' and yields an empty global schema.
         "with_schemas": with_schemas,
-        "with_cc": with_cc,
     }
+    prev_meta = wh._read_marker("entities_prev")
+    ent_cfg = {
+        **cfg,
+        "entities_prev": None
+        if prev_meta is None
+        else {"rows": prev_meta["rows"], "fingerprint": prev_meta["fingerprint"]},
+    }
+    cc_cfg = {**ent_cfg, "with_cc": with_cc}
 
     # Fused one-pass extraction: chunk/fold/schema/triple rows from ONE
     # narrow mapInPandas over the scan (operators/extract.py) — the 100 TB
@@ -134,7 +152,9 @@ def run_job(
             return reconcile(existing, new, salt=8 if salt is None else salt)
         return new
 
-    entities, infos["entities"] = wh.run_stage(spark, "entities", build_entities, config=cfg)
+    entities, infos["entities"] = wh.run_stage(
+        spark, "entities", build_entities, config=ent_cfg
+    )
 
     if with_cc:
         labels, infos["alias_labels"] = wh.run_stage(
@@ -143,14 +163,14 @@ def run_job(
             lambda: prefer_real_canonical(
                 connected_components(module_alias_edges(entities))
             ),
-            config=cfg,
+            config=cc_cfg,
         )
         triples_canon = canonicalize_triples(triples_raw, labels)
         entities_final, infos["entities_canonical"] = wh.run_stage(
             spark,
             "entities_canonical",
             lambda: canonicalize_entities(entities, labels),
-            config=cfg,
+            config=cc_cfg,
         )
     else:
         triples_canon = triples_raw
@@ -160,7 +180,7 @@ def run_job(
         spark,
         "triples",
         lambda: referential_integrity(triples_canon, entities_final),
-        config=cfg,
+        config=cc_cfg,
     )
 
     if with_schemas:

@@ -90,6 +90,20 @@ class Warehouse:
                 f"non-local warehouse root {root!r}: the manifest is "
                 "driver-local; use an Iceberg catalog for remote storage"
             )
+        if root.startswith("file:"):
+            # resolve to the POSIX path: Spark resolves the file: URI for
+            # the DATA while os.makedirs would treat 'file:///x' as a
+            # cwd-RELATIVE dir named 'file:', scattering resume markers
+            # per-cwd away from the data — the decoupling the guard above
+            # exists to prevent
+            from urllib.parse import urlparse
+
+            u = urlparse(root)
+            if u.netloc not in ("", "localhost"):
+                raise NotImplementedError(
+                    f"file: root with a host is not local: {root!r}"
+                )
+            root = u.path or "/"
         self.root = root.rstrip("/")
         self.fmt = fmt
         os.makedirs(f"{self.root}/_manifest", exist_ok=True)
@@ -99,16 +113,21 @@ class Warehouse:
     def _marker(self, name: str) -> str:
         return f"{self.root}/_manifest/{name}.json"
 
+    def _read_marker(self, name: str) -> Optional[dict]:
+        try:
+            with open(self._marker(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def is_complete(self, name: str, config_token: Optional[str] = None) -> bool:
         """Stage complete AND built with the same declared parameters.
         A marker written with a different (or, conservatively, no) token
         than the one now expected does not count as complete."""
-        if not os.path.exists(self._marker(name)):
+        meta = self._read_marker(name)
+        if meta is None:
             return False
-        if config_token is None:
-            return True
-        with open(self._marker(name)) as f:
-            return json.load(f).get("config") == config_token
+        return config_token is None or meta.get("config") == config_token
 
     def _commit(self, info: StageInfo, config_token: Optional[str] = None) -> None:
         tmp = self._marker(info.name) + ".tmp"
@@ -138,9 +157,19 @@ class Warehouse:
         config_token: Optional[str] = None,
     ) -> StageInfo:
         t0 = time.monotonic()
+        # invalidate any prior marker BEFORE touching the data: a rebuild
+        # that crashes mid-overwrite must leave the stage "incomplete" —
+        # with the old marker still present, a re-run under the ORIGINAL
+        # config would find its token matching and silently serve the
+        # half-rebuilt data
+        try:
+            os.remove(self._marker(name))
+        except FileNotFoundError:
+            pass
+        pb = list(partition_by or [])
         w = df.write.mode("overwrite").format(self.fmt)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if pb:
+            w = w.partitionBy(*pb)
         w.save(self.path(name))
         spark = df.sparkSession
         out = spark.read.format(self.fmt).load(self.path(name))
@@ -258,12 +287,13 @@ class Warehouse:
         co-location), so changing it must rebuild rather than silently
         serve the old layout — the same stale-checkpoint class the config
         token exists to prevent."""
-        token = _config_token(
-            {"cfg": config, "partition_by": list(partition_by or []), "fmt": self.fmt}
-        )
-        if self.is_complete(name, token):
-            with open(self._marker(name)) as f:
-                meta = json.load(f)
+        # materialize once: a generator ``partition_by`` consumed here would
+        # read as exhausted-but-truthy in write_stage and silently write
+        # unpartitioned while the token records the requested layout
+        pb = list(partition_by or [])
+        token = _config_token({"cfg": config, "partition_by": pb, "fmt": self.fmt})
+        meta = self._read_marker(name)
+        if meta is not None and meta.get("config") == token:
             return (
                 self.read_stage(spark, name),
                 StageInfo(name, meta["rows"], 0, meta["fingerprint"], skipped=True),
@@ -275,7 +305,7 @@ class Warehouse:
         if stage_observer is not None:
             stage_observer(name, "start")
         try:
-            info = self.write_stage(build(), name, partition_by, config_token=token)
+            info = self.write_stage(build(), name, pb, config_token=token)
         finally:
             if stage_observer is not None:
                 stage_observer(name, "end")

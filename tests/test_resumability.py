@@ -30,12 +30,13 @@ def test_resume_skips_and_matches(spark, corpus, tmp_path):
     wh = Warehouse(resumed_root)
     from scrapontologies_spark.operators.extract import extract_document_rows
 
+    # the 'extracted' stage's token carries extraction parameters ONLY
+    # (with_cc is downstream-only and lives in the cc/triples tokens)
     cfg = {
         "chunk_bytes": 512,
         "allowed_kinds": None,
         "allowed_terms": None,
         "with_schemas": True,
-        "with_cc": True,
     }
     wh.run_stage(
         spark, "extracted", lambda: extract_document_rows(corpus, 512), config=cfg
@@ -274,3 +275,124 @@ def test_partition_layout_change_rebuilds_stage(spark, tmp_path):
     )
     assert info3.skipped
     assert info3.fingerprint == info2.fingerprint
+
+
+def test_seeding_entities_prev_invalidates_entities_stage(spark, corpus, tmp_path):
+    """Writing (or replacing) an entities_prev table between otherwise
+    identical runs changes the reconcile's output, so the 'entities' stage
+    and everything downstream must REBUILD — with entities_prev excluded
+    from the token, the second run would silently skip the merge.  The
+    extraction stage, which does not depend on it, stays skipped."""
+    root = str(tmp_path / "wh")
+    first = run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+                    with_schemas=False)
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(root)
+    prev = (
+        wh.read_stage(spark, "entities")
+        .limit(5)
+        .withColumn("attributes", F.lit('{"seen":"before"}'))
+    )
+    wh.run_stage(spark, "entities_prev", lambda: prev)
+
+    second = run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+                     with_schemas=False)
+    assert second["extracted"].skipped          # extraction untouched
+    assert not second["entities"].skipped       # reconcile actually ran
+    assert not second["triples"].skipped
+    assert second["entities"].fingerprint != first["entities"].fingerprint
+
+
+def test_cc_flip_rebuilds_triples_but_not_extraction(spark, corpus, tmp_path):
+    """with_cc changes only canonicalization and the final triples; flipping
+    it must NOT re-run the mapInPandas extraction (the 100 TB hot path) —
+    but must rebuild 'triples', whose rows it changes."""
+    root = str(tmp_path / "wh")
+    run_job(spark, corpus, root, chunk_bytes=512, with_cc=False,
+            with_schemas=False)
+    second = run_job(spark, corpus, root, chunk_bytes=512, with_cc=True,
+                     with_schemas=False)
+    assert second["extracted"].skipped
+    assert second["triples_raw"].skipped
+    assert second["entities"].skipped
+    assert not second["triples"].skipped
+
+
+def test_aborted_rebuild_cannot_serve_half_rebuilt_data(spark, tmp_path):
+    """write_stage must invalidate the old marker BEFORE overwriting the
+    data: a rebuild under config B that crashes mid-write would otherwise
+    leave config A's marker pointing at B's half-written data — a re-run
+    under A would then skip and serve it."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(10)
+    _, info = wh.run_stage(spark, "s", lambda: df, config={"v": "A"})
+    assert wh.is_complete("s")
+
+    class Boom(RuntimeError):
+        pass
+
+    # a crash in build() itself leaves the data untouched, so A's marker
+    # legitimately survives and an A re-run still skips
+    with pytest.raises(Boom):
+        wh.run_stage(spark, "s", lambda: (_ for _ in ()).throw(Boom()),
+                     config={"v": "B"})
+    _, info2 = wh.run_stage(spark, "s", lambda: df, config={"v": "A"})
+    assert info2.skipped  # A's marker + data still intact
+
+    # a crash in the WRITE path (after invalidation, mid-overwrite) must
+    # leave the stage incomplete for BOTH tokens — emulate by failing the
+    # save() itself (patch the CONCRETE DataFrame class: in Spark 4 the
+    # public pyspark.sql.DataFrame is an abstract base whose `write` the
+    # classic subclass overrides)
+    cls = type(df)
+    real_write = cls.write
+
+    class _DyingWriter:
+        def __getattr__(self, _):
+            raise Boom()
+
+    try:
+        cls.write = property(lambda self: _DyingWriter())
+        with pytest.raises(Boom):
+            wh.run_stage(spark, "s", lambda: df, config={"v": "B"})
+    finally:
+        cls.write = real_write
+    assert not wh.is_complete("s")  # stale marker cannot serve anything
+
+
+def test_generator_partition_by_still_partitions(spark, tmp_path):
+    """A generator partition_by is legal per the Iterable hint; it must be
+    materialized once — consumed-by-the-token-then-falsy would silently
+    write unpartitioned while the token records the requested layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("lang")
+    )
+    wh.run_stage(spark, "s", lambda: df,
+                 partition_by=(c for c in ["lang"]), config={"k": 1})
+    subdirs = {d for d in os.listdir(wh.path("s")) if d.startswith("lang=")}
+    assert subdirs == {"lang=0", "lang=1"}
+
+
+def test_file_uri_warehouse_root_resolves_to_posix(spark, tmp_path):
+    """A file: URI root must put the manifest at the SAME location as the
+    data (POSIX resolution), not under a cwd-relative 'file:' directory —
+    otherwise resume state and data silently decouple across cwds."""
+    import os
+
+    posix_root = str(tmp_path / "wh_uri")
+    wh = Warehouse("file://" + posix_root)
+    assert wh.root == posix_root
+    assert os.path.isdir(os.path.join(posix_root, "_manifest"))
+    wh.run_stage(spark, "s", lambda: spark.range(5), config={"k": 1})
+    assert os.path.exists(os.path.join(posix_root, "_manifest", "s.json"))
+    # a second Warehouse over the plain path sees the same completed stage
+    assert Warehouse(posix_root).is_complete("s")
+    with pytest.raises(NotImplementedError):
+        Warehouse("file://otherhost/data/wh")
