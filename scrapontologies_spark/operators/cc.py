@@ -47,6 +47,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of RDDs currently holding persisted/localCheckpoint blocks
+    (JVM-side registry — the only handle that can release checkpoint
+    blocks; same access pattern as bench._persistent_ids)."""
+    it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _release_rdds(sc, rdd_ids: set) -> None:
+    m = sc._jsc.sc().getPersistentRDDs()
+    for rdd_id in rdd_ids:
+        if m.contains(rdd_id):
+            m.apply(rdd_id).unpersist(False)
+
+
 def _fingerprint(edges: DataFrame) -> tuple:
     # bit_xor is overflow-free (ANSI mode) and order-independent; edges are
     # distinct so xor-cancellation cannot collide consecutive iterations
@@ -68,17 +86,40 @@ def connected_components(
     (no edges) are the identity mapping and are NOT emitted — callers
     coalesce(label, id).
     """
+    if checkpoint_every < 1:
+        # 0 would silently disable lineage truncation: each round embeds
+        # the previous round's plan ~4× (two unions, two join sides), so
+        # the unresolved plan grows 4^i and Catalyst analysis dies long
+        # before max_iter
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    sc = edges.sparkSession.sparkContext
     cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
     prev_fp = None
+    prev_block_ids: set = set()
     for i in range(max_iter):
         cur = _small_star(_large_star(cur))
-        if checkpoint_every and i % checkpoint_every == 0:
+        if i % checkpoint_every == 0:
             # LAZY checkpoint: the fingerprint aggregation below is the
             # materializing action, so each round costs ONE Spark job
             # (compute + checkpoint + convergence check together) instead
             # of an eager-checkpoint job plus a fingerprint job.
+            before = _persistent_rdd_ids(sc)
             cur = cur.localCheckpoint(eager=False)
-        fp = _fingerprint(cur)
+            fp = _fingerprint(cur)
+            # round i's blocks are live now, so round i-1's checkpoint is
+            # pure garbage — release it at the RDD level (unpersist() on
+            # the DataFrame cannot reach localCheckpoint blocks; left
+            # alone they accumulate one block set per round until a
+            # multi-minute full GC lands on an arbitrary later query —
+            # this repo's measured ~30 GB heap-growth failure mode).  The
+            # FINAL round's blocks stay live: the returned labels read
+            # them and a truncated lineage cannot recompute.
+            _release_rdds(sc, prev_block_ids)
+            prev_block_ids = _persistent_rdd_ids(sc) - before
+        else:
+            fp = _fingerprint(cur)
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -111,10 +152,11 @@ def prefer_real_canonical(
     sort key: a '~' marker would mangle real ids that themselves start with
     '~' (stripping their first character into a phantom node) and lose to
     real ids whose first codepoint sorts above '~' (DEL, non-ASCII)."""
-    is_alias = None
+    # lit(False) seed: with NO alias prefixes every member is "real" and
+    # the re-pick degrades to min-member (instead of `~None` raising)
+    is_alias = F.lit(False)
     for p in alias_prefixes:
-        cond = F.col("node").startswith(p)
-        is_alias = cond if is_alias is None else (is_alias | cond)
+        is_alias = is_alias | F.col("node").startswith(p)
     best = (
         labels.groupBy("component")
         .agg(

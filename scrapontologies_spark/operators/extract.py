@@ -83,6 +83,8 @@ def extract_chunks(
             for repo, path, commit, lang, content in zip(
                 b["repo"], b["path"], b["commit"], b["lang"], b["content"]
             ):
+                if content is None:
+                    content = ""  # a NULL row must not kill the stage
                 sha = sha256_hex(content)
                 for cid, text in chunk_text(content, chunk_bytes):
                     mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
@@ -122,7 +124,7 @@ def extract_chunks(
 # the dominant stage is embarrassingly parallel over scan splits.
 DOC_ROWS_SCHEMA = T.StructType(
     [
-        T.StructField("kind", T.StringType()),  # chunk|entity|module|schema|triple
+        T.StructField("kind", T.StringType()),  # chunk|entity|module|schema|triple|containment
         T.StructField("repo", T.StringType()),
         T.StructField("path", T.StringType()),
         T.StructField("commit", T.StringType()),
@@ -164,6 +166,11 @@ def extract_document_rows(
     - ``module`` — one module entity per document (id = repo/path)
     - ``schema`` — per-document A4 schema union
     - ``triple`` — deduplicated per-document M5 triples
+    - ``containment`` — M5(a) schema-containment edges (only when
+      ``with_containment=True``)
+
+    NULL ``content`` is treated as the empty document (sha256("") and one
+    empty chunk) — a single bad corpus row must not abort the stage.
 
     Precondition: ``(repo, path)`` is unique in ``corpus`` (BASELINE
     input_hint — one row per file).  Triple dedup here is per-document;
@@ -211,6 +218,14 @@ def extract_document_rows(
             for repo, path, commit, lang, content in zip(
                 b["repo"], b["path"], b["commit"], b["lang"], b["content"]
             ):
+                if content is None:
+                    # one NULL content row must not abort a corpus-scale
+                    # extraction (4 task retries then the whole job): treat
+                    # as empty — one empty chunk, a module row with
+                    # n_chunks=1 and sha256("") — deterministic and visible
+                    # rather than quarantine-dropped, since the module
+                    # identity (repo/path) is still real
+                    content = ""
                 sha = sha256_hex(content)
                 module_id = f"{repo}/{path}"
                 base = (repo, path, commit, lang, sha)
@@ -379,7 +394,6 @@ def containment_triples_from_doc_schemas(doc_schemas: DataFrame) -> DataFrame:
     Narrow mapInPandas over the (one-row-per-document) schema table — tiny
     rows, no shuffle; the global-schema variant lives in plans/job.py's
     ``containment_triples`` stage."""
-    from ..functions.semantics import derive_containment_relations, schema_to_entities
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

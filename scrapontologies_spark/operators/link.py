@@ -114,7 +114,25 @@ def salted_join(
     replicated ×salt via explode(sequence).  Result columns = fact ⋈ dim
     minus the helper columns.  Use when one join key (mega-repo, hot entity
     id) dominates; for small dims prefer F.broadcast instead.
+
+    Only fact-driven join types are valid: each fact row carries ONE salt,
+    so inner/left/semi/anti results are value-identical to the unsalted
+    join — but an unmatched dim key survives in salt-1 spurious replicas
+    under right/full_outer (each unmatched (key, salt) replica would emit
+    its own null-padded row), so those are rejected rather than silently
+    duplicating data.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-driven; the ×{salt} dim "
+            "replication would emit spurious rows for unmatched dim keys. "
+            f"Use one of {sorted(allowed)} or an unsalted join."
+        )
     salt_src = F.col(fact_salt_col) if fact_salt_col else F.struct(*fact.columns)
     f = fact.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt)).cast("int"))
     d = dim.withColumn(

@@ -287,3 +287,60 @@ def test_canonicalize_giant_component_paths_agree(spark):
     assert len(giant_row) == 1
     merged = json.loads(next(iter(giant_row))[2])
     assert set(merged) == {f"k{i}" for i in range(7)}  # all attrs folded
+
+
+def test_salted_join_rejects_dim_driven_hows(spark):
+    """right/full_outer would emit salt-1 spurious null-padded rows per
+    unmatched dim key (each dim replica matches nothing); salted_join must
+    reject them instead of silently duplicating data."""
+    from scrapontologies_spark.operators.link import salted_join
+
+    fact = spark.createDataFrame([("a", 1)], "id string, x int")
+    dim = spark.createDataFrame([("a", 2), ("b", 3)], "id string, y int")
+    for how in ("right", "full_outer", "outer", "full"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "id", how=how, salt=4)
+    # fact-driven joins stay value-identical to the unsalted join
+    out = salted_join(fact, dim, "id", how="left", salt=4)
+    assert [(r.id, r.x, r.y) for r in out.collect()] == [("a", 1, 2)]
+
+
+def test_connected_components_rejects_checkpoint_every_zero(spark):
+    """0 silently meant 'never truncate lineage' — the plan grows ~4^round
+    and Catalyst analysis explodes long before max_iter; reject it."""
+    edges = spark.createDataFrame([("a", "b")], "u string, v string")
+    with pytest.raises(ValueError):
+        connected_components(edges, checkpoint_every=0)
+
+
+def test_prefer_real_canonical_empty_prefixes_is_min_member(spark):
+    """With no alias namespaces every member is 'real': the re-pick must
+    degrade to min-member (a no-op on CC output), not raise on ~None."""
+    labels = spark.createDataFrame(
+        [("b", "a"), ("a", "a"), ("z", "a")], "node string, component string"
+    )
+    out = prefer_real_canonical(labels, alias_prefixes=())
+    assert {(r.node, r.component) for r in out.collect()} == {
+        ("a", "a"), ("b", "a"), ("z", "a")
+    }
+
+
+def test_cc_releases_superseded_round_checkpoints(spark):
+    """Each CC round localCheckpoints; superseded rounds' blocks must be
+    released inside the operator (DataFrame.unpersist cannot reach them —
+    accumulating one block set per round is this repo's measured ~30 GB
+    heap-growth failure mode).  The FINAL round's blocks stay live: the
+    returned labels read them."""
+    from scrapontologies_spark.operators.cc import _persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    # a path graph needs several LS/SS rounds
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)], "u string, v string"
+    )
+    labels = connected_components(edges)
+    assert labels.count() == 41
+    leaked = _persistent_rdd_ids(sc) - before
+    # at most the final round's checkpoint survives (it backs `labels`)
+    assert len(leaked) <= 1, leaked

@@ -341,3 +341,36 @@ def test_staged_fold_matches_fused_doc_entities(spark):
         assert staged == fused and len(fused) > 0
     finally:
         doc_rows.unpersist()
+
+
+def test_null_content_rows_do_not_abort_extraction(spark):
+    """One corpus row with content=NULL (an arbitrary --corpus parquet can
+    carry one) must not kill the mapInPandas stage after 4 task retries:
+    NULL reads as the empty document — sha256(""), one empty chunk, a
+    module row — and every other document extracts normally."""
+    import hashlib
+
+    from scrapontologies_spark.operators.extract import (
+        extract_chunks,
+        extract_document_rows,
+        module_entities_view,
+        triples_view,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("r", "good.py", "c1", "python", "import os\ndef f():\n    g()\n"),
+            ("r", "bad.bin", "c2", "python", None),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = extract_document_rows(corpus, 512)
+    mods = {r.id: r.attributes for r in module_entities_view(rows).collect()}
+    assert set(mods) == {"r/good.py", "r/bad.bin"}
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    assert empty_sha in mods["r/bad.bin"]
+    # the good doc still yields its triples
+    subs = {r.subj for r in triples_view(rows).collect()}
+    assert "r/good.py" in subs
+    # the chunk-only operator takes the same path
+    assert extract_chunks(corpus, 512).count() >= 2
