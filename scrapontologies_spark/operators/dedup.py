@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import drop_hot_buckets, spread
+from .util import drop_hot_buckets, gram_array, spread
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -87,21 +87,9 @@ def shingles(
     base = df.select(
         F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
     )
-    toks = F.col("_toks")
-    # Bounds-correct index range: with i ≤ size-k every element_at is
-    # in-range, so each gram has exactly k tokens by construction
-    # (tokens cannot contain the delimiter) — docs shorter than k tokens
-    # yield an empty array that explode drops.
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = base.select("doc_id", F.explode(grams).alias("shingle"))
+    out = base.select(
+        "doc_id", F.explode(gram_array(F.col("_toks"), k)).alias("shingle")
+    )
     return out.distinct() if distinct else out
 
 
@@ -127,7 +115,17 @@ def band_key_rows(
     one narrow pass: per-row array of (band_idx, band_key) structs,
     exploded — instead of n_bands unions that each recompute the signature
     aggregation subplan.  Shared by the batch candidate join and the
-    streaming near-dup store."""
+    streaming near-dup store.
+
+    ``band_size`` must divide ``num_hashes``: a remainder would silently
+    leave the trailing signature components un-banded — their MinHash
+    aggregation cost paid for zero recall."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size={band_size} must divide num_hashes={num_hashes}: "
+            f"sig_{(num_hashes // band_size) * band_size}.."
+            f"sig_{num_hashes - 1} would be computed but never banded"
+        )
     n_bands = num_hashes // band_size
     band_structs = [
         F.struct(
@@ -472,12 +470,16 @@ def embedding_near_dup_pairs(
     # inherit a single-split scan partitioning (see util.spread — explicit
     # count because AQE coalesces by shuffle bytes, blind to downstream
     # quadratic work)
-    a = spread(embeddings, id_col).select(
+    sp = spread(embeddings, id_col)
+    a = sp.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         _norm(F.col(vec_col)).alias("na"),
     )
-    b = embeddings.select(
+    # b AND the bucket-key pass below also read the spread frame: the
+    # O(tables·planes·dim) per-row Arrow work and the norm folds would
+    # otherwise serialize on a single-split scan partitioning
+    b = sp.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
@@ -494,7 +496,7 @@ def embedding_near_dup_pairs(
             dim,
         )
         buckets = drop_hot_buckets(
-            embeddings.select(
+            sp.select(
                 F.col(id_col).alias("vec_id"),
                 F.explode(keys(F.col(vec_col))).alias("bucket"),
             ),
@@ -514,9 +516,12 @@ def embedding_near_dup_pairs(
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-        "cos_raw"
-    )
+    # try_divide: a zero-norm embedding has no defined cosine — NULL (which
+    # the >= threshold filter drops) instead of an ANSI DIVIDE_BY_ZERO
+    # aborting the whole job on the first degenerate row
+    cos = F.try_divide(
+        _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+    ).alias("cos_raw")
     return (
         pairs.select("id_a", "id_b", cos)
         .filter(F.col("cos_raw") >= threshold)

@@ -77,6 +77,15 @@ def _norm(a):
     return _norm_hof(a)
 
 
+def _cosine(a_vec, b_vec, a_norm, b_norm):
+    """dot/(‖a‖·‖b‖) via try_divide: a zero-norm (all-zero or empty)
+    embedding has no defined cosine, and under Spark 4's default ANSI mode
+    a plain division would abort the whole job with DIVIDE_BY_ZERO on the
+    first such row.  NULL instead — callers drop NULL scores (no defined
+    similarity ⇒ not a neighbor)."""
+    return F.try_divide(_dot(a_vec, b_vec), a_norm * b_norm)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -109,9 +118,8 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm"))
+            _cosine(
+                F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
             ).alias("cosine"),
         )
     )
@@ -119,7 +127,8 @@ def cosine_topk_bruteforce(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm: no cosine
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -141,7 +150,14 @@ def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
     all-NULL — callers then build zero-plane bucket expressions over no
     (non-null) rows, so every downstream result is correctly empty instead
     of raising.  NULL rows are skipped, not counted: size(NULL) is NULL and
-    must not poison the probe."""
+    must not poison the probe.
+
+    Contract: the corpus shares ONE embedding dimension (the input_hint
+    table shape).  On a mixed-dimension corpus the probe returns the first
+    non-null row's dim and every OTHER-dim row gets NULL bucket keys
+    (degrading out of the LSH candidate space, partition-order-dependent)
+    — pre-filter by ``F.size(vec_col)`` or use the exact/IVF paths for
+    mixed inputs."""
     row = (
         embeddings.where(F.col(vec_col).isNotNull())
         .select(F.size(F.col(vec_col)).alias("d"))
@@ -290,9 +306,9 @@ def ivf_assign(
     scored = v.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "cell",
-        (_dot(F.col("vvec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias(
-            "_cos"
-        ),
+        _cosine(
+            F.col("vvec"), F.col("cvec"), F.col("vnorm"), F.col("cnorm")
+        ).alias("_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cell").asc())
     return (
@@ -333,9 +349,9 @@ def cosine_topk_ivf(
     qscore = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "cell",
-        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias(
-            "_cos"
-        ),
+        _cosine(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+        ).alias("_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("cell").asc()
@@ -362,16 +378,19 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm"))
+            _cosine(
+                F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
             ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm: no cosine
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def cosine_topk_lsh(
@@ -459,9 +478,8 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm"))
+            _cosine(
+                F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
             ).alias("cosine"),
         )
     )
@@ -486,7 +504,11 @@ def cosine_topk_lsh(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm: no cosine
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def sign_lsh_union_recall(mean_cos: float, n_planes: int, n_tables: int) -> float:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .util import spread
+from .util import gram_array, spread
 
 # marker vocabularies per language (fixed gazetteer — the n-gram-heuristic
 # stand-in for a real langid model; deterministic + SQL-expressible)
@@ -107,7 +107,12 @@ def lang_pred_from_hits(hits: "dict[str, Column]") -> "tuple[Column, Column]":
     once per row instead of relying on codegen subexpression elimination."""
     langs = sorted(hits)
     best = F.greatest(*[hits[lang] for lang in langs])
-    pred = F.lit(langs[0])
+    # NULL seed, NOT langs[0]: with text=NULL every hit (and `best`) is
+    # NULL, every WHEN condition is NULL, and the SQL-CASE twin (no ELSE)
+    # yields NULL — a literal fallback would diverge from the oracle and
+    # hand NULL-text docs a phantom language.  For non-NULL text some hit
+    # always equals `best`, so the seed is unreachable.
+    pred = F.lit(None).cast("string")
     for lang in reversed(langs):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     return pred, best
@@ -244,6 +249,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     row-local higher-order-function variant would avoid the shuffle but is
     O(tokens × distinct) per document — quadratic on a 100k-token doc —
     so the linear shuffle plan wins at 100 TB.
+
+    Envelope: docs with ZERO whitespace tokens (empty/whitespace-only/NULL
+    text) produce NO output row (explode drops the empty gram array, as
+    does the oracle's unnest) — LEFT-join this result when every corpus
+    row must survive downstream; keep_filter, which must preserve all
+    docs, computes its signals inline via explode_outer for this reason.
     """
     df = spread(df, id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
@@ -308,18 +319,9 @@ def decontaminate(
                 "_toks"
             ),
         )
-        toks = F.col("_toks")
-        arr = F.when(
-            F.size(toks) >= ngram,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - ngram),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         return base.select(
-            *(["doc_id"] if keep_id else []), F.explode(arr).alias("gram")
+            *(["doc_id"] if keep_id else []),
+            F.explode(gram_array(F.col("_toks"), ngram)).alias("gram"),
         )
 
     eval_grams = grams(eval_df, keep_id=False).distinct()
@@ -385,9 +387,11 @@ def keep_filter(
             / F.greatest(F.length("_text"), F.lit(1))
         ).alias("_punct_ratio"),
         (
-            F.size(
-                F.filter(F.col("_ltoks"), lambda t: t.isin(*ENGLISH_STOPWORDS))
-            ).cast("double")
+            # _count_markers(toks=_ltoks) expands to exactly the
+            # size(filter(...isin)) expression this held inline — one home
+            # for the boundary semantics the stop-count oracle twin mirrors
+            _count_markers(F.col("_text"), ENGLISH_STOPWORDS, toks=F.col("_ltoks"))
+            .cast("double")
             / F.greatest(n_tok, F.lit(1))
         ).alias("_stop_ratio"),
         F.col("_toks"),

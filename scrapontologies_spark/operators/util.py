@@ -106,3 +106,27 @@ def drop_hot_buckets(
         metrics["hot_buckets"] = int(row["n"])
         metrics["hot_bucket_rows"] = int(row["rows"])
     return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+
+
+def gram_array(toks, n: int):
+    """Space-joined n-gram array over a PRE-MATERIALIZED token-array column
+    reference — the single home of the gram expression shared by
+    dedup.shingles and textops.decontaminate.
+
+    ``toks`` must be a reference to a token array staged in its own
+    projection, never an inline split: ArrayTransform has no codegen, so an
+    expensive expression inside the lambda re-evaluates per element —
+    O(tokens²·n) per row (this repo's measured 74–122 s → 3–4 s sf1 fix,
+    plan-gated in test_plan_quality).  Bounds-correct index range: with
+    i ≤ size−n every element_at is in-range, so each gram has exactly n
+    tokens by construction (tokens cannot contain the delimiter); docs
+    shorter than n tokens yield an empty array that explode drops."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

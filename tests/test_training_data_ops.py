@@ -864,3 +864,67 @@ def test_cosine_topk_lsh_hot_bucket_guard(spark, hot_emb):
     # noop under a loose cap: identical result rows
     loose = similarity.cosine_topk_lsh(hot_emb, k=3, max_bucket_df=10**9)
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, base.collect()))
+
+
+# zero-norm embeddings: ANSI DIVIDE_BY_ZERO must not abort the cosine family
+
+
+def test_zero_norm_embeddings_do_not_abort_cosine_ops(spark):
+    """Under Spark 4's default ANSI mode a plain dot/(na*nb) division
+    aborts the whole job on the first zero-norm (all-zero) embedding —
+    a common degenerate model output for empty docs.  try_divide yields
+    NULL instead: no defined similarity, so the row drops out of top-k
+    ranks and threshold filters while every well-formed pair scores
+    normally."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [0.0, 0.0]),   # zero vector
+            (3, [2.0, 1.0]),
+            (4, [1.0, 2.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    topk = similarity.cosine_topk_bruteforce(emb, emb.filter("vec_id = 1"), k=3)
+    got = [(r.neighbor_id, round(r.cosine, 6)) for r in topk.orderBy("rank").collect()]
+    # vec 2 has no defined cosine and must be absent; 4 is identical to 1
+    assert [n for n, _ in got] == [4, 3]
+    assert got[0][1] == 1.0
+
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.5, lsh_tables=0)
+    ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in ids
+    assert all(2 not in p for p in ids)
+
+    lsh = similarity.cosine_topk_lsh(emb, k=3)
+    assert all(r.neighbor_id != 2 for r in lsh.collect())
+
+    ivf = similarity.cosine_topk_ivf(emb, emb.filter("vec_id = 1"), k=3)
+    assert all(r.neighbor_id != 2 for r in ivf.collect())
+
+
+def test_band_size_must_divide_num_hashes(spark):
+    """num_hashes=8, band_size=3 would compute sig_6/sig_7 (paying the
+    MinHash aggregation) and silently never band them — reject instead."""
+    sigs = dedup.minhash_signatures(
+        dedup.shingles(
+            spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+        ),
+        num_hashes=8,
+    )
+    with pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=3)
+
+
+def test_language_id_null_text_yields_null_pred(spark):
+    """text=NULL: every hit is NULL and the SQL-CASE oracle (no ELSE)
+    yields NULL — the Spark when-chain must NOT fall back to a phantom
+    first-language literal."""
+    df = spark.createDataFrame(
+        [(1, "the fast and small the"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.pred_lang, r.marker_hits)
+           for r in textops.language_id(df).collect()}
+    assert got[1][0] == "en"
+    assert got[2] == (None, None)
