@@ -132,13 +132,16 @@ def asof_join(
     r_payload = F.struct(
         epoch.alias("__rts"), *[F.col(c) for c in right_value_cols]
     )
+    # merge_asof parity on NULL timestamps: a right row with no time can
+    # never be "nearest" to anything — drop it from the match space (left
+    # NULL-ts rows are handled at the output projection below)
     right_tagged = right.select(
         F.col(key_col).alias("_k"),
         epoch.alias("_tse"),
         F.col(order_col).alias("_ord"),
         F.lit(side_right).alias("_side"),
         r_payload.alias("_r"),
-    )
+    ).filter(F.col("_tse").isNotNull())
     left_tagged = left.withColumn("_k", F.col(key_col)).withColumn(
         "_tse", epoch
     ).withColumn("_ord", F.col(order_col)).withColumn(
@@ -170,8 +173,14 @@ def asof_join(
                 .otherwise(F.col("_mf")),
             )
         )
+    # a NULL-ts left row has no position in time, so it matches NOTHING in
+    # any direction (merge_asof parity): under w_fwd's DESC ordering NULLs
+    # sort last, so every right row would otherwise "precede" it and
+    # forward/nearest would hand it the earliest right row
+    no_ts = F.col("_tse").isNull()
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_value_cols
+        F.when(~no_ts, F.col(f"_m.{c}")).alias(f"{prefix}{c}")
+        for c in right_value_cols
     ]
     return matched.filter(F.col("_side") == 1).select(*out_cols)
 

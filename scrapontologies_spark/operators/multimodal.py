@@ -147,8 +147,26 @@ def decode_pgm(payload: bytes) -> list:
             raise ValueError("truncated PGM header")
         header.append(int(payload[start:pos]))
     width, height, maxval = header
+    if maxval <= 0:
+        # the spec requires 0 < maxval < 65536; a zero would otherwise
+        # surface as an uncontrolled ZeroDivisionError in the mean
+        raise ValueError(f"invalid PGM maxval: {maxval}")
     n = width * height
     if magic == b"P5":
+        if maxval > 255:
+            # spec: 2 bytes per sample, big-endian, when maxval > 255 —
+            # reading n of the 2n raster bytes would pass the truncation
+            # guard and yield a plausible but understated mean
+            raw = payload[pos + 1 : pos + 1 + 2 * n]
+            if len(raw) < 2 * n:
+                raise ValueError(
+                    f"truncated PGM raster: {len(raw)} of {2 * n} bytes"
+                )
+            samples = [
+                (raw[2 * i] << 8) | raw[2 * i + 1] for i in range(n)
+            ]
+            mean = (sum(samples) / n / maxval) if n else 0.0
+            return [float(width), float(height), float(maxval), mean]
         pixels = payload[pos + 1 : pos + 1 + n]
         if len(pixels) < n:
             # a short raster with an intact header would otherwise produce
@@ -200,12 +218,21 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            feats = [fn(k, bytes(p)) for k, p in zip(b["kind"], b["payload"])]
+            # NULL payloads (allowed by MEDIA_SCHEMA) yield NULL features /
+            # 0 bytes instead of bytes(None) aborting the stage — one
+            # corrupt media row must not kill a corpus-scale batch (same
+            # discipline as extract.py's NULL-content handling)
+            feats = [
+                None if p is None else fn(k, bytes(p))
+                for k, p in zip(b["kind"], b["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
                     "kind": b["kind"],
-                    "n_bytes": [len(bytes(p)) for p in b["payload"]],
+                    "n_bytes": [
+                        0 if p is None else len(bytes(p)) for p in b["payload"]
+                    ],
                     "feature": feats,
                 }
             )
@@ -227,11 +254,15 @@ def frame_sample(
 ) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (JVM explode over the metadata duration — the decode itself would be a
-    downstream extract_features call on the sliced payload)."""
+    downstream extract_features call on the sliced payload).
+
+    A video with NULL duration metadata emits ONE row with NULL
+    frame_ts_ms (explode_outer): visible for repair downstream rather than
+    silently vanishing from the frame pipeline (O8 discipline)."""
     v = media.filter(F.col("kind") == "video")
     return v.select(
         "media_id",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )

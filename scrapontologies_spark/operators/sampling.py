@@ -68,6 +68,12 @@ def pack_sequences(
     """
     from pyspark.sql.window import Window
 
+    from .events import _guard_reserved
+
+    # a caller's own '_start' column would be silently overwritten by the
+    # internal cumsum and then dropped — fail fast like asof/interval_join
+    _guard_reserved("pack_sequences", ("_start",), df)
+
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)

@@ -34,7 +34,12 @@ def document_schemas(chunks: DataFrame) -> DataFrame:
     Safe as unordered applyInPandas because M3 is order-independent."""
 
     def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = schema_union_all(json.loads(s) for s in pdf["schema_json"])
+        # NULL schema_json rows (chunks built with with_schemas=False, or a
+        # corrupt row) are skipped like merge_external_schemas does — one
+        # such row must not abort the whole merge job on json.loads(None)
+        merged = schema_union_all(
+            json.loads(s) for s in pdf["schema_json"] if s is not None
+        )
         return pd.DataFrame(
             [(pdf["repo"].iloc[0], pdf["path"].iloc[0], canonical_json(merged))],
             columns=["repo", "path", "schema_json"],
@@ -59,12 +64,16 @@ def global_schema(chunks: DataFrame, fanin: int = 16) -> dict:
         for b in batches:
             if len(b) == 0:
                 continue
-            merged = schema_union_all(json.loads(s) for s in b["schema_json"])
+            merged = schema_union_all(
+                json.loads(s) for s in b["schema_json"] if s is not None
+            )
             # bucket is assigned downstream from a stable content hash
             yield pd.DataFrame([(0, canonical_json(merged))], columns=["bucket", "schema_json"])
 
     def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = schema_union_all(json.loads(s) for s in pdf["schema_json"])
+        merged = schema_union_all(
+            json.loads(s) for s in pdf["schema_json"] if s is not None
+        )
         return pd.DataFrame(
             [(int(pdf["bucket"].iloc[0]), canonical_json(merged))],
             columns=["bucket", "schema_json"],

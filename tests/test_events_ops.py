@@ -351,3 +351,32 @@ def test_time_join_reserved_name_guards(spark):
     )
     with _pytest.raises(ValueError, match="reserved"):
         interval_join(pts, ivs)
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """merge_asof parity: a left row with ts=NULL matches NOTHING in any
+    direction (w_fwd's DESC ordering sorts NULLs last, so every right row
+    would otherwise 'precede' it and forward/nearest would hand it the
+    earliest right row); a right row with ts=NULL is never a match."""
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, None, 100), (1, datetime(2024, 1, 1, 12, 0), 101)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 900),
+            (1, None, 901),
+            (1, datetime(2024, 1, 2, 0, 0), 902),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.event_id: r.prior_event_id
+            for r in asof_join(left, right, direction=direction).collect()
+        }
+        assert got[100] is None, direction
+        # the valid left row still matches a real (non-NULL-ts) right row
+        assert got[101] == (900 if direction != "forward" else 902), direction

@@ -259,3 +259,86 @@ def test_streaming_sessionize_late_events(spark, tmp_path):
     # the mergeable-late event extended session 1 backward; end >= start
     assert rows[(1, 1)] == (t("09:55"), t("10:10"), 3, 3.0)
     assert set(rows) == {(1, 0), (1, 1)}
+
+
+def test_streaming_sessionize_null_ts_not_a_poison_pill(spark, tmp_path):
+    """One NULL-timestamp event must be DROPPED at the group boundary, not
+    enter state as epoch -2^63 ns and crash every restart of the query
+    with OutOfBoundsDatetime on emit."""
+    from datetime import datetime
+
+    from scrapontologies_spark.streaming.sessions import sessionize_stream
+
+    rows = [
+        (7, datetime(2024, 1, 1, 10, 0), 1, 1.0),
+        (7, None, 2, 5.0),                       # the poison pill
+        (7, datetime(2024, 1, 1, 12, 0), 3, 2.0),  # > gap: closes session 1
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    in_dir, ckpt = str(tmp_path / "ev_null"), str(tmp_path / "ckpt_null")
+    events.write.mode("overwrite").parquet(in_dir)
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(events.schema).parquet(in_dir),
+            gap_minutes=30,
+        )
+        .writeStream.format("memory")
+        .queryName("sess_null_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sess_null_out").collect()
+    assert len(got) == 1
+    assert (got[0].n_events, got[0].total_value) == (1, 1.0)
+
+
+def test_stream_round_matches_spark_half_up():
+    """total_value rounds HALF_UP on the decimal repr (F.round semantics);
+    Python's builtin round() is half-even on the binary value and diverges
+    at boundary sums — the batch/stream parity the module doc claims."""
+    from scrapontologies_spark.streaming.sessions import _round6
+
+    assert _round6(0.1234565) == 0.123457   # builtin round gives 0.123456
+    assert _round6(2.675) == 2.675          # 6-dp no-op
+    assert round(0.1234565, 6) == 0.123456  # the divergence being fixed
+
+
+def test_stream_sessionize_timeout_plumbing_runs(spark, tmp_path):
+    """state_timeout_minutes switches to ProcessingTimeTimeout and sets a
+    per-group timeout duration; in an availableNow run timeouts need not
+    fire, but the mode + setTimeoutDuration plumbing must execute cleanly
+    and closed sessions still emit."""
+    from datetime import datetime
+
+    from scrapontologies_spark.streaming.sessions import sessionize_stream
+
+    rows = [
+        (5, datetime(2024, 1, 1, 10, 0), 1, 1.0),
+        (5, datetime(2024, 1, 1, 12, 0), 2, 2.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    in_dir, ckpt = str(tmp_path / "ev_to"), str(tmp_path / "ckpt_to")
+    events.write.mode("overwrite").parquet(in_dir)
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(events.schema).parquet(in_dir),
+            gap_minutes=30,
+            state_timeout_minutes=60,
+        )
+        .writeStream.format("memory")
+        .queryName("sess_to_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sess_to_out").collect()
+    assert len(got) == 1 and got[0].n_events == 1

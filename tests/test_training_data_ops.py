@@ -928,3 +928,102 @@ def test_language_id_null_text_yields_null_pred(spark):
            for r in textops.language_id(df).collect()}
     assert got[1][0] == "en"
     assert got[2] == (None, None)
+
+
+# fifth review pass: robustness edges in multimodal / schema merge / packing
+
+
+def test_multimodal_null_payload_and_16bit_pgm(spark):
+    """A NULL payload row yields NULL features / 0 bytes instead of
+    bytes(None) aborting the stage; a 16-bit P5 (maxval>255, 2 bytes per
+    sample big-endian, per spec) decodes its full raster instead of
+    silently reading half the bytes and understating the mean; maxval=0
+    raises ValueError, not ZeroDivisionError."""
+    from scrapontologies_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_pgm,
+        extract_features,
+        stdlib_decode,
+    )
+
+    # 2x1, 16-bit: samples 0x0100 (256) and 0x0300 (768); mean
+    # = (256+768)/2/65535
+    p5_16 = b"P5\n2 1\n65535\n" + bytes([1, 0, 3, 0])
+    w, h, mx, mean = decode_pgm(p5_16)
+    assert (w, h, mx) == (2.0, 1.0, 65535.0)
+    assert abs(mean - (256 + 768) / 2 / 65535) < 1e-12
+
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n1 1\n0\n\x00")
+
+    meta = {"mime": "image/x-pgm", "width": 1, "height": 1, "duration_ms": None}
+    rows = [
+        (1, "image", b"P5\n1 1\n255\n\x80", meta),
+        (2, "image", None, meta),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.n_bytes, r.feature)
+        for r in extract_features(media, decode_fn=stdlib_decode).collect()
+    }
+    assert got[2] == (0, None)
+    assert got[1][0] > 0 and got[1][1] is not None
+
+
+def test_frame_sample_null_duration_is_visible(spark):
+    """A video with NULL duration metadata emits one NULL-frame row
+    (explode_outer) instead of silently vanishing from the pipeline."""
+    from scrapontologies_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", b"x", {"mime": "video/x", "width": 1, "height": 1,
+                                "duration_ms": 500}),
+            (2, "video", b"y", {"mime": "video/x", "width": 1, "height": 1,
+                                "duration_ms": None}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {}
+    for r in frame_sample(media, every_ms=250).collect():
+        got.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert sorted(got[1]) == [0, 250, 500]
+    assert got[2] == [None]
+
+
+def test_schema_merge_skips_null_schema_json(spark):
+    """One NULL schema_json row (chunks built with with_schemas=False, or
+    corruption) must be skipped — not abort the tree-reduce on
+    json.loads(None)."""
+    from scrapontologies_spark.operators.schema_merge import (
+        document_schemas,
+        global_schema,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            ("r", "a.py", '{"properties": {"x": {"type": "string"}}}'),
+            ("r", "a.py", None),
+        ],
+        "repo string, path string, schema_json string",
+    )
+    docs = document_schemas(chunks).collect()
+    assert len(docs) == 1 and '"x"' in docs[0].schema_json
+    g = global_schema(chunks)
+    assert "x" in g.get("properties", {})
+
+
+def test_pack_sequences_guards_reserved_start_column(spark):
+    """A caller's own '_start' column must fail fast instead of being
+    silently overwritten by the internal cumsum and dropped."""
+    from scrapontologies_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, 10, 0)], "source string, doc_id int, n_tokens int, _start int"
+    )
+    with pytest.raises(ValueError):
+        pack_sequences(df, capacity=100, size_col="n_tokens",
+                       group_col="source", order_col="doc_id")
