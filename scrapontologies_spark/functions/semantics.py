@@ -338,7 +338,21 @@ def schema_union(
             elif key == "type":
                 out[key] = _resolve_type(v1, v2, conflicts, _path)
             elif key == "required" and isinstance(v1, list) and isinstance(v2, list):
-                out[key] = sorted(set(v1) & set(v2))
+                try:
+                    out[key] = sorted(set(v1) & set(v2))
+                except TypeError:
+                    # malformed external input: unhashable dict elements
+                    # (TypeError in set()) or mixed str/int (TypeError in
+                    # sorted comparison) — equality-based intersection with
+                    # a canonical-JSON sort key instead of a crash, the
+                    # same never-a-crash hardening as _resolve_type above
+                    inter: list = []
+                    for x in v1:
+                        if any(x == y for y in v2) and not any(
+                            x == z for z in inter
+                        ):
+                            inter.append(x)
+                    out[key] = sorted(inter, key=canonical_json)
             elif v1 == v2:
                 out[key] = copy.deepcopy(v1)
             else:
@@ -452,6 +466,15 @@ def derive_containment_relations(entities: Sequence[Entity], root: str = "ROOT")
     def walk(parent: str, attrs: Any) -> None:
         if not isinstance(attrs, dict):
             return
+        if set(attrs) == {"array"}:
+            # an array-typed node's simplified subtree IS the {'array': ...}
+            # wrapper; without unwrapping HERE (not just one level down),
+            # every array-typed entity would emit an edge to one shared
+            # bogus node literally named 'array', and its grandchildren
+            # would collide across unrelated entities as array_has_<field>
+            attrs = attrs["array"]
+            if not isinstance(attrs, dict):
+                return
         for child_name, sub in attrs.items():
             if isinstance(sub, dict):
                 inner = sub.get("array", sub) if set(sub) == {"array"} else sub
@@ -496,8 +519,21 @@ def reconcile_entities(existing: Sequence[Entity], new: Sequence[Entity]) -> Lis
     """
     if not existing:
         return [Entity(e.id, e.type, copy.deepcopy(e.attributes)) for e in new]
-    by_id = {e.id: Entity(e.id, e.type, copy.deepcopy(e.attributes)) for e in existing}
-    order = [e.id for e in existing]
+    # duplicate ids WITHIN existing merge by the same A1 rule (first
+    # occurrence's position kept) — a last-wins dict comprehension would
+    # silently drop the earlier duplicate's attributes AND alias one Entity
+    # object into multiple output slots
+    by_id: Dict[str, Entity] = {}
+    order: List[str] = []
+    for e in existing:
+        if e.id in by_id:
+            cur = by_id[e.id]
+            cur.attributes = merge_dicts_preferring_non_na(
+                cur.attributes or {}, e.attributes or {}
+            )
+        else:
+            by_id[e.id] = Entity(e.id, e.type, copy.deepcopy(e.attributes))
+            order.append(e.id)
     for n in new:
         if n.id in by_id:
             cur = by_id[n.id]

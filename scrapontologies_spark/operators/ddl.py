@@ -48,29 +48,70 @@ def _sql_type(prop: Dict[str, Any]) -> str:
     return _TYPE_MAP.get(t, "STRING")
 
 
+# SQL reserved words an extracted property name can plausibly collide with
+# (ANSI + Postgres + Spark).  A reserved identifier gets a trailing '_' —
+# engine-agnostic, unlike quoting, whose syntax differs per dialect
+# (backticks vs double quotes) and per Spark conf.
+_RESERVED = frozenset({
+    "all", "and", "any", "as", "asc", "between", "by", "case", "cast",
+    "check", "column", "constraint", "create", "cross", "current", "default",
+    "delete", "desc", "distinct", "drop", "else", "end", "except", "exists",
+    "false", "fetch", "for", "foreign", "from", "full", "grant", "group",
+    "having", "in", "inner", "insert", "intersect", "into", "is", "join",
+    "left", "like", "limit", "not", "null", "of", "offset", "on", "or",
+    "order", "outer", "primary", "references", "right", "select", "set",
+    "some", "table", "then", "to", "true", "union", "unique", "update",
+    "user", "using", "values", "when", "where", "window", "with",
+})
+
+
 def _ident(name: str) -> str:
     """Lower-snake identifier, deterministic.  Distinct raw names CAN map to
     the same identifier ('Foo-Bar' and 'foo_bar' → 'foo_bar'); collisions
     are resolved at emission time by :func:`_uniq`, which appends a short
     hash of the raw name — never silently, never order-dependent beyond the
-    canonical schema order."""
+    canonical schema order.  SQL reserved words ('order', 'user', 'from')
+    get a trailing underscore so the rendered DDL parses in every target
+    engine."""
     clean = re.sub(r"[^A-Za-z0-9_]", "_", name).lower()
     if not clean or clean[0].isdigit():
         clean = f"t_{clean}"
+    if clean in _RESERVED:
+        clean += "_"
     return clean
 
 
 def _uniq(ident: str, raw: str, used: set) -> str:
     """Disambiguate ``ident`` against ``used`` (mutated): first occupant
     keeps the clean name; later raw names that sanitize to the same
-    identifier get a deterministic 6-hex suffix derived from the RAW name,
-    so the result is stable across runs and input orderings of other keys."""
+    identifier get a deterministic suffix derived from the RAW name's hash,
+    extended until free — so the result is stable across runs and input
+    orderings of other keys, and a raw name that happens to equal another
+    name's suffixed form still cannot yield two identical identifiers."""
     if ident not in used:
         used.add(ident)
         return ident
-    suffixed = f"{ident}_{hashlib.md5(raw.encode('utf-8')).hexdigest()[:6]}"
+    h = hashlib.md5(raw.encode("utf-8")).hexdigest()
+    take = 6
+    suffixed = f"{ident}_{h[:take]}"
+    while suffixed in used and take < len(h):
+        take += 2
+        suffixed = f"{ident}_{h[:take]}"
     used.add(suffixed)
     return suffixed
+
+
+def _array_node(sub: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize an array property to the object node its items table is
+    built from: object items pass through; scalar (or missing) items become
+    a single 'value' column."""
+    items = sub.get("items") or {}
+    if items.get("type") == "object" or "properties" in items:
+        return items
+    return {
+        "type": "object",
+        "properties": {"value": items or {"type": "string"}},
+    }
 
 
 @dataclass
@@ -107,20 +148,7 @@ def schema_to_tables(schema: Dict[str, Any]) -> List[TableSpec]:
             if t == "object" or "properties" in sub:
                 children.append((_ident(cname), cname, sub))
             elif t == "array":
-                items = sub.get("items") or {}
-                if items.get("type") == "object" or "properties" in items:
-                    children.append((_ident(cname), cname, items))
-                else:
-                    children.append(
-                        (
-                            _ident(cname),
-                            cname,
-                            {
-                                "type": "object",
-                                "properties": {"value": items or {"type": "string"}},
-                            },
-                        )
-                    )
+                children.append((_ident(cname), cname, _array_node(sub)))
             else:
                 cols.append((_uniq(_ident(cname), cname, used_cols), _sql_type(sub)))
         tables.append(TableSpec(tname, cols, pk, fk))
@@ -129,7 +157,12 @@ def schema_to_tables(schema: Dict[str, Any]) -> List[TableSpec]:
 
     for name, sub in props.items():
         if isinstance(sub, dict):
-            walk(_uniq(_ident(name), name, used_tables), sub, None)
+            # a TOP-LEVEL array property gets the same items-table treatment
+            # as a nested one — walk() reads only node['properties'], so
+            # passing the raw array node would silently drop its items and
+            # emit a PK-only table
+            node = _array_node(sub) if sub.get("type") == "array" else sub
+            walk(_uniq(_ident(name), name, used_tables), node, None)
     return tables
 
 

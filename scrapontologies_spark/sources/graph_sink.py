@@ -17,6 +17,18 @@ from __future__ import annotations
 import json
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
+# Uniqueness constraint on the MERGE key — REQUIRED before any parallel
+# export: without it, two partitions concurrently MERGEing the same id
+# (e.g. a lib:: obj node appearing in many partitions' triples) race and
+# create duplicate nodes — the classic Neo4j MERGE race, which would break
+# the idempotent-upsert contract.  With the constraint, one MERGE wins and
+# the others retry/lock on the key.  export_to_graph runs it driver-side
+# before the parallel writes.
+CONSTRAINT_CYPHER = (
+    "CREATE CONSTRAINT entity_id_unique IF NOT EXISTS "
+    "FOR (e:Entity) REQUIRE e.id IS UNIQUE"
+)
+
 # Idempotent upserts: MERGE on the id key, SET properties.
 ENTITY_CYPHER = (
     "UNWIND $rows AS r "
@@ -76,7 +88,12 @@ def export_to_graph(
     """Distributed export: each partition formats its own batches and calls
     the injected ``run_cypher(statement, {"rows": [...]})`` — the
     foreachPartition shape that a real Neo4j driver session plugs into
-    (db_client.py:85-97 semantics: execute, consume results)."""
+    (db_client.py:85-97 semantics: execute, consume results).
+
+    The id-uniqueness constraint runs first, DRIVER-side: parallel MERGEs
+    on the same id race without it (duplicate nodes) — see
+    CONSTRAINT_CYPHER."""
+    run_cypher(CONSTRAINT_CYPHER, {})
 
     def _ents(it):
         for stmt, rows in entity_batches((r.asDict() for r in it), batch_size):
@@ -104,10 +121,25 @@ def cypher_script(
     VALUES are JSON-encoded (JSON string literals are valid Cypher string
     literals)."""
 
-    def _cypher_map(row: Dict[str, Any]) -> str:
-        return "{" + ", ".join(f"{k}: {json.dumps(v)}" for k, v in row.items()) + "}"
+    def _cypher_value(v: Any) -> str:
+        # Cypher property values must be scalars (or arrays of scalars):
+        # a dict-valued field JSON-encoded inline would render quoted map
+        # keys ({"k": 1}) — the exact syntax error the docstring warns
+        # about — so non-scalars become their canonical-JSON STRING (the
+        # same representation the entities table stores).  Non-finite
+        # floats (NaN/Infinity) have no Cypher literal: null.
+        if isinstance(v, (dict, list)):
+            return json.dumps(json.dumps(v, sort_keys=True))
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            return "null"
+        return json.dumps(v)
 
-    parts = []
+    def _cypher_map(row: Dict[str, Any]) -> str:
+        return (
+            "{" + ", ".join(f"{k}: {_cypher_value(v)}" for k, v in row.items()) + "}"
+        )
+
+    parts = [f"{CONSTRAINT_CYPHER};"]
     for stmt, rows in list(entity_batches(entities, batch_size)) + list(
         triple_batches(triples, batch_size)
     ):

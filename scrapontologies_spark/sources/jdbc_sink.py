@@ -25,16 +25,30 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List, Optional
 
-from ..operators.ddl import schema_to_tables, tables_to_ddl
+from ..operators.ddl import TableSpec, schema_to_tables, tables_to_ddl
+
+# Spark-SQL column types → Postgres/ANSI spellings.  Without this a real
+# psycopg2 client fails on essentially every schema: Postgres has no
+# STRING type, and DOUBLE needs PRECISION.
+_PG_TYPES = {"STRING": "TEXT", "DOUBLE": "DOUBLE PRECISION"}
 
 
 def postgres_ddl(schema: Dict[str, Any], if_not_exists: bool = True) -> List[str]:
-    """Deterministic ANSI DDL (with PK/FK constraints) for every 3NF table
-    derived from ``schema`` — the executable stand-in for the reference's
-    LLM-generated CREATE TABLE statements."""
-    return tables_to_ddl(
-        schema_to_tables(schema), if_not_exists=if_not_exists, with_constraints=True
-    )
+    """Deterministic Postgres DDL (with PK/FK constraints) for every 3NF
+    table derived from ``schema`` — the executable stand-in for the
+    reference's LLM-generated CREATE TABLE statements.  Column types are
+    rendered in the Postgres dialect (TEXT / DOUBLE PRECISION); the
+    Spark/Iceberg spellings stay in operators/ddl.tables_to_ddl."""
+    pg_specs = [
+        TableSpec(
+            t.name,
+            [(c, _PG_TYPES.get(ty, ty)) for c, ty in t.columns],
+            t.primary_key,
+            t.foreign_key,
+        )
+        for t in schema_to_tables(schema)
+    ]
+    return tables_to_ddl(pg_specs, if_not_exists=if_not_exists, with_constraints=True)
 
 
 def create_tables_via(

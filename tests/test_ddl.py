@@ -205,3 +205,67 @@ def test_sql_type_handles_union_types():
     tables = schema_to_tables(schema)
     cols = {c: ty for t in tables for c, ty in t.columns}
     assert cols["x"] == "STRING" and cols["y"] == "BIGINT" and cols["z"] == "STRING"
+
+
+def test_top_level_array_property_keeps_items():
+    """A top-level {'type':'array'} property must get the same items-table
+    treatment as a nested one — not a PK-only table with its items
+    silently dropped."""
+    tables = {t.name: t for t in schema_to_tables(
+        {"properties": {
+            "tags": {"type": "array", "items": {"type": "string"}},
+            "people": {"type": "array", "items": {
+                "type": "object",
+                "properties": {"name": {"type": "string"}},
+            }},
+        }}
+    )}
+    assert [c for c, _ in tables["tags"].columns if c == "value"] == ["value"]
+    assert ("name", "STRING") in tables["people"].columns
+
+
+def test_reserved_word_identifiers_are_suffixed():
+    """Property names that are SQL reserved words ('order', 'user', 'from')
+    must not render unexecutable DDL — they get a trailing underscore."""
+    tables = schema_to_tables(
+        {"properties": {"order": {"type": "object", "properties": {
+            "from": {"type": "string"}, "user": {"type": "integer"},
+        }}}}
+    )
+    (t,) = tables
+    assert t.name == "order_"
+    cols = dict(t.columns)
+    assert "from_" in cols and "user_" in cols
+    ddl = tables_to_ddl(tables)[0]
+    assert " order " not in ddl and "order_ " in ddl
+
+
+def test_postgres_ddl_uses_postgres_types():
+    """The psycopg2 path must emit TEXT / DOUBLE PRECISION — Postgres has
+    no STRING type and bare DOUBLE is a syntax error."""
+    from scrapontologies_spark.sources.jdbc_sink import postgres_ddl
+
+    stmts = postgres_ddl({"properties": {"payslip": {
+        "type": "object",
+        "properties": {"name": {"type": "string"},
+                       "amount": {"type": "number"},
+                       "n": {"type": "integer"}},
+    }}})
+    joined = "\n".join(stmts)
+    assert "TEXT" in joined and "DOUBLE PRECISION" in joined
+    assert " STRING" not in joined
+    assert "BIGINT" in joined
+
+
+def test_uniq_suffix_collision_extends_hash():
+    """A raw name equal to another name's suffixed form must not yield two
+    identical identifiers — the suffix extends until free."""
+    from scrapontologies_spark.operators.ddl import _ident, _uniq
+
+    used: set = set()
+    first = _uniq(_ident("Foo"), "Foo", used)
+    second = _uniq(_ident("foo"), "foo", used)          # foo_<h6>
+    # occupy the colliding suffixed slot, then force a third collision
+    clash_raw = "FOO"
+    clash = _uniq(_ident(clash_raw), clash_raw, used)
+    assert len({first, second, clash}) == 3

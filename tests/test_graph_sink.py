@@ -59,7 +59,7 @@ def test_distributed_export_calls_runner_per_batch(spark):
     acc = spark.sparkContext.accumulator([], ListParam())
 
     def runner(stmt, params):
-        acc.add([(stmt, len(params["rows"]))])
+        acc.add([(stmt, len(params.get("rows", [])))])
 
     export_to_graph(ents, trps, runner, batch_size=2)
     calls = acc.value
@@ -67,6 +67,12 @@ def test_distributed_export_calls_runner_per_batch(spark):
     trp_rows = sum(n for s, n in calls if s == TRIPLE_CYPHER)
     assert ent_rows == len(ENTS)
     assert trp_rows == len(TRPS)
+    # the id-uniqueness constraint ran exactly once, driver-side, BEFORE
+    # the parallel MERGEs (whose concurrent same-id upserts race without it)
+    from scrapontologies_spark.sources.graph_sink import CONSTRAINT_CYPHER
+
+    assert calls[0] == (CONSTRAINT_CYPHER, 0)
+    assert sum(1 for s, _ in calls if s == CONSTRAINT_CYPHER) == 1
 
 
 def test_cypher_script_map_keys_are_bare_identifiers():

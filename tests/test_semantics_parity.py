@@ -537,3 +537,66 @@ def test_cpp_class_body_member_prototypes_are_not_calls():
     ms = extract_mentions("c", src)
     calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
     assert calls == {("grow", "insert"), ("Overflow", "insert")}
+
+
+def test_containment_unwraps_top_level_array_entities():
+    """An array-typed top-level entity's simplified subtree IS the
+    {'array': ...} wrapper; containment must unwrap it at the entity level
+    too — not emit every such entity's edge to one shared bogus node
+    literally named 'array'."""
+    schema = {
+        "tags": {"type": "array", "items": {"type": "object", "properties": {
+            "label": {"type": "object", "properties": {"x": {"type": "string"}}},
+        }}},
+        "people": {"type": "array", "items": {"type": "object", "properties": {
+            "address": {"type": "object", "properties": {"city": {"type": "string"}}},
+        }}},
+    }
+    rels = S.derive_containment_relations(S.schema_to_entities(schema))
+    edges = {(r.source, r.target) for r in rels}
+    assert not any(t == "array" for _, t in edges)
+    assert ("tags", "label") in edges
+    assert ("people", "address") in edges
+
+
+def test_schema_union_required_never_crashes_on_malformed_lists():
+    """External schemas can carry malformed 'required' lists (unhashable
+    dicts, mixed str/int); the union must intersect without crashing —
+    the same never-a-crash hardening as _resolve_type — and stay exactly
+    sorted(set&set) for well-formed string lists."""
+    ok = S.schema_union({"required": ["b", "a"]}, {"required": ["a", "b", "c"]})
+    assert ok["required"] == ["a", "b"]
+    bad1 = S.schema_union({"required": [{"a": 1}, "x"]}, {"required": ["x", {"a": 1}]})
+    assert {"a": 1} in bad1["required"] and "x" in bad1["required"]
+    assert len(bad1["required"]) == 2
+    bad2 = S.schema_union({"required": ["x", 1]}, {"required": [1, "x"]})
+    assert set(map(str, bad2["required"])) == {"x", "1"}
+
+
+def test_reconcile_merges_duplicate_ids_in_existing():
+    """Duplicate ids WITHIN existing merge by the A1 rule (first position
+    kept) instead of last-wins dropping the earlier attributes and
+    aliasing one Entity object into two output slots."""
+    existing = [
+        S.Entity("a", "object", {"x": 1}),
+        S.Entity("a", "object", {"y": 2}),
+    ]
+    out = S.reconcile_entities(existing, [])
+    assert len(out) == 1
+    assert out[0].attributes == {"x": 1, "y": 2}
+
+
+def test_cypher_script_handles_dict_and_nonfinite_values():
+    """A dict-valued field renders as its canonical-JSON STRING (inline
+    JSON would emit quoted map keys — a cypher-shell syntax error) and
+    NaN/Infinity floats (no Cypher literal) become null."""
+    from scrapontologies_spark.sources.graph_sink import cypher_script
+
+    script = cypher_script(
+        [{"id": "a", "type": "t", "attributes": {"k": 1}}],
+        [{"subj": "a", "pred": float("nan"), "obj": "b", "rel_type": "r"}],
+    )
+    assert '{"' not in script          # no quoted map keys anywhere
+    assert "NaN" not in script
+    assert "pred: null" in script
+    assert '"{\\"k\\": 1}"' in script  # dict value -> escaped JSON string
