@@ -77,6 +77,10 @@ _KEYWORDS = {
     "if", "for", "while", "return", "def", "class", "import", "from", "func",
     "function", "switch", "catch", "print", "len", "range", "int", "str",
     "super", "new", "type", "struct", "void",
+    # CommonJS require lines already yield the import mention via
+    # _JS_IMPORT — counting 'require' itself as a call would add a bogus
+    # local symbol 'repo/path::require' per require-style file
+    "require",
 }
 
 _PY_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
@@ -100,7 +104,14 @@ _JAVA_CLASS = re.compile(
     r"^\s*(?:(?:public|protected|private|abstract|final|static)\s+)*class\s+(\w+)",
     re.M,
 )
-_JAVA_METHOD = re.compile(r"^\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{", re.M)
+# full modifier set, matching _JAVA_CLASS plus the method-only ones — with
+# only public/private/static, 'protected void close() {' was silently not
+# a declaration and 'close' leaked into the call stream instead
+_JAVA_METHOD = re.compile(
+    r"^\s+(?:(?:public|protected|private|static|final|abstract|synchronized"
+    r"|native)\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{",
+    re.M,
+)
 
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
 _DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
@@ -164,8 +175,15 @@ _RB_KEYWORDS = frozenset({"puts", "require", "raise", "lambda", "proc", "new",
 # 'if (' / 'while (' have no second identifier before the paren.
 _C_INCLUDE = re.compile(r'^\s*#\s*include\s+[<"]([\w./-]+)[>"]', re.M)
 _C_CLASS = re.compile(r"^\s*(?:class|struct)\s+(\w+)\s*[:{]", re.M)
+# leading whitespace allowed: inline member-function definitions inside a
+# class body ('    void f() { g(); }') are the norm in C++ headers — an
+# indent-rejected definition would leak its name (and body calls) into the
+# call stream instead.  Control statements still self-exclude: one-keyword
+# forms have no second identifier before the paren, two-word forms
+# ('else if') are filtered by _C_CTRL, and '='/';'/'(' are outside the
+# type-token class so initializers, lambdas and statements cannot span it.
 _C_FN = re.compile(
-    r"^[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:(\w+)::)?(\w+)\s*\(([^;{}]*)\)\s*"
+    r"^(\s*)[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:(\w+)::)?(\w+)\s*\(([^;{}]*)\)\s*"
     r"(?:const\s*)?\{",
     re.M,
 )
@@ -199,7 +217,8 @@ _ANY_DECL = re.compile(
     r"(?:(\s*)def\s+(\w+)\s*\("
     r"|\s*function\s+(\w+)\s*\("
     r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*\("
-    r"|\s+(?:public\s+|private\s+|static\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{)"
+    r"|\s+(?:(?:public|protected|private|static|final|abstract|synchronized"
+    r"|native)\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{)"
 )
 
 # Natural-language gazetteer for prose corpora (the driver's ``documents``
@@ -289,7 +308,12 @@ def extract_mentions(
         for m in _JAVA_METHOD.finditer(text):
             preceding = [c for c in class_spans if c[0] < m.start()]
             owner = preceding[-1][1] if preceding else ""
-            out.append({"kind": "method", "name": m.group(1), "owner": owner})
+            # ownerless (class declared in an earlier chunk): fall back to
+            # 'function' like python/rust/ruby do — a kind='method' with
+            # owner '' would emit a has_method triple from the dangling
+            # node '<repo>/<path>::'
+            kind = "method" if owner else "function"
+            out.append({"kind": kind, "name": m.group(1), "owner": owner})
         out.extend(_calls(text))
     elif lang == "rust":
         decls = []
@@ -342,11 +366,19 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
         fn_spans = []
         for m in _C_FN.finditer(text):
-            qual, name = m.group(1), m.group(2)
+            indent, qual, name = m.group(1), m.group(2), m.group(3)
             if name in _C_CTRL:  # `else if (...) {` fits the def shape
                 continue
-            kind = "method" if qual else "function"
-            decls.append((m.start(), {"kind": kind, "name": name, "owner": qual or ""}))
+            owner = qual or ""
+            if not owner and indent:
+                # inline member definition: owner = nearest preceding
+                # class/struct declaration, python/java-style
+                preceding = [c for c in decls if c[1]["kind"] == "class"
+                             and c[0] < m.start()]
+                if preceding:
+                    owner = preceding[-1][1]["name"]
+            kind = "method" if owner else "function"
+            decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
             fn_spans.append((m.start(), m.end(), name))
         proto_spans = [(m.start(), m.end()) for m in _C_PROTO.finditer(text)]
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))

@@ -61,6 +61,16 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # release superseded in-loop checkpoints like operators/cc.py does:
+    # DataFrame.unpersist cannot reach localCheckpoint blocks, and letting
+    # one block set pile up per checkpointed round reproduces the measured
+    # ~30 GB heap-growth / full-GC failure mode.  The loop-invariant ew /
+    # nodes checkpoints and the FINAL ranks checkpoint stay live (the
+    # returned frame reads them; truncated lineage cannot recompute).
+    from .cc import _persistent_rdd_ids, _release_rdds
+
+    sc = edges.sparkSession.sparkContext
+    prev_block_ids: set = set()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
         contribs = (
@@ -80,5 +90,8 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            before = _persistent_rdd_ids(sc)
             ranks = ranks.localCheckpoint(eager=True)
+            _release_rdds(sc, prev_block_ids)
+            prev_block_ids = _persistent_rdd_ids(sc) - before
     return ranks

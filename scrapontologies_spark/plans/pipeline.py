@@ -109,8 +109,11 @@ def run_pipeline(
         # schema-partial mapInPandas in one task pipeline — two Python
         # runners ping-ponging per task, measured ~4× slower than running
         # them against the materialized cache (same pathology fixed for
-        # m5 containment via the fused with_containment emit).
-        doc_rows.count()
+        # m5 containment via the fused with_containment emit).  With
+        # persist=False there is no cache to fill — the count would be a
+        # full wasted extraction pass before the reduce re-runs it all.
+        if persist:
+            doc_rows.count()
         # tree-reduce over the (already per-doc-unioned) schema rows
         gschema = global_schema(doc_schemas)
         gschema_json = canonical_json(gschema)
@@ -155,7 +158,6 @@ def pipeline_summary(
     import pandas as pd
 
     from ..functions.semantics import schema_union_all, schema_union_owned
-    from ..operators.extract import extract_document_rows
 
     doc_rows = extract_document_rows(
         corpus, chunk_bytes=chunk_bytes, with_schemas=True, emit_chunks=False
@@ -191,8 +193,14 @@ def verify_content_invariant(corpus: DataFrame, chunks: DataFrame) -> int:
     from the corpus, or a corpus document with no chunk rows at all.  A
     same-document mix of good and bad carried hashes is therefore counted
     — an exists-one-matching-row check would let it pass."""
+    # coalesce mirrors the extractor's NULL-as-empty-document policy
+    # (extract.py: one bad row must not abort the stage): sha2(NULL) is
+    # NULL, which would count a deliberately-handled NULL-content doc as a
+    # violation even though its chunk rows correctly carry sha256("")
     src = corpus.select(
-        "repo", "path", F.sha2(F.col("content"), 256).alias("sha_src")
+        "repo",
+        "path",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("sha_src"),
     )
     carried = chunks.select(
         "repo", "path", F.col("sha256").alias("sha_carried")

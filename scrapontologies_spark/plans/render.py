@@ -254,7 +254,11 @@ def render_from_tables(
             "target",
             "left_semi",
         )
-        .orderBy("source", "target")
+        # order by EVERY column: (source, target) alone is not a total
+        # order when duplicate pairs differ in pred/rel_type, so the kept
+        # members at the limit boundary would vary with partitioning —
+        # breaking the byte-stable render the nodes side guarantees
+        .orderBy(*sorted(relations_df.columns))
         .limit(max_edges)
     )
     rels = [r.asDict() for r in rels_df.collect()]

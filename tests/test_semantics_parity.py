@@ -285,9 +285,22 @@ def test_java_method_owner_is_nearest_class_above():
     owners = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
     assert classes == {"A", "B"}
     assert owners == {"foo": "A", "bar": "B"}
-    # method in a chunk with no class declaration keeps owner ''
+    # a method whose class declaration landed in an earlier chunk falls
+    # back to kind='function' (owner '') like python/rust/ruby — an
+    # ownerless 'method' would emit a has_method triple from the dangling
+    # node '<repo>/<path>::'
     ms2 = extract_mentions("java", "    public int baz(int x) {\n")
-    assert [m["owner"] for m in ms2 if m["kind"] == "method"] == [""]
+    assert [m["kind"] for m in ms2 if m["name"] == "baz"] == ["function"]
+    # full modifier set: 'protected ... close()' is a declaration, not a
+    # call leaking into the stream
+    ms3 = extract_mentions(
+        "java",
+        "class C {\n    protected synchronized void close() {\n        x();\n    }\n}\n",
+    )
+    assert {m["name"]: m["kind"] for m in ms3 if m["name"] == "close"} == {
+        "close": "method"
+    }
+    assert ("close", ) not in {(m["name"],) for m in ms3 if m["kind"] == "call"}
 
 
 def test_self_recursive_call_keeps_called_by():
@@ -600,3 +613,39 @@ def test_cypher_script_handles_dict_and_nonfinite_values():
     assert "NaN" not in script
     assert "pred: null" in script
     assert '"{\\"k\\": 1}"' in script  # dict value -> escaped JSON string
+
+
+def test_cpp_inline_member_definitions_are_methods():
+    """Inline member definitions inside a class body (the C++ header norm)
+    must register as methods of the enclosing class — indent-rejected,
+    their names (and body calls) leaked into the call stream as spurious
+    file-scope calls."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "class A {\n"
+        "  public:\n"
+        "    void f() { g(); }\n"
+        "};\n"
+        "static int top(void) {\n"
+        "    return f2(1);\n"
+        "}\n"
+    )
+    ms = extract_mentions("c", src)
+    methods = {m["name"]: m["owner"] for m in ms if m["kind"] == "method"}
+    assert methods == {"f": "A"}
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    assert ("f", "") not in calls
+    assert ("g", "f") in calls and ("f2", "top") in calls
+
+
+def test_js_require_is_import_not_call():
+    """CommonJS require yields the import mention only — counting the
+    'require(' shape as a call fabricated a local symbol 'require' per
+    require-style file."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    ms = extract_mentions("javascript", "const x = require('mod');\nrun(x);\n")
+    assert {m["name"] for m in ms if m["kind"] == "import"} == {"mod"}
+    calls = {m["name"] for m in ms if m["kind"] == "call"}
+    assert "require" not in calls and "run" in calls
