@@ -274,8 +274,16 @@ def main() -> None:
             "",
             "Run `python scripts/scaling_bench.py` to reproduce.",
         ]
-        with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        # NEVER overwrite BENCH_SCALING.md in place: it accumulates
+        # narrative sections (historical instances, near-dup store, heap
+        # attribution, ANN curves) that a template rewrite would destroy —
+        # verified the hard way.  Write the fresh measurement beside it;
+        # merging into the living document is a human/agent edit.
+        out_path = os.path.join(REPO, "bench_data", "scaling_latest.md")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
             f.write("\n".join(md) + "\n")
+        print(f"report written to {out_path} (merge into BENCH_SCALING.md)")
 
     finally:
         # the multi-GB temp corpus must not outlive a failed run
