@@ -89,7 +89,14 @@ def _sf_from_dir(sf_dir: str) -> float:
     try:
         return float(base.replace("sf", ""))
     except ValueError:
-        return 0.1
+        # fail BEFORE any timed work (same principle as the query-name
+        # validation below): a silent 0.1 fallback would mis-size the
+        # synthetic corpus and mislabel the emitted JSON, corrupting
+        # cross-round comparisons with no warning
+        raise SystemExit(
+            f"SPARK_GRAFT_SF_DIR basename {base!r} is not sf<N> — cannot "
+            "infer the scale factor; rename the dir or use sf-style names"
+        )
 
 
 def _force(df) -> None:

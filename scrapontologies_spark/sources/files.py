@@ -63,10 +63,13 @@ EXT_LANG = {
 
 
 def _default_glob(ext_lang: Mapping[str, str]) -> str:
-    return "*.{" + ",".join(sorted(ext_lang)) + "}"
-
-
-DEFAULT_GLOB = _default_glob(EXT_LANG)
+    """Both case variants per extension (NOTES.TXT, Main.JAVA — common in
+    Windows/legacy-originated trees): pathGlobFilter is case-sensitive
+    while lang routing lowercases, and a dropped file contradicts the
+    never-skip-a-page contract.  Mixed-case extensions (.Txt) still need
+    an explicit ``path_glob``."""
+    exts = sorted({e for x in ext_lang for e in (x.lower(), x.upper())})
+    return "*.{" + ",".join(exts) + "}"
 
 
 def corpus_from_files(
@@ -116,10 +119,16 @@ def corpus_from_files(
     # directory that repeats the root's basename (pkg/sub/pkg/a.txt) keeps
     # its true relative path — substring_index on the basename took the
     # LAST occurrence and collapsed distinct files onto one identity.
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://?", root):
-        abs_root = root  # caller passed a URI (hdfs://, s3a://): trust it
-        # strip any scheme+authority so the anchor is the path part only
-        abs_root = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://?[^/]*", "", abs_root) or root
+    uri = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(//[^/]*)?(/.*)?$", root)
+    if uri:
+        # caller passed a URI (file:/x, file:///x, hdfs://nn/x, s3a://b/x):
+        # the anchor is the PATH part only.  An authority exists ONLY in
+        # the double-slash form — a single-slash URI (file:/data/data) has
+        # none, and an authority-stripping regex applied to it would eat
+        # the first path segment, anchoring one level too deep and
+        # prefixing every relative path (hence module id / triple subject /
+        # dedup identity) with a spurious segment.
+        abs_root = uri.group(3) or root
     else:
         abs_root = os.path.abspath(root)
     rel = F.regexp_replace(F.col("path"), "^.*?" + re.escape(abs_root + "/"), "")

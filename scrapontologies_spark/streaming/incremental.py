@@ -72,6 +72,16 @@ def dedup_stream(
     is arrival-order-dependent (Spark semantics); cross-batch suppression
     is exact."""
     out = docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None and watermark is None:
+        # symmetric validation: a caller supplying the event-time column
+        # expects the bounded-state path — silently ignoring it would run
+        # global dropDuplicates with state growing until the store OOMs,
+        # the exact failure the watermark exists to prevent
+        raise ValueError(
+            "ts_col without watermark: pass watermark (e.g. '48 hours') "
+            "for bounded state, or omit ts_col for the unbounded "
+            "availableNow/backfill mode"
+        )
     if watermark is not None:
         if ts_col is None:
             raise ValueError("watermark requires ts_col")

@@ -174,3 +174,32 @@ def test_new_grammars_through_front_door(spark, tmp_path):
         "calls",
         "mixed/main.c::run_engine",
     ) in triples
+
+
+def test_single_slash_uri_root_keeps_full_relative_path(spark, tmp_path):
+    """file:/x (single-slash, no authority) must anchor on the full path —
+    an authority-strip applied to it ate the first path segment, so a root
+    whose first segment repeats its basename (/data/data) prefixed every
+    relative path with a spurious segment."""
+    root = tmp_path / "data" / "data"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("alpha sort")
+    (root / "sub" / "b.txt").write_text("beta merge")
+    got = {
+        r.path for r in corpus_from_files(spark, "file:" + str(root)).collect()
+    }
+    assert got == {"a.txt", "sub/b.txt"}
+
+
+def test_uppercase_extensions_are_ingested(spark, tmp_path):
+    """pathGlobFilter is case-sensitive while lang routing lowercases —
+    NOTES.TXT / Main.PY must not be silently dropped (never-skip-a-page
+    contract; mixed-case like .Txt still needs an explicit glob)."""
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "NOTES.TXT").write_text("the sort term")
+    (root / "Main.PY").write_text("import os\n")
+    (root / "ok.txt").write_text("plain")
+    rows = {r.path: r.lang for r in corpus_from_files(spark, str(root)).collect()}
+    assert set(rows) == {"NOTES.TXT", "Main.PY", "ok.txt"}
+    assert rows["Main.PY"] == "python" and rows["NOTES.TXT"] == "text"

@@ -342,3 +342,19 @@ def test_stream_sessionize_timeout_plumbing_runs(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.table("sess_to_out").collect()
     assert len(got) == 1 and got[0].n_events == 1
+
+
+def test_dedup_stream_rejects_ts_col_without_watermark(spark):
+    """Supplying the event-time column without a watermark must fail fast
+    — silently ignoring it would run unbounded-state dropDuplicates, the
+    exact failure the watermark exists to prevent."""
+    import pytest
+
+    from scrapontologies_spark.streaming.incremental import dedup_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS STRING) AS text", "timestamp AS ts")
+    )
+    with pytest.raises(ValueError):
+        dedup_stream(stream, ts_col="ts")
