@@ -120,13 +120,9 @@ def _release_new_persists(spark, keep_ids: set) -> None:
     the heap until a multi-minute full GC lands on an arbitrary query
     (observed on the sf1 suite: same query 8.5 s vs 107 s, identical
     code/data).  The intentionally long-lived corpus cache is excluded."""
-    sc = spark.sparkContext._jsc.sc()
-    m = sc.getPersistentRDDs()
-    it = m.keysIterator()
-    while it.hasNext():
-        rdd_id = it.next()
-        if rdd_id not in keep_ids:
-            m.apply(rdd_id).unpersist(False)
+    from scrapontologies_spark.operators.util import unpersist_rdds
+
+    unpersist_rdds(spark, keep_ids)
 
 
 def main() -> None:

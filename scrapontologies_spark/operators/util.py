@@ -108,6 +108,34 @@ def drop_hot_buckets(
     return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
 
 
+def persisted_rdd_ids(spark) -> set:
+    """Snapshot of currently-persisted RDD ids (localCheckpoint blocks
+    included — ``catalog.clearCache`` misses RDD-level persists)."""
+    sc = spark.sparkContext._jsc.sc()
+    out, it = set(), sc.getPersistentRDDs().keysIterator()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def unpersist_rdds(spark, keep_ids: "frozenset | set" = frozenset()) -> None:
+    """Unpersist every persistent RDD not in ``keep_ids`` (non-blocking).
+
+    The single home of the release loop shared by bench.py, sf1_bench and
+    cross_scale_check: operator-internal localCheckpoints are scoped to one
+    query execution, and a runner that executes many queries in one session
+    must drop them between queries — otherwise checkpoint blocks accumulate
+    until a multi-minute full GC lands on an arbitrary query (observed at
+    sf1: same query 8.5 s vs 107 s, identical code/data)."""
+    sc = spark.sparkContext._jsc.sc()
+    m = sc.getPersistentRDDs()
+    it = m.keysIterator()
+    while it.hasNext():
+        rdd_id = it.next()
+        if rdd_id not in keep_ids:
+            m.apply(rdd_id).unpersist(False)
+
+
 def gram_array(toks, n: int):
     """Space-joined n-gram array over a PRE-MATERIALIZED token-array column
     reference — the single home of the gram expression shared by

@@ -20,13 +20,10 @@ from ..operators import dedup, similarity, textops
 
 Q = dict[str, Callable[[SparkSession, str], DataFrame]]
 
-
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+# single shared readers (driver_helpers) — driver_queries uses the same ones
+from .driver_helpers import docs_table as _docs  # noqa: E402
+from .driver_helpers import events_table as _events  # noqa: E402
+from .driver_helpers import emb_table as _emb  # noqa: E402
 
 
 # the shared shingle CTE (k=3 over single-space tokens), mirrored by
@@ -238,7 +235,7 @@ def queries() -> Q:
     def asof_q(spark, d):
         from ..operators.events import asof_join
 
-        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev = _events(spark, d)
         res = asof_join(
             ev.select("event_id", "user_id", "ts"),
             ev.filter(F.col("event_type") == "purchase"),
@@ -263,7 +260,7 @@ def queries() -> Q:
     def asof_fwd_q(spark, d):
         from ..operators.events import asof_join
 
-        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev = _events(spark, d)
         res = asof_join(
             ev.select("event_id", "user_id", "ts"),
             ev.filter(F.col("event_type") == "purchase"),
@@ -290,7 +287,7 @@ def queries() -> Q:
     def interval_q(spark, d):
         from ..operators.events import interval_join, sessionize
 
-        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev = _events(spark, d)
         sess = sessionize(ev, gap_minutes=30).select(
             "user_id", "session_idx", "session_start", "session_end"
         )
@@ -333,7 +330,7 @@ def queries() -> Q:
 
     # --- P2/P3 — fence extraction variants (SURVEY §2.2/§2.6) -----------------
     q["p2_python_fence"] = lambda spark, d: (
-        spark.read.parquet(f"{d}/events.parquet")
+        _events(spark, d)
         .select(
             "event_id",
             # coalesce: NULL props must yield '' like the oracle's COALESCE
@@ -351,7 +348,7 @@ def queries() -> Q:
 
     # the strip('```json').strip('```') char-set quirk (semantics.strip_fences)
     q["p3_strip_fences"] = lambda spark, d: (
-        spark.read.parquet(f"{d}/events.parquet")
+        _events(spark, d)
         .select(
             "event_id",
             F.btrim(
@@ -557,7 +554,7 @@ def queries() -> Q:
     q["tpch_q6_forecast_revenue"] = tpch_q6
 
     def events_rollup(spark, d):
-        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev = _events(spark, d)
         return ev.groupBy("user_id", "event_type").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
@@ -570,7 +567,7 @@ def queries() -> Q:
         # tumbling 1-hour buckets — the batch twin of a streaming windowed
         # aggregation (readStream → window(ts,'1 hour') → agg); one shuffle,
         # map-side partial aggregation
-        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev = _events(spark, d)
         return ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), "event_type"
         ).agg(
@@ -583,7 +580,7 @@ def queries() -> Q:
     def events_sessions(spark, d):
         from ..operators.events import sessionize
 
-        return sessionize(spark.read.parquet(f"{d}/events.parquet"), gap_minutes=30)
+        return sessionize(_events(spark, d), gap_minutes=30)
 
     q["events_sessionize"] = events_sessions
 

@@ -20,9 +20,9 @@ from pyspark.sql import functions as F
 
 Q = dict[str, Callable[[SparkSession, str], DataFrame]]
 
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+# single shared reader (driver_helpers) — dataset_queries uses the same one
+from .driver_helpers import docs_table as _docs  # noqa: E402
+from .driver_helpers import events_table as _events  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +91,7 @@ def queries() -> Q:
 
     # P1/F2 — fenced-JSON extraction (regexp on synthesized fenced strings)
     q["p1_fence_extract"] = lambda spark, d: (
-        spark.read.parquet(f"{d}/events.parquet")
+        _events(spark, d)
         .select(
             "event_id",
             # coalesce: NULL props must yield '' like the oracle's
@@ -110,7 +110,7 @@ def queries() -> Q:
 
     # F4 — JSON field access (get_json_object over events.props)
     q["f4_json_extract"] = lambda spark, d: (
-        spark.read.parquet(f"{d}/events.parquet")
+        _events(spark, d)
         .select(
             "event_id",
             F.get_json_object("props", "$.k").alias("k_value"),

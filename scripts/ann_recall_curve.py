@@ -43,9 +43,19 @@ def main() -> None:
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     # "clustered:<n>" instead of a dir -> deterministic clustered generator
-    clustered_n = (
-        int(sf_dir.split(":", 1)[1]) if sf_dir.startswith("clustered") else 0
-    )
+    clustered_n = 0
+    if sf_dir.startswith("clustered"):
+        # strict parse: 'clustered' without a count, or a non-positive /
+        # non-integer count, must not fall through to being treated as a
+        # parquet dir (the resulting path error is misleading)
+        try:
+            clustered_n = int(sf_dir.split(":", 1)[1])
+        except (IndexError, ValueError):
+            raise SystemExit(
+                f"bad arg {sf_dir!r}: use clustered:<n_rows> (e.g. clustered:20000)"
+            )
+        if clustered_n < 2:
+            raise SystemExit("clustered:<n> needs n >= 2 (top-k excludes self)")
 
     from pyspark.sql import functions as F
 
@@ -68,6 +78,14 @@ def main() -> None:
     bf = similarity.cosine_topk_bruteforce(emb, emb, k=k)
     rows = bf.collect()
     exact = {(r.query_id, r.neighbor_id) for r in rows}
+    if not exact:
+        # 0/1-row embeddings table: every recall denominator below would be
+        # a ZeroDivisionError after the expensive brute-force pass
+        spark.stop()
+        raise SystemExit(
+            f"no exact top-k pairs at n={n} rows — recall is undefined; "
+            "point the script at a table with >= 2 embeddings"
+        )
     mean_top_cos = sum(r.cosine for r in rows) / len(rows)
     bf_wall = time.time() - t0
     print(

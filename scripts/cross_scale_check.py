@@ -35,11 +35,25 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # DuckDB binds the parquet eagerly at CREATE VIEW — a table the dir
+        # doesn't carry (e.g. the sf1-bench dirs have only documents/
+        # embeddings/events) must be skipped, not abort the whole check;
+        # a query that actually needs it fails at its own oracle with a
+        # clear missing-view message.
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qmap, omap = DQ.queries(), DQ.oracle_sql()
+    from scrapontologies_spark.operators.util import persisted_rdd_ids, unpersist_rdds
+
+    # release operator-internal localCheckpoints between queries (same
+    # rationale as bench.py / sf1_bench): a full-registry sweep at an
+    # sf1-class dir otherwise accumulates blocks into a ~30 GB heap and a
+    # migrating multi-minute full GC
+    baseline_persists = persisted_rdd_ids(spark)
     failed = []
     for name in names:
         sp = qmap[name](spark, sf_dir).toPandas()
+        unpersist_rdds(spark, baseline_persists)
         sql = omap.get(name)
         if sql is None:
             print(f"{name}: rows-only ({len(sp)})")

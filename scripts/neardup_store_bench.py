@@ -130,7 +130,6 @@ def probe_at_scale(spark, tmp: str, seed: int, docs_per_batch: int) -> dict:
     pq_dir = os.path.join(tmp, f"seeded_parquet_{seed}")
     seed_rows(spark, seed).write.mode("overwrite").parquet(pq_dir)
     t0 = time.perf_counter()
-    out["parquet_probe_sec"] = None
     neardup_filter_batch(
         synth_batch(spark, 1, docs_per_batch), pq_dir, batch_id=1,
         writer_id="seeded",

@@ -115,10 +115,19 @@ def _harvest(proc) -> dict:
 def run_executors(n_exec: int, corpus_path: str, zip_path: str) -> dict:
     """n_exec concurrent EXEC_CORES-core JVMs on disjoint CPU pairs, each
     over its own (identical-size) data share; aggregate throughput."""
+    import concurrent.futures as cf
+
     cpu_sets = [f"{i * EXEC_CORES}-{(i + 1) * EXEC_CORES - 1}" for i in range(n_exec)]
     procs = [_submit(c, EXEC_CORES, corpus_path, zip_path, 12) for c in cpu_sets]
     try:
-        results = [_harvest(p) for p in procs]
+        # drain ALL pipes concurrently: stdout is a 64 KB PIPE (stderr
+        # merged), so harvesting sequentially would let an undrained
+        # sibling that logs past the pipe capacity block inside its TIMED
+        # window — its synchronous console appender stalls on write(2),
+        # inflating wall_sec and silently understating the efficiency
+        # ratio this script exists to measure
+        with cf.ThreadPoolExecutor(max_workers=n_exec) as pool:
+            results = list(pool.map(_harvest, procs))
     except Exception:
         # a failed harvest must not leave sibling JVMs burning pinned CPUs
         for p in procs:

@@ -172,10 +172,9 @@ def _release_cached(spark) -> None:
     executions pile up to a ~30 GB heap and a migrating multi-minute full
     GC lands on whichever query triggers it (observed: the same query
     8.5 s in one run, 107 s in another, identical code and data)."""
-    sc = spark.sparkContext._jsc.sc()
-    it = sc.getPersistentRDDs().values().iterator()
-    while it.hasNext():
-        it.next().unpersist(False)
+    from scrapontologies_spark.operators.util import unpersist_rdds
+
+    unpersist_rdds(spark)
     spark.catalog.clearCache()
 
 
