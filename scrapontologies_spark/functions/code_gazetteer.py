@@ -221,6 +221,74 @@ _ANY_DECL = re.compile(
     r"|native)\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{)"
 )
 
+# --- config-file grammars (json / yaml / toml) and shell -------------------
+# Structure → entities for the config formats real trees are full of:
+# sections / top-level keys are 'class' mentions and their immediate child
+# keys are 'method' mentions owned by the section, so the existing
+# defines / has_method triple derivation gives file → section → setting
+# containment — the structured-document analog of the reference's
+# schema-derived has_<child> relations.  Same chunk-boundary caveat as
+# every grammar here: a continuation chunk starts with no structural
+# context, so nested keys can surface as top-level in a later chunk.
+# Regex/scanner-based on purpose (NOT json.loads/tomllib): a 1024-byte
+# chunk is rarely a complete parseable document, and the per-chunk
+# extraction must degrade per chunk, never fail a page.
+_CONFIG_KEY_OK = re.compile(r"[\w.-]+$", re.ASCII)
+# a yaml key line: optional indent, bare-word key, ':' followed by
+# whitespace or EOL ('url: http://x' matches once — the '//' colon fails
+# the lookahead and isn't line-anchored)
+_YAML_KEY = re.compile(r"^([ \t]*)([\w.-]+)[ \t]*:(?=[ \t]|$)", re.M | re.ASCII)
+_TOML_SECTION = re.compile(r"^[ \t]*\[\[?[ \t]*([\w.-]+)[ \t]*\]\]?", re.M | re.ASCII)
+_TOML_KEY = re.compile(r"^[ \t]*([\w.-]+)[ \t]*=", re.M | re.ASCII)
+# shell function definitions: `name() {`, `function name {`,
+# `function name() {` — the body brace on the def line (dominant style;
+# next-line braces lose the def, declared).  `arr=()` and `$(...)` cannot
+# match: the name must start the line and the parens must be empty.
+_SH_FUNC = re.compile(
+    r"^[ \t]*(?:function[ \t]+(\w+)[ \t]*(?:\(\))?|(\w+)[ \t]*\(\))[ \t]*\{",
+    re.M | re.ASCII,
+)
+_SH_SOURCE = re.compile(r"^[ \t]*(?:source|\.)[ \t]+['\"]?([\w./-]+)", re.M)
+
+
+def _json_mentions(text: str) -> List[Dict[str, str]]:
+    """Brace-depth scanner for JSON chunks (works on minified and
+    pretty-printed alike): keys at depth ≤1 (the root object) are
+    'class' mentions, keys at depth 2 are 'method' mentions owned by the
+    most recent top-level key.  Deeper keys and non-word keys (spaces,
+    unicode punctuation) are skipped — entity ids must stay join-safe.
+    O(n) per chunk; strings are skipped with escape handling so braces in
+    values never corrupt the depth."""
+    out: List[Dict[str, str]] = []
+    depth = 0
+    owner = ""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            key = text[i + 1 : j]
+            k = j + 1
+            while k < n and text[k] in " \t\r\n":
+                k += 1
+            if k < n and text[k] == ":" and _CONFIG_KEY_OK.match(key):
+                if depth <= 1:
+                    out.append({"kind": "class", "name": key, "owner": ""})
+                    owner = key
+                elif depth == 2 and owner:
+                    out.append({"kind": "method", "name": key, "owner": owner})
+            i = j + 1
+            continue
+        if c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth = max(0, depth - 1)
+        i += 1
+    return out
+
+
 # Natural-language gazetteer for prose corpora (the driver's ``documents``
 # table): fixed analytics-term vocabulary; a 'term' mention per occurrence.
 TEXT_TERMS = (
@@ -241,10 +309,13 @@ def extract_mentions(
 ) -> List[Dict[str, str]]:
     """Extract mention rows from one chunk.
 
-    Each mention: ``{"kind": function|class|method|import|call,
+    Each mention: ``{"kind": function|class|method|import|call|term,
     "name": symbol, "owner": enclosing class/function or ''}``.
-    Deterministic order: document order of the match start.  Markdown (and
-    any unknown lang) yields no mentions — the no-match path.
+    Deterministic order: document order of the match start.  Config
+    formats (json/yaml/toml) and shell reuse the class/method/function/
+    import kinds (sections → class, child keys → method) so the downstream
+    defines/has_method derivation needs no new cases.  Markdown (and any
+    unknown lang) yields no mentions — the no-match path.
 
     P8 — ``allowed_kinds`` / ``allowed_terms`` are the deterministic
     stand-in for the reference's ``user_prompt_for_filter``
@@ -383,6 +454,59 @@ def extract_mentions(
         proto_spans = [(m.start(), m.end()) for m in _C_PROTO.finditer(text)]
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(_calls_c(text, fn_spans, proto_spans))
+    elif lang == "json":
+        out.extend(_json_mentions(text))
+    elif lang == "yaml":
+        owner = ""
+        for m in _YAML_KEY.finditer(text):
+            indent, name = m.group(1), m.group(2)
+            if not indent:
+                out.append({"kind": "class", "name": name, "owner": ""})
+                owner = name
+            elif owner:
+                out.append({"kind": "method", "name": name, "owner": owner})
+            else:
+                # indented key in a continuation chunk (its section landed
+                # in an earlier chunk): standalone entity, like the
+                # ownerless-method fallback in the code grammars
+                out.append({"kind": "function", "name": name, "owner": ""})
+    elif lang == "toml":
+        decls = []
+        section_spans = sorted(
+            (m.start(), m.group(1)) for m in _TOML_SECTION.finditer(text)
+        )
+        for start, name in section_spans:
+            decls.append((start, {"kind": "class", "name": name, "owner": ""}))
+        for m in _TOML_KEY.finditer(text):
+            preceding = [s for s in section_spans if s[0] < m.start()]
+            if preceding:
+                decls.append(
+                    (m.start(), {"kind": "method", "name": m.group(1),
+                                 "owner": preceding[-1][1]})
+                )
+            else:
+                # top-level key before any [section]
+                decls.append(
+                    (m.start(), {"kind": "class", "name": m.group(1), "owner": ""})
+                )
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+    elif lang == "shell":
+        decls = []
+        for m in _SH_SOURCE.finditer(text):
+            stem = m.group(1).rsplit("/", 1)[-1].split(".", 1)[0]
+            if stem:  # '.env' has an empty stem — not an importable name
+                decls.append(
+                    (m.start(), {"kind": "import", "name": stem, "owner": ""})
+                )
+        for m in _SH_FUNC.finditer(text):
+            decls.append(
+                (m.start(), {"kind": "function",
+                             "name": m.group(1) or m.group(2), "owner": ""})
+            )
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        # no call extraction: in shell every bare word is a command
+        # invocation and $(...)/test(...) shapes defeat the _CALL heuristic
+        # — a declared gap, not a silent one
     elif lang == "text":
         for m in _TEXT_TERM_RE.finditer(text):
             out.append({"kind": "term", "name": m.group(1), "owner": ""})

@@ -26,11 +26,12 @@ from pyspark.sql import functions as F
 
 # extension → gazetteer language id.  REAL grammars exist for python /
 # javascript / go / java / rust / ruby / c (functions/code_gazetteer.py —
-# the C grammar also covers C++); every other mapping routes to the "text"
-# prose gazetteer — declared here, not silent: shell and config files
-# ingest as prose term mentions until a grammar lands.  Unknown extensions
-# also fall to "text" so no file is dropped (the reference's parser never
-# skips a page).
+# the C grammar also covers C++), plus structure grammars for json / yaml /
+# toml (sections and keys → class/method containment entities) and shell
+# (functions + sourced files).  Unknown extensions fall to the "text"
+# prose gazetteer so no file is dropped (the reference's parser never
+# skips a page); markdown ingests but yields no mentions by design (the
+# gazetteer's no-match path).
 EXT_LANG = {
     # real grammars
     "py": "python",
@@ -49,12 +50,14 @@ EXT_LANG = {
     "cc": "c",
     "cpp": "c",
     "hpp": "c",
-    # prose fallback (no dedicated grammar yet)
-    "sh": "text",
-    "json": "text",
-    "yaml": "text",
-    "yml": "text",
-    "toml": "text",
+    # structure grammars (config formats + shell)
+    "sh": "shell",
+    "bash": "shell",
+    "json": "json",
+    "yaml": "yaml",
+    "yml": "yaml",
+    "toml": "toml",
+    # prose fallback
     "md": "markdown",
     "markdown": "markdown",
     "rst": "markdown",
@@ -93,8 +96,9 @@ def corpus_from_files(
       length column (pushed before content reaches memory).
     - ``ext_lang``: extension → gazetteer language map; defaults to
       ``EXT_LANG``.  Values must be gazetteer ids ("python" / "javascript"
-      / "go" / "java" / "rust" / "ruby" / "c" have real grammars; anything
-      else behaves as prose).
+      / "go" / "java" / "rust" / "ruby" / "c" have code grammars; "json" /
+      "yaml" / "toml" / "shell" have structure grammars; anything else
+      behaves as prose).
 
     Paths are made relative to ``root_dir`` by stripping the resolved
     absolute root as a prefix (anchored — a subdirectory that repeats the

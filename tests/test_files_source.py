@@ -203,3 +203,33 @@ def test_uppercase_extensions_are_ingested(spark, tmp_path):
     rows = {r.path: r.lang for r in corpus_from_files(spark, str(root)).collect()}
     assert set(rows) == {"NOTES.TXT", "Main.PY", "ok.txt"}
     assert rows["Main.PY"] == "python" and rows["NOTES.TXT"] == "text"
+
+
+def test_config_and_shell_grammars_through_front_door(spark, tmp_path):
+    """Config formats and shell route to their structure grammars in the
+    default EXT_LANG and produce defines/has_method/imports triples through
+    the full pipeline — they must not silently fall to the prose
+    gazetteer."""
+    from scrapontologies_spark.plans.pipeline import run_pipeline
+
+    root = tmp_path / "cfg"
+    root.mkdir()
+    (root / "app.json").write_text('{"server": {"host": "h", "port": 1}}')
+    (root / "ci.yaml").write_text("jobs:\n  build: x\n")
+    (root / "Cargo.toml").write_text('[package]\nname = "x"\n')
+    (root / "run.sh").write_text("source lib/util.sh\nmain() {\n  ls\n}\n")
+    corpus = corpus_from_files(spark, str(root))
+    langs = {r.path: r.lang for r in corpus.select("path", "lang").collect()}
+    assert langs == {
+        "app.json": "json", "ci.yaml": "yaml",
+        "Cargo.toml": "toml", "run.sh": "shell",
+    }
+    res = run_pipeline(corpus, chunk_bytes=512, with_schemas=False)
+    triples = {(r.subj, r.pred, r.obj) for r in res.triples.collect()}
+    res.doc_rows.unpersist()
+    assert ("cfg/app.json", "defines", "cfg/app.json::server") in triples
+    assert ("cfg/app.json::server", "has_method", "cfg/app.json::host") in triples
+    assert ("cfg/ci.yaml::jobs", "has_method", "cfg/ci.yaml::build") in triples
+    assert ("cfg/Cargo.toml::package", "has_method", "cfg/Cargo.toml::name") in triples
+    assert ("cfg/run.sh", "defines", "cfg/run.sh::main") in triples
+    assert ("cfg/run.sh", "imports", "lib::util") in triples

@@ -649,3 +649,82 @@ def test_js_require_is_import_not_call():
     assert {m["name"] for m in ms if m["kind"] == "import"} == {"mod"}
     calls = {m["name"] for m in ms if m["kind"] == "call"}
     assert "require" not in calls and "run" in calls
+
+
+def test_json_grammar_mentions():
+    """JSON: top-level keys -> class, depth-2 keys -> method owned by the
+    enclosing top-level key; brace depth survives braces inside string
+    values; minified and pretty forms extract identically; non-word keys
+    are skipped (entity ids must stay join-safe)."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    pretty = (
+        '{\n  "server": {\n    "host": "a{b}:c",\n    "port": 80\n  },\n'
+        '  "log-level": "info",\n  "bad key": 1\n}\n'
+    )
+    minified = '{"server":{"host":"a{b}:c","port":80},"log-level":"info","bad key":1}'
+    want = [
+        {"kind": "class", "name": "server", "owner": ""},
+        {"kind": "method", "name": "host", "owner": "server"},
+        {"kind": "method", "name": "port", "owner": "server"},
+        {"kind": "class", "name": "log-level", "owner": ""},
+    ]
+    assert extract_mentions("json", pretty) == want
+    assert extract_mentions("json", minified) == want
+
+
+def test_yaml_grammar_mentions():
+    """YAML: unindented keys -> class, indented keys -> method owned by the
+    nearest unindented key above; comment lines and value-embedded colons
+    (url: http://x) produce no extra keys; an indented key with no section
+    in the chunk falls back to a standalone 'function' entity (the
+    continuation-chunk caveat shared with the code grammars)."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "server:\n  host: localhost\n  port: 8080\n"
+        "# note: a comment\nurl: http://x:9\n"
+    )
+    ms = extract_mentions("yaml", src)
+    assert {m["name"] for m in ms if m["kind"] == "class"} == {"server", "url"}
+    assert {m["name"]: m["owner"] for m in ms if m["kind"] == "method"} == {
+        "host": "server", "port": "server",
+    }
+    cont = extract_mentions("yaml", "  retries: 3\n")
+    assert cont == [{"kind": "function", "name": "retries", "owner": ""}]
+
+
+def test_toml_grammar_mentions():
+    """TOML: [section] / [[array.section]] -> class, keys under a section
+    -> method owned by it, keys before any section -> class (root-level
+    settings are entities in their own right)."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = 'title = "x"\n[server]\nhost = "h"\n[[jobs.batch]]\ncron = "* *"\n'
+    ms = extract_mentions("toml", src)
+    assert [m for m in ms if m["kind"] == "class"] == [
+        {"kind": "class", "name": "title", "owner": ""},
+        {"kind": "class", "name": "server", "owner": ""},
+        {"kind": "class", "name": "jobs.batch", "owner": ""},
+    ]
+    assert {m["name"]: m["owner"] for m in ms if m["kind"] == "method"} == {
+        "host": "server", "cron": "jobs.batch",
+    }
+
+
+def test_shell_grammar_mentions():
+    """Shell: `name() {` / `function name {` -> function; source/'.' lines
+    -> import (path stem, '.env'-style empty stems skipped); array
+    assignments and $(...) substitutions never register; no call kind (in
+    shell every bare word is an invocation — a declared gap)."""
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions
+
+    src = (
+        "#!/bin/sh\nsource lib/util.sh\n. ./.env\n"
+        "greet() {\n  echo hi\n}\nfunction deploy {\n  greet\n}\n"
+        "arr=()\nval=$(date)\n"
+    )
+    ms = extract_mentions("shell", src)
+    assert {m["name"] for m in ms if m["kind"] == "import"} == {"util"}
+    assert {m["name"] for m in ms if m["kind"] == "function"} == {"greet", "deploy"}
+    assert all(m["kind"] != "call" for m in ms)
