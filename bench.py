@@ -105,12 +105,11 @@ def _force(df) -> None:
 
 
 def _persistent_ids(spark) -> set:
-    sc = spark.sparkContext._jsc.sc()
-    it = sc.getPersistentRDDs().keysIterator()
-    ids = set()
-    while it.hasNext():
-        ids.add(it.next())
-    return ids
+    # thin alias over the shared snapshot helper (operators.util) so the
+    # py4j iteration logic has exactly one home
+    from scrapontologies_spark.operators.util import persisted_rdd_ids
+
+    return persisted_rdd_ids(spark)
 
 
 def _release_new_persists(spark, keep_ids: set) -> None:

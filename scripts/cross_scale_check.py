@@ -40,8 +40,13 @@ def main() -> int:
         # embeddings/events) must be skipped, not abort the whole check;
         # a query that actually needs it fails at its own oracle with a
         # clear missing-view message.
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written tables (bench_data/ dirs from sf1_bench) are
+            # DIRECTORIES of part files — DuckDB needs the glob form
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qmap, omap = DQ.queries(), DQ.oracle_sql()
     from scrapontologies_spark.operators.util import persisted_rdd_ids, unpersist_rdds
 
@@ -52,14 +57,24 @@ def main() -> int:
     baseline_persists = persisted_rdd_ids(spark)
     failed = []
     for name in names:
-        sp = qmap[name](spark, sf_dir).toPandas()
+        try:
+            # inside the try: a query whose table the dir doesn't carry
+            # (PATH_NOT_FOUND on the Spark side, missing view on the DuckDB
+            # side) must be reported and skipped, not abort the sweep —
+            # that's the skip-missing-views design the view loop states
+            sp = qmap[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — report, keep checking
+            unpersist_rdds(spark, baseline_persists)
+            failed.append(name)
+            print(f"{name}: FAIL — {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            continue
         unpersist_rdds(spark, baseline_persists)
         sql = omap.get(name)
         if sql is None:
             print(f"{name}: rows-only ({len(sp)})")
             continue
-        du = con.execute(sql).fetchdf()
         try:
+            du = con.execute(sql).fetchdf()
             cols = sorted(sp.columns)
             a = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
             b = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)

@@ -170,14 +170,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="ndbench_")
     # full-plan warm-up (shingle→minhash→band→probe→append) against a
-    # throwaway store, or the first-run layout absorbs session start-up and
-    # codegen compilation in its batch-0 wall
+    # throwaway store IN EACH LAYOUT, or the first-run layout absorbs
+    # session start-up + codegen in its batch-0 wall — and the bucketed
+    # layout would absorb CREATE TABLE + first bucketed-insert codegen in
+    # its timed window while the parquet layout got them amortized,
+    # systematically overstating the bucketed first_batch_sec
     neardup_filter_batch(
         synth_batch(spark, 0, docs_per_batch),
         os.path.join(tmp, "warmup_store"),
         batch_id=0,
         writer_id="warmup",
     ).count()
+    _drop_store_tables(spark, "ndbench_warmup")
+    neardup_filter_batch(
+        synth_batch(spark, 0, docs_per_batch),
+        BucketedBandStore("ndbench_warmup", n_buckets=16),
+        batch_id=0,
+        writer_id="warmup",
+    ).count()
+    _drop_store_tables(spark, "ndbench_warmup")
     try:
         parquet_res = drive(
             spark, os.path.join(tmp, "store_parquet"), n_batches, docs_per_batch

@@ -274,14 +274,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000).selectExpr("sum(id)").collect()
 
+    # fail BEFORE generation and the multi-minute job phase (same guard as
+    # bench.py): a renamed registry entry must not discard a long run
+    # mid-suite with a KeyError
+    missing = [n for n in SF1_QUERIES if n not in driver_queries.queries()]
+    if missing:
+        raise KeyError(f"SF1_QUERIES missing from the registry: {missing}")
+
     report: dict = {"metric": "sf1_bench", "cpus": args.cpus, "unit": "sec"}
 
     # --- phase 0: distributed generation (timed, but excluded from op walls)
     corpus_path = os.path.join(BENCH_DIR, f"sf1_corpus_{args.docs}.parquet")
+    # the cache key must carry EVERY size knob: keying on table_docs alone
+    # would silently reuse stale tables of the wrong vec/event size and
+    # mislabel the emitted JSON.  "sf1" stays the name for the all-defaults
+    # triple so existing bench_data/sf1 runs keep their cache.
+    default_sizes = (
+        args.table_docs == 50_000
+        and args.table_vecs == 20_000
+        and args.table_events == 1_000_000
+    )
     tables_dir = os.path.join(
         BENCH_DIR,
         "sf1"
-        if args.table_docs == 50_000
+        if default_sizes
         else f"sf1_d{args.table_docs}_v{args.table_vecs}_e{args.table_events}",
     )
     t0 = time.time()
