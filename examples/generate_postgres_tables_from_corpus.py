@@ -7,7 +7,9 @@ PostgresDBClient with a retry loop; here the DDL is generated
 deterministically (no retry needed) and executed either against the Spark
 session catalog (shown) or a real Postgres by passing the client's
 ``execute_query`` as ``db_execute`` to CorpusExtractor (jdbc_sink parity
-path) — the printed statements are identical either way.
+path).  Table/column structure is identical either way; TYPE names are
+engine-routed (this Spark-catalog run prints STRING/BIGINT, the Postgres
+path prints TEXT/BIGINT — see operators/ddl.py and tests/test_ddl.py).
 
 Run:  python examples/generate_postgres_tables_from_corpus.py
 """

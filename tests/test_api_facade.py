@@ -149,10 +149,14 @@ def test_relations_prompt_reextracts_on_warm_state(spark):
         (r.source, r.name, r.target)
         for r in ex.extract_relations_schema(prompt="import")
     )
+    # non-empty FIRST: an empty filtered set would satisfy every assertion
+    # below vacuously (strict subset, all() over empty, <= {...})
+    assert filtered
     assert filtered < all_rels
-    assert all(t == "import" or s == "ROOT" for s, _, t in filtered) or filtered == set()
+    assert all(t == "import" or s == "ROOT" for s, _, t in filtered)
     # entity state now reflects the filter too
-    assert {e.id for e in ex.get_entities_schema()} <= {"import"}
+    ids = {e.id for e in ex.get_entities_schema()}
+    assert ids and ids <= {"import"}
 
 
 def test_delete_relation_with_apostrophe_id(spark):

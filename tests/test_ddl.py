@@ -262,10 +262,17 @@ def test_uniq_suffix_collision_extends_hash():
     identical identifiers — the suffix extends until free."""
     from scrapontologies_spark.operators.ddl import _ident, _uniq
 
+    import hashlib
+
     used: set = set()
     first = _uniq(_ident("Foo"), "Foo", used)
     second = _uniq(_ident("foo"), "foo", used)          # foo_<h6>
-    # occupy the colliding suffixed slot, then force a third collision
+    # pre-occupy the clash raw's OWN 6-char suffixed slot: md5('FOO') !=
+    # md5('foo'), so without this the while-loop extension branch never
+    # runs and deleting it entirely would still pass the 3-distinct check
     clash_raw = "FOO"
+    h = hashlib.md5(clash_raw.encode("utf-8")).hexdigest()
+    used.add(f"foo_{h[:6]}")
     clash = _uniq(_ident(clash_raw), clash_raw, used)
+    assert clash == f"foo_{h[:8]}"  # extended by 2 hex chars until free
     assert len({first, second, clash}) == 3

@@ -62,7 +62,10 @@ def test_query_matches_oracle(spark, ddb, name):
     spark_df = DQ.queries()[name](spark, SF_DIR).toPandas()
     oracle = DQ.oracle_sql().get(name)
     if oracle is None:
-        assert len(spark_df) >= 0  # rows-only check (non-SQL-expressible op)
+        # rows-only check (non-SQL-expressible op): must be NON-EMPTY —
+        # `>= 0` was a tautology that could never fail, so a broken
+        # oracle-less query would pass green
+        assert len(spark_df) > 0, f"{name}: rows-only query returned 0 rows"
         return
     duck_df = ddb.execute(oracle).fetchdf()
     assert len(spark_df) == len(duck_df), (

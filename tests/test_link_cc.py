@@ -278,7 +278,10 @@ def test_canonicalize_giant_component_paths_agree(spark):
         )
     )
 
-    via_split = canonicalize_entities(ents, labels)  # giant -> streamed path
+    # batch_cap EXPLICIT, not the default: the test exists to pin the
+    # streamed per-group path, and a future default bump past 600 would
+    # silently turn this into batched==batched
+    via_split = canonicalize_entities(ents, labels, batch_cap=256)
     via_batch = canonicalize_entities(ents, labels, batch_cap=10_000)
     a = {(r.id, r.type, r.attributes) for r in via_split.collect()}
     b = {(r.id, r.type, r.attributes) for r in via_batch.collect()}

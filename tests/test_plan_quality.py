@@ -210,9 +210,18 @@ def test_tf_idf_broadcasts_corpus_size(spark):
     redact/pii-free scan must appear once per aggregate branch only."""
     from scrapontologies_spark.operators.textops import tf_idf
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = (
+        spark.read.option("_plan_probe", "1")  # defeat CacheManager plan
+        .parquet("/root/testdata/sf0.001/documents.parquet")  # matching —
+        # a sibling test's persisted read of the same file would otherwise
+        # swap InMemoryRelation in for the file scans and zero the count
+    )
     plan = _plan(tf_idf(docs))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # one scan per aggregate branch (tf, df, corpus-N) and no more — a
+    # regression that re-reads the scan per language/token branch would
+    # inflate this count
+    assert plan.count("Location: InMemoryFileIndex") == 3, plan
 
 
 def test_redact_pii_is_narrow(spark):

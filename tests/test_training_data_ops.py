@@ -50,6 +50,18 @@ def test_exact_dedup(spark, docs, docs_pd):
     assert got == expected
 
 
+def test_exact_dedup_with_duplicates(spark):
+    """The sf fixture has 500/500 DISTINCT texts, so test_exact_dedup never
+    exercises a group of size > 1 — this synthetic corpus pins the min-id
+    tie-break and the n_dups group count on actual duplicates."""
+    docs = spark.createDataFrame(
+        [(5, "alpha beta"), (1, "alpha beta"), (3, "alpha beta"), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.keep_id: r.n_dups for r in dedup.exact_dedup(docs).collect()}
+    assert got == {1: 3, 2: 1}
+
+
 def test_shingles_and_minhash(spark, docs, docs_pd):
     sh = dedup.shingles(docs)
     got = {}
@@ -157,8 +169,10 @@ def test_ngram_jaccard_shingle_df_cap(spark, docs, docs_pd):
 
 
 def test_minhash_estimate_sane_vs_exact(spark, docs, docs_pd):
-    """Signature-only estimate: exact-duplicate docs estimate 1.0, and the
-    estimator tracks exact jaccard within the 8-hash std-error (~0.35)."""
+    """Signature-only estimate tracks exact jaccard within the 8-hash
+    std-error (~0.35).  The fixture holds NO exact-duplicate pair, so the
+    j==1.0 branch below is dormant here — the duplicate case is pinned by
+    test_minhash_estimate_exact_duplicate_is_one on a synthetic corpus."""
     sh = dedup.shingles(docs)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, 8, 2)
@@ -174,6 +188,24 @@ def test_minhash_estimate_sane_vs_exact(spark, docs, docs_pd):
         if j == 1.0:
             assert e == 1.0, (a, b)
         assert abs(e - j) <= 0.4, (a, b, e, j)
+
+
+def test_minhash_estimate_exact_duplicate_is_one(spark):
+    """Identical texts ⇒ identical shingle sets ⇒ identical signatures ⇒
+    every band collides (guaranteed candidate) and the estimate is exactly
+    1.0 — a per-doc salt leaking into the hash would break this."""
+    docs = spark.createDataFrame(
+        [(11, "a b c d e f"), (22, "a b c d e f"), (33, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(dedup.shingles(docs), num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, 8, 2)
+    est = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in dedup.minhash_jaccard_estimate(sigs, cand, 8).collect()
+    }
+    assert est[(11, 22)] == 1.0
+    assert all(e < 1.0 for p, e in est.items() if p != (11, 22))
 
 
 def test_duplicate_clusters_transitive_and_numeric_min(spark):
@@ -258,11 +290,26 @@ def test_lsh_topk_recall(spark, emb):
     theory = _sign_lsh_theory_recall(mean_top_cos, planes=4, tables=8)
     assert recall >= theory - 0.15, (recall, theory)
     assert recall >= 0.4, recall
-    # bucket sizes: no bucket should hold more than half the table (skew guard)
+    # pin the theory function itself at hardcoded values (1-(1-p^k)^L with
+    # p = 1 - acos(cos)/pi): the gate above is measured-vs-theory, so a
+    # regression in sign_lsh_union_recall would otherwise drift BOTH sides
+    # of the comparison together and the gate would never fire
+    assert similarity.sign_lsh_union_recall(0.3, 4, 8) == pytest.approx(
+        0.6626737768312254
+    )
+    assert similarity.sign_lsh_union_recall(0.9, 6, 8) == pytest.approx(
+        0.9819569054248056
+    )
+    assert similarity.sign_lsh_union_recall(0.5, 8, 16) == pytest.approx(
+        0.47101805340916303
+    )
+    # bucket sizes: deterministic md5 planes on the fixed fixture put at
+    # most 22 of 500 vectors in one 6-plane bucket; n/10 is a tight-enough
+    # skew guard with margin (the old n/2 bound was near-unfailable)
     from scrapontologies_spark.operators.similarity import hyperplane_bucket
 
     sizes = hyperplane_bucket(emb, 6).groupBy("bucket").count().collect()
-    assert max(r["count"] for r in sizes) <= emb.count() / 2
+    assert max(r["count"] for r in sizes) <= emb.count() / 10
 
 
 @pytest.fixture(scope="module")
@@ -335,10 +382,22 @@ def test_language_id(spark, docs, docs_pd):
     import re
 
     def oracle(text):
+        # independent re-derivation of the ENGINE-AGNOSTIC semantics the
+        # implementation documents (_count_markers): token-split ASCII
+        # membership + CJK substring counts — NOT \b, whose word-character
+        # set the impl deliberately avoids (Java/RE2/Python disagree); the
+        # boundary cases where \b and token-split diverge are pinned with
+        # hardcoded counts in test_language_id_boundary_semantics
+        toks = re.split(r"[^A-Za-z0-9_]+", text)
         best_hits, best_lang = -1, None
         for lang in sorted(textops.LANG_MARKERS):
-            pat = r"\b(" + "|".join(textops.LANG_MARKERS[lang]) + r")\b"
-            hits = len(re.findall(pat, text))
+            ascii_m = {m for m in textops.LANG_MARKERS[lang] if m.isascii()}
+            hits = sum(1 for t in toks if t in ascii_m)
+            hits += sum(
+                text.count(m)
+                for m in textops.LANG_MARKERS[lang]
+                if not m.isascii()
+            )
             if hits > best_hits:
                 best_hits, best_lang = hits, lang
         return best_lang
@@ -350,6 +409,26 @@ def test_language_id(spark, docs, docs_pd):
     # NOTE: the driver's documents table draws the SAME analytics vocabulary
     # for every lang label, so no marker gazetteer can recover the label —
     # the contract here is Spark == oracle == SQL, not label accuracy.
+
+
+def test_language_id_boundary_semantics(spark):
+    """Hardcoded marker-hit counts on texts where token-split and \\b
+    semantics DIVERGE — a regression back to Java-\\b counting (or a
+    corrupted LANG_MARKERS table) fails these exact numbers.
+
+    'theé fast': é splits the token, so 'the' matches (2 en hits); a
+    Python/Java unicode \\b sees é as a word char and finds only 'fast'.
+    '的和的 表': CJK substring counts (2+1+1=4 zh hits); \\b alternations
+    never match CJK consistently across engines."""
+    docs = spark.createDataFrame(
+        [(1, "theé fast"), (2, "的和的 表")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.pred_lang, r.marker_hits)
+        for r in textops.language_id(docs).collect()
+    }
+    assert got == {1: ("en", 2), 2: ("zh", 4)}
 
 
 def test_token_stats_and_quality(spark, docs, docs_pd):
