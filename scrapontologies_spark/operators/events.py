@@ -41,8 +41,16 @@ def sessionize(
     (user_id, session_idx, session_start, session_end, n_events,
     total_value) — session_idx is 1-based in time order.  ``order_col``
     breaks equal-timestamp ties deterministically (like asof_join's).
+
+    NULL-``ts`` events are excluded: a row with no time has no place in a
+    time session, and engines disagree about where NULLs sort in the
+    session window (Spark ASC puts them FIRST, DuckDB LAST), so keeping
+    them would also shift every real session's index by engine.  NULL
+    ``user_col`` rows are kept — both engines group NULL keys into one
+    partition, so the NULL user simply gets its own session stream.
     """
     gap_us = int(gap_minutes * 60_000_000)
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(epoch).over(w)

@@ -227,7 +227,10 @@ def extract_document_rows(
                     # identity (repo/path) is still real
                     content = ""
                 sha = sha256_hex(content)
-                module_id = f"{repo}/{path}"
+                # NULL repo/path must not stringify as "None" in the doc
+                # identity (pandas hands NULL as None); empty-string keeps
+                # the id real and matches COALESCE(col,'') oracles
+                module_id = f"{repo or ''}/{path or ''}"
                 base = (repo, path, commit, lang, sha)
                 # Arrow-volume control: each output row carries only the base
                 # fields its view reads.  Triple rows (the dominant output,
@@ -399,7 +402,8 @@ def containment_triples_from_doc_schemas(doc_schemas: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for repo, path, sjson in zip(b["repo"], b["path"], b["schema_json"]):
-                mod = f"{repo}/{path}"
+                # same "None"-stringification guard as the extraction kernel
+                mod = f"{repo or ''}/{path or ''}"
                 ents = schema_to_entities(json.loads(sjson) if sjson else {})
                 for r in derive_containment_relations(ents, root=mod):
                     rows.append((r.source, r.name, r.target, r.type))

@@ -633,17 +633,22 @@ def _ivf_topk_sql(k: int = 3, k_cells: int = 16, n_probe: int = 4) -> str:
           FROM probes p JOIN assign a USING (cell)
           WHERE a.vec_id <> p.query_id
         ),
-        ranked AS (
+        scored AS (
           SELECT c.query_id, c.neighbor_id,
-                 {_cos_sql("q.embedding", "e.embedding")} AS cos_raw,
-                 row_number() OVER (
-                   PARTITION BY c.query_id
-                   ORDER BY {_cos_sql("q.embedding", "e.embedding")} DESC,
-                            c.neighbor_id ASC
-                 ) AS rank
+                 {_cos_sql("q.embedding", "e.embedding")} AS cos_raw
           FROM cand c
           JOIN embeddings q ON q.vec_id = c.query_id
           JOIN embeddings e ON e.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_raw,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC
+                 ) AS rank
+          -- filter BEFORE ranking (mirrors the engine's cosine-IS-NOT-NULL
+          -- filter): a NULL-cosine candidate must not consume a rank slot
+          FROM scored WHERE cos_raw IS NOT NULL
         )
         SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
         FROM ranked WHERE rank <= {k}
@@ -835,9 +840,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id < 100
         """,
         "c2_delete_relation_composite": """
+            -- true anti-join replica, not the algebraic shortcut
+            -- (o_orderkey % 97 <> 0): the shortcut also deletes rows whose
+            -- composite key carries a NULL, but an equi-anti-join never
+            -- matches NULL = NULL, so the engine KEEPS those rows
             SELECT o_custkey AS source, o_orderkey AS target,
                    o_orderpriority AS name
-            FROM orders WHERE o_orderkey % 97 <> 0
+            FROM orders r
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders d
+              WHERE d.o_orderkey % 97 = 0
+                AND d.o_custkey = r.o_custkey
+                AND d.o_orderkey = r.o_orderkey
+                AND d.o_orderpriority = r.o_orderpriority
+            )
         """,
         "j1_reconcile_merge": """
             SELECT COALESCE(l.id, r.id) AS id, 'doc' AS type,
@@ -1044,7 +1060,10 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id
                        ORDER BY cos_raw DESC, neighbor_id ASC
                      ) AS rank
-              FROM scored
+              -- NULL-cosine rows (zero-norm or NULL embedding on either
+              -- side: 0/0 and NULL both divide to NULL) are excluded from
+              -- ranking, mirroring the engine's cosine-IS-NOT-NULL filter
+              FROM scored WHERE cos_raw IS NOT NULL
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3
@@ -1068,7 +1087,9 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id
                        ORDER BY cos_raw DESC, neighbor_id ASC
                      ) AS rank
-              FROM scored
+              -- mirror the engine's cosine-IS-NOT-NULL filter (zero-norm /
+              -- NULL embeddings produce no top-k rows, are never neighbors)
+              FROM scored WHERE cos_raw IS NOT NULL
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3
@@ -1251,9 +1272,11 @@ def oracle_sql() -> dict[str, str]:
                      NULL::BIGINT AS r_id, NULL::BIGINT AS r_us
               FROM events
               UNION ALL
+              -- NULL-ts right rows are outside the match space (engine
+              -- contract: a row with no time is never "nearest" anything)
               SELECT user_id, ts, event_id, 0,
                      event_id, epoch_us(ts)
-              FROM events WHERE event_type = 'purchase'
+              FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
             ),
             m AS (
               SELECT user_id, ts, event_id, side,
@@ -1265,9 +1288,15 @@ def oracle_sql() -> dict[str, str]:
                 ROWS UNBOUNDED PRECEDING
               )
             )
+            -- NULL-ts left rows have no position in time: no match (the
+            -- window would otherwise hand them whatever NULLS-LAST put
+            -- before them — engine parity requires the explicit CASE)
             SELECT event_id, user_id,
-                   COALESCE(pid, -1) AS prior_purchase_id,
-                   COALESCE(epoch_us(ts) - pus, -1) AS us_since_purchase
+                   CASE WHEN ts IS NULL THEN -1
+                        ELSE COALESCE(pid, -1) END AS prior_purchase_id,
+                   CASE WHEN ts IS NULL THEN -1
+                        ELSE COALESCE(epoch_us(ts) - pus, -1)
+                   END AS us_since_purchase
             FROM m WHERE side = 1
         """,
         "events_asof_forward": """
@@ -1282,9 +1311,11 @@ def oracle_sql() -> dict[str, str]:
                      NULL::BIGINT AS r_id, NULL::BIGINT AS r_us
               FROM events
               UNION ALL
+              -- NULL-ts right rows are outside the match space (engine
+              -- contract, same as the backward oracle)
               SELECT user_id, ts, event_id, 0,
                      event_id, epoch_us(ts)
-              FROM events WHERE event_type = 'purchase'
+              FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
             ),
             m AS (
               SELECT user_id, ts, event_id, side,
@@ -1296,21 +1327,30 @@ def oracle_sql() -> dict[str, str]:
                 ROWS UNBOUNDED PRECEDING
               )
             )
+            -- NULL-ts left rows match nothing (engine parity CASE)
             SELECT event_id, user_id,
-                   COALESCE(nid, -1) AS next_purchase_id,
-                   COALESCE(nus - epoch_us(ts), -1) AS us_until_purchase
+                   CASE WHEN ts IS NULL THEN -1
+                        ELSE COALESCE(nid, -1) END AS next_purchase_id,
+                   CASE WHEN ts IS NULL THEN -1
+                        ELSE COALESCE(nus - epoch_us(ts), -1)
+                   END AS us_until_purchase
             FROM m WHERE side = 1
         """,
         "events_interval_sessions": """
             -- independent derivation: session_idx straight from the
             -- sessionize window (sessions are disjoint per user, so the
-            -- containment join assignment is identical)
+            -- containment join assignment is identical).  Two engine-parity
+            -- filters: ts IS NOT NULL (sessionize contract — and a NULL-ts
+            -- point bucketizes to NULL, never joining), and user_id IS NOT
+            -- NULL on the OUTPUT (the engine's (key, bucket) equi-join
+            -- never matches a NULL key, while this window derivation would
+            -- happily session the NULL-user partition)
             WITH flagged AS (
               SELECT user_id, ts, event_id,
                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS is_new
-              FROM events
+              FROM events WHERE ts IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, event_id,
@@ -1318,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS session_idx
-            FROM flagged
+            FROM flagged WHERE user_id IS NOT NULL
         """,
         "text_decontaminate": """
             WITH lt AS (
@@ -1463,7 +1503,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS is_new
-              FROM events
+              -- ts IS NOT NULL: engine contract — a row with no time has
+              -- no place in a time session (see operators/events.py)
+              FROM events WHERE ts IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             sess AS (

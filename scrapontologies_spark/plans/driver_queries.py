@@ -349,7 +349,13 @@ def _base_oracles() -> dict[str, str]:
             FROM events WHERE event_id < 100
         """,
         "f4_json_extract": """
-            SELECT event_id, json_extract_string(props, '$.k') AS k_value
+            -- json_valid guard: DuckDB's json_extract_string ERRORS on
+            -- malformed JSON where Spark's get_json_object returns NULL;
+            -- on valid JSON both serialize nested values compactly
+            SELECT event_id,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k')
+                        ELSE NULL END AS k_value
             FROM events WHERE event_id < 100
         """,
         "a7_color_assignment": """
@@ -409,7 +415,7 @@ def _base_oracles() -> dict[str, str]:
             -- mentions >=1 gazetteer term; M4 lifts 'term' to the one entity,
             -- M5(a) emits module --has_term--> term; kind:string nests no
             -- object, so there are no deeper containment edges
-            SELECT source || '/doc_' || doc_id AS subj,
+            SELECT COALESCE(source, '') || '/doc_' || doc_id AS subj,
                    'has_term' AS pred, 'term' AS obj,
                    'containment' AS rel_type
             FROM documents

@@ -78,6 +78,16 @@ def main() -> int:
             cols = sorted(sp.columns)
             a = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
             b = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                # Spark's toPandas emits datetime64[ns], DuckDB's fetchdf
+                # datetime64[us]; assert_frame_equal compares the raw int
+                # representation, so equal timestamps mismatch by 1000×
+                # unless normalized to one unit
+                if str(a[c].dtype).startswith("datetime64") and str(
+                    b[c].dtype
+                ).startswith("datetime64"):
+                    a[c] = a[c].astype("datetime64[us]")
+                    b[c] = b[c].astype("datetime64[us]")
             pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
             print(f"{name}: OK ({len(sp)} rows)")
         except Exception as e:  # noqa: BLE001 — report, keep checking

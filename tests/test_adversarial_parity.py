@@ -1,0 +1,160 @@
+"""Cross-engine parity on ADVERSARIAL data — the shapes the driver's
+benign sf tables never exercise (NULL/empty/CJK text, NULL source/lang,
+exact-duplicate docs, zero-norm / NULL / duplicate embeddings, NULL and
+equal event timestamps, malformed JSON props, NULL composite-key parts).
+
+Round 4's adversarial sweep found 11 query/oracle divergences on this
+corpus (engine "None"-stringified doc ids; oracles that ranked
+NULL-cosine rows, errored on malformed JSON, let NULL-ts rows match
+as-of joins, session-indexed NULL timestamps, and deleted NULL-keyed
+rows an equi-anti-join keeps).  This module regenerates the corpus
+deterministically (scripts/adversarial_tables.py) and re-runs each
+previously-divergent query against its DuckDB oracle, value-exact — a
+regression in either twin fails here before any driver round.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# every query that diverged in the round-4 adversarial sweep
+FIXED_QUERIES = (
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh",
+    "f4_json_extract",
+    "m5_containment_triples",
+    "events_sessionize",
+    "events_interval_sessions",
+    "events_asof_purchase",
+    "events_asof_forward",
+    "events_hourly_rollup",
+    "c2_delete_relation_composite",
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _load_generator():
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_tables", os.path.join(REPO, "scripts", "adversarial_tables.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial"))
+    _load_generator().write_all(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ddb(adv_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{adv_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FIXED_QUERIES)
+def test_adversarial_query_matches_oracle(spark, ddb, adv_dir, name):
+    from scrapontologies_spark.plans import driver_queries as DQ
+
+    sp = DQ.queries()[name](spark, adv_dir).toPandas()
+    du = ddb.execute(DQ.oracle_sql()[name]).fetchdf()
+    assert len(sp) == len(du), f"{name}: rows spark={len(sp)} duckdb={len(du)}"
+    cols = sorted(sp.columns)
+    a = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    b = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        # normalize datetime units (Spark ns vs DuckDB us) so the compare
+        # sees timestamps, not their raw int representations
+        if str(a[c].dtype).startswith("datetime64") and str(
+            b[c].dtype
+        ).startswith("datetime64"):
+            a[c] = a[c].astype("datetime64[us]")
+            b[c] = b[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+
+
+def test_sessionize_excludes_null_ts(spark, adv_dir):
+    """Engine contract: a row with no timestamp has no place in a time
+    session (and engines disagree where NULLs sort, so keeping them would
+    shift every real session's index by engine)."""
+    from scrapontologies_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{adv_dir}/events.parquet")
+    sess = sessionize(ev, 30).toPandas()
+    assert not sess.session_start.isna().any()
+    assert not sess.session_end.isna().any()
+    # NULL users still session (both engines group NULL keys together)
+    assert sess.user_id.isna().any()
+
+
+def test_asof_null_ts_matches_nothing(spark, adv_dir):
+    """NULL-ts left rows match nothing in any direction; NULL-ts right
+    rows are outside the match space (merge_asof parity)."""
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{adv_dir}/events.parquet")
+    for direction, prefix in (("backward", "prior_"), ("forward", "next_"),
+                              ("nearest", "near_")):
+        res = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            ev.filter(F.col("event_type") == "purchase"),
+            right_value_cols=("event_id",),
+            prefix=prefix,
+            direction=direction,
+        )
+        bad = res.filter(
+            F.col("ts").isNull() & F.col(f"{prefix}event_id").isNotNull()
+        ).count()
+        assert bad == 0, direction
+
+
+def test_cosine_topk_degenerate_rows_produce_nothing(spark, adv_dir):
+    """Zero-norm and NULL embeddings yield no top-k rows and never appear
+    as neighbors (vec 0 = zero-norm, vec 3 = NULL in the fixture)."""
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{adv_dir}/embeddings.parquet")
+    res = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    got = res.toPandas()
+    assert not set(got.query_id) & {0, 3}
+    assert not set(got.neighbor_id) & {0, 3}
+    # the identical pair (1, 2) must be each other's top neighbor, cosine 1
+    top = {r.query_id: (r.neighbor_id, round(r.cosine, 9))
+           for r in res.filter(F.col("rank") == 1).collect()}
+    assert top[1] == (2, 1.0) and top[2] == (1, 1.0)
+
+
+def test_extraction_null_source_keeps_real_doc_identity(spark, adv_dir):
+    """A NULL repo must not stringify as 'None' inside doc identities
+    (doc 22 has NULL source in the fixture)."""
+    from scrapontologies_spark.plans import driver_queries as DQ
+
+    subj = [
+        r.subj
+        for r in DQ.queries()["m5_containment_triples"](spark, adv_dir)
+        .collect()
+    ]
+    assert not any(s.startswith("None/") for s in subj)
+    assert "/doc_22" in subj  # NULL source renders as empty prefix
