@@ -282,10 +282,93 @@ def _tpch() -> "dict[str, pd.DataFrame]":
     }
 
 
-def write_all(out_dir: str) -> None:
+def _docs_skew(n: int = 2000) -> pd.DataFrame:
+    """Skewed corpus: 30% of rows are ONE exact-duplicate text (a mega
+    group for dedup/CC), 10% a second group, one source holds 70% of
+    docs — the shapes that make naive dedup/groupBy plans quadratic or
+    hot-partitioned at 100 TB."""
+    texts = []
+    for i in range(n):
+        if i % 10 < 3:
+            t = "join scan hash merge sort the fast table"     # mega group
+        elif i % 10 == 3:
+            t = "filter group window agg batch stream"          # second group
+        else:
+            k = i % 5 + 3
+            t = " ".join(TERMS[(i + j) % len(TERMS)] for j in range(3 * k))
+        texts.append(t)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "text": texts,
+            "lang": [("en", "de", "fr", "es")[i % 4] for i in range(n)],
+            "source": ["src0" if i % 10 < 7 else f"src{i % 10}" for i in range(n)],
+            "n_chars": pd.array([len(t) for t in texts], dtype="Int64"),
+        }
+    )
+
+
+def _embeddings_skew(n: int = 1000, dim: int = 64) -> pd.DataFrame:
+    """50% of vectors are EXACTLY identical: one degenerate LSH/IVF bucket
+    plus maximal top-k tie pressure (every member is every other member's
+    perfect neighbor — deterministic id tie-breaks are load-bearing)."""
+    hot = (np.sin(np.arange(dim) * 0.73) * 0.5).astype(np.float32)
+    vecs = []
+    for i in range(n):
+        if i % 2 == 0:
+            v = hot
+        else:
+            c = i % 8
+            v = (np.sin(np.arange(dim) * (c + 1) * 0.37)
+                 + np.cos(np.arange(dim) + i) * 0.05).astype(np.float32)
+        vecs.append(v.tolist())
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": vecs,
+            "label": pd.array([i % 10 for i in range(n)], dtype="Int32"),
+        }
+    )
+
+
+def _events_skew(n: int = 20000) -> pd.DataFrame:
+    """One user owns half the stream (hot session/asof partition), with
+    long equal-timestamp runs inside it (tie-break pressure)."""
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    types = ("view", "click", "purchase", "error", "signup")
+    for i in range(n):
+        uid = 7 if i % 2 == 0 else i % 50
+        # hot user: bursts of 20 events at the SAME timestamp
+        ts = base + pd.Timedelta(minutes=(i // 40) * 3 if uid == 7 else i % 7200)
+        rows.append(
+            (i, ts, uid, types[i % 5],
+             round((i % 500) / 7.0, 3), '{"k": %d}' % (i % 100))
+        )
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+def write_skew(
+    out_dir: str, n_docs: int = 2000, n_vecs: int = 1000, n_events: int = 20000
+) -> None:
+    """Skewed variant: same schemas, mass duplication / hot keys instead
+    of NULL edges.  TPC-H tables reuse the NULL-edge generator (the skew
+    queries only read documents/embeddings/events, but the full ten-table
+    layout keeps cross_scale_check's view registration uniform)."""
     os.makedirs(out_dir, exist_ok=True)
-    tables = {"documents": _docs(), "embeddings": _embeddings(),
-              "events": _events(), **_tpch()}
+    tables = {"documents": _docs_skew(n_docs),
+              "embeddings": _embeddings_skew(n_vecs),
+              "events": _events_skew(n_events), **_tpch()}
+    _write_tables(tables, out_dir)
+
+
+def _write_tables(tables: "dict[str, pd.DataFrame]", out_dir: str) -> None:
     for name, df in tables.items():
         schema_override = None
         if name == "embeddings":
@@ -301,7 +384,18 @@ def write_all(out_dir: str) -> None:
         print(f"{name}: {len(df)} rows")
 
 
+def write_all(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tables = {"documents": _docs(), "embeddings": _embeddings(),
+              "events": _events(), **_tpch()}
+    _write_tables(tables, out_dir)
+
+
 if __name__ == "__main__":
-    write_all(sys.argv[1] if len(sys.argv) > 1 else
-              os.path.join(os.path.dirname(os.path.dirname(
-                  os.path.abspath(__file__))), "bench_data", "adversarial"))
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    out = args[0] if args else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_data",
+        "adversarial_skew" if "--skew" in sys.argv else "adversarial",
+    )
+    (write_skew if "--skew" in sys.argv else write_all)(out)

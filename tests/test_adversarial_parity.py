@@ -91,6 +91,55 @@ def test_adversarial_query_matches_oracle(spark, ddb, adv_dir, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
 
 
+# skew fixture: mega duplicate group, hot user with equal-ts bursts,
+# identical-vector cluster — the full 56-query sweep on the large skew
+# corpus runs via scripts/cross_scale_check.py (56/56, BASELINE.md); the
+# suite pins the heavy hitters at a small size
+SKEW_QUERIES = (
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "events_sessionize",
+    "sim_cosine_topk",
+)
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial_skew"))
+    _load_generator().write_skew(d, n_docs=400, n_vecs=200, n_events=3000)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ddb_skew(skew_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{skew_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_QUERIES)
+def test_skew_query_matches_oracle(spark, ddb_skew, skew_dir, name):
+    from scrapontologies_spark.plans import driver_queries as DQ
+
+    sp = DQ.queries()[name](spark, skew_dir).toPandas()
+    du = ddb_skew.execute(DQ.oracle_sql()[name]).fetchdf()
+    assert len(sp) == len(du), f"{name}: rows spark={len(sp)} duckdb={len(du)}"
+    assert len(sp) > 0, name  # skew shapes must actually exercise the op
+    cols = sorted(sp.columns)
+    a = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    b = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if str(a[c].dtype).startswith("datetime64") and str(
+            b[c].dtype
+        ).startswith("datetime64"):
+            a[c] = a[c].astype("datetime64[us]")
+            b[c] = b[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+
+
 def test_sessionize_excludes_null_ts(spark, adv_dir):
     """Engine contract: a row with no timestamp has no place in a time
     session (and engines disagree where NULLs sort, so keeping them would
