@@ -390,3 +390,24 @@ def test_compact_never_written_store_is_a_noop(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS nd_never_written")
     assert BucketedBandStore("nd_never_written").compact(spark) == 0
     assert not spark.catalog.tableExists("nd_never_written")
+
+
+def test_neardup_null_and_short_text_pass_through(spark, tmp_path):
+    """A doc whose text yields no shingles (NULL, empty, or fewer tokens
+    than k) has no bands, so it can never be suppressed NOR suppress
+    anything — it must pass through every batch untouched rather than
+    crash the plan or silently vanish (fingerprint-less rows are exact
+    dedup's job, upstream)."""
+    store = str(tmp_path / "store")
+    rows = [(1, None), (2, ""), (3, "one two"), (4, "a b c d e f g h")]
+    out0 = neardup_filter_batch(
+        _mk_docs(spark, rows), store, batch_id=0, writer_id="t"
+    )
+    assert {r.doc_id for r in out0.collect()} == {1, 2, 3, 4}
+    # same fingerprint-less docs again (new ids): still emitted — nothing
+    # was stored for them, and the real doc 4's repeat IS suppressed
+    rows1 = [(11, None), (12, ""), (13, "one two"), (14, "a b c d e f g h")]
+    out1 = neardup_filter_batch(
+        _mk_docs(spark, rows1), store, batch_id=1, writer_id="t"
+    )
+    assert {r.doc_id for r in out1.collect()} == {11, 12, 13}
