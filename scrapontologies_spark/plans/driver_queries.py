@@ -351,7 +351,13 @@ def _base_oracles() -> dict[str, str]:
         "f4_json_extract": """
             -- json_valid guard: DuckDB's json_extract_string ERRORS on
             -- malformed JSON where Spark's get_json_object returns NULL;
-            -- on valid JSON both serialize nested values compactly
+            -- on valid JSON both serialize nested values compactly.
+            -- Envelope: CONCATENATED documents ('{"k":1}{"k":1}') are
+            -- engine-dependent — Jackson prefix-parses them (Spark
+            -- returns 1), strict validators reject (json.loads, the
+            -- reference's parser, and json_valid both say invalid) —
+            -- so multi-document strings are outside the value contract
+            -- (found by tests/test_fuzz_parity.py, disclosed here)
             SELECT event_id,
                    CASE WHEN json_valid(props)
                         THEN json_extract_string(props, '$.k')
