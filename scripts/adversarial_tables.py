@@ -391,11 +391,41 @@ def write_all(out_dir: str) -> None:
     _write_tables(tables, out_dir)
 
 
+def write_empty(out_dir: str) -> None:
+    """Zero-row tables with the EXACT column types of the populated ones
+    (a naive `df.iloc[0:0]` loses object-column types and pyarrow infers
+    INT, which poisons every downstream cast).  The empty-input edge is
+    routine at scale — any filter can produce it — so every query must
+    run and agree with its oracle on it."""
+    os.makedirs(out_dir, exist_ok=True)
+    tables = {"documents": _docs(), "embeddings": _embeddings(),
+              "events": _events(), **_tpch()}
+    for name, df in tables.items():
+        schema_override = None
+        if name == "embeddings":
+            schema_override = pa.schema(
+                [("vec_id", pa.int64()),
+                 ("embedding", pa.list_(pa.float32())),
+                 ("label", pa.int32())]
+            )
+        full = pa.Table.from_pandas(
+            df, schema=schema_override, preserve_index=False
+        )
+        pq.write_table(full.slice(0, 0), os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: 0 rows")
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    variant = ("adversarial_skew" if "--skew" in flags
+               else "adversarial_empty" if "--empty" in flags
+               else "adversarial")
     out = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "bench_data",
-        "adversarial_skew" if "--skew" in sys.argv else "adversarial",
+        "bench_data", variant,
     )
-    (write_skew if "--skew" in sys.argv else write_all)(out)
+    fn = (write_skew if "--skew" in flags
+          else write_empty if "--empty" in flags
+          else write_all)
+    fn(out)

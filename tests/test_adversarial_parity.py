@@ -140,6 +140,49 @@ def test_skew_query_matches_oracle(spark, ddb_skew, skew_dir, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
 
 
+# zero-row tables: the empty-input edge any filter can produce at scale.
+# Full 56-query sweep runs via cross_scale_check (56/56, BASELINE.md);
+# the suite pins the queries with eager/driver-side or divide-prone
+# stages that could plausibly crash on nothing
+EMPTY_QUERIES = (
+    "kg_global_schema",      # eager treeAggregate-style reduce of 0 rows
+    "sim_cosine_topk_ivf",   # codebook sampled from an empty table
+    "text_vocabulary",       # corpus-size N = 0 broadcast, idf divides
+    "dedup_clusters",        # CC over zero edges
+    "events_sessionize",     # window over zero partitions
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial_empty"))
+    _load_generator().write_empty(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ddb_empty(empty_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_empty_input_query_matches_oracle(spark, ddb_empty, empty_dir, name):
+    from scrapontologies_spark.plans import driver_queries as DQ
+
+    sp = DQ.queries()[name](spark, empty_dir).toPandas()
+    du = ddb_empty.execute(DQ.oracle_sql()[name]).fetchdf()
+    assert len(sp) == len(du), f"{name}: rows spark={len(sp)} duckdb={len(du)}"
+    if len(sp):  # kg_global_schema returns ('global', '{}') on empty input
+        cols = sorted(sp.columns)
+        a = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        b = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+
+
 def test_sessionize_excludes_null_ts(spark, adv_dir):
     """Engine contract: a row with no timestamp has no place in a time
     session (and engines disagree where NULLs sort, so keeping them would
