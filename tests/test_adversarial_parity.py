@@ -250,3 +250,45 @@ def test_extraction_null_source_keeps_real_doc_identity(spark, adv_dir):
     ]
     assert not any(s.startswith("None/") for s in subj)
     assert "/doc_22" in subj  # NULL source renders as empty prefix
+
+
+def test_run_job_hostile_corpus_end_to_end_and_resume(spark, tmp_path):
+    """The full warehouse job (extract → fold → reconcile → CC canonical →
+    schemas → triples) over a corpus where every nullable field is NULL
+    somewhere — plus empty/CJK/fence content — must complete, emit sane
+    identities (no "None/" doc ids), and RESUME to the identical output
+    (the second run must rebuild nothing and read back the same triples)."""
+    from pyspark.sql import functions as F
+
+    from scrapontologies_spark.plans.job import run_job
+    from scrapontologies_spark.sources.corpus import CORPUS_SCHEMA
+
+    rows = [
+        ("r0", "a.py", "c1", "python", "import os\ndef f():\n    return os.path"),
+        (None, "b.py", "c1", "python", "class A:\n    pass"),        # NULL repo
+        ("r1", None, "c2", None, "def g(): f()"),                    # NULL path+lang
+        ("r1", "c.md", None, "markdown", None),                      # NULL content
+        ("r2", "d.txt", "c3", "text", ""),                           # empty content
+        ("r2", "e.txt", "c3", "text", "的和表快 join query"),          # CJK
+        ("r3", "f.py", "c4", "python", "```python\nimport sys\n```"),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    wh = str(tmp_path / "wh")
+    run_job(spark, corpus, wh, chunk_bytes=64)
+    triples1 = spark.read.parquet(f"{wh}/triples")
+    got1 = {tuple(r) for r in triples1.collect()}
+    assert got1, "hostile corpus produced no triples at all"
+    subjects = {r.subj for r in triples1.select("subj").distinct().collect()}
+    assert not any(s and "None" in s for s in subjects), subjects
+    # the NULL-content doc still has a real extracted row (content treated
+    # as "", identity kept — the kernel's visible-degrade contract)
+    extracted = spark.read.parquet(f"{wh}/extracted")
+    assert extracted.filter(F.col("path") == "c.md").count() >= 1
+    # resume: second run over the same warehouse rebuilds nothing and the
+    # triples read back identical
+    infos2 = run_job(spark, corpus, wh, chunk_bytes=64)
+    assert all(i.skipped for i in infos2.values()), {
+        k: i.skipped for k, i in infos2.items()
+    }
+    got2 = {tuple(r) for r in spark.read.parquet(f"{wh}/triples").collect()}
+    assert got2 == got1
