@@ -519,8 +519,14 @@ def embedding_near_dup_pairs(
     # try_divide: a zero-norm embedding has no defined cosine — NULL (which
     # the >= threshold filter drops) instead of an ANSI DIVIDE_BY_ZERO
     # aborting the whole job on the first degenerate row
-    cos = F.try_divide(
-        _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+    from .similarity import nan_to_null
+
+    # nan_to_null: NaN >= threshold is TRUE in Spark SQL (NaN sorts above
+    # all numbers), so a corrupted NaN/Inf vector would otherwise be
+    # declared a near-duplicate of everything it buckets with; NULL fails
+    # the threshold like the zero-norm case
+    cos = nan_to_null(
+        F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     ).alias("cos_raw")
     return (
         pairs.select("id_a", "id_b", cos)

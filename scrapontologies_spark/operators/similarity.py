@@ -77,13 +77,29 @@ def _norm(a):
     return _norm_hof(a)
 
 
+def nan_to_null(c):
+    """NaN → NULL.  A NaN/±Inf component makes the cosine NaN, and NaN
+    sorts ABOVE every number in a DESC ordering (Spark and DuckDB alike) —
+    one corrupted centroid would otherwise capture EVERY vector's top-1
+    IVF assignment, and ``NaN >= threshold`` is TRUE so a corrupted vector
+    would read as a near-duplicate of everything it buckets with.  NULL
+    instead: sorts LAST in DESC, fails every threshold, and unifies the
+    corrupted-row contract with zero-norm / NULL embeddings."""
+    return F.nanvl(c, F.lit(None).cast("double"))
+
+
 def _cosine(a_vec, b_vec, a_norm, b_norm):
     """dot/(‖a‖·‖b‖) via try_divide: a zero-norm (all-zero or empty)
     embedding has no defined cosine, and under Spark 4's default ANSI mode
     a plain division would abort the whole job with DIVIDE_BY_ZERO on the
     first such row.  NULL instead — callers drop NULL scores (no defined
-    similarity ⇒ not a neighbor)."""
-    return F.try_divide(_dot(a_vec, b_vec), a_norm * b_norm)
+    similarity ⇒ not a neighbor).  A NULL element inside the array
+    propagates through the fold to NULL (unlike DuckDB's list_aggregate,
+    which SKIPS nulls — the oracle twin replicates the propagation
+    explicitly); NaN from NaN/Inf components maps to NULL via
+    :func:`nan_to_null`, so every corrupted-row shape lands on the same
+    NULL contract."""
+    return nan_to_null(F.try_divide(_dot(a_vec, b_vec), a_norm * b_norm))
 
 
 def cosine_topk_bruteforce(
@@ -127,7 +143,12 @@ def cosine_topk_bruteforce(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.filter(F.col("cosine").isNotNull())  # zero-norm: no cosine
+        scored.filter(
+            # every corrupted-row shape (zero-norm, NULL embedding, NULL
+            # element, NaN/Inf component) lands on NULL via _cosine —
+            # non-finite rows are outside similarity
+            F.col("cosine").isNotNull()
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -387,7 +408,12 @@ def cosine_topk_ivf(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.filter(F.col("cosine").isNotNull())  # zero-norm: no cosine
+        scored.filter(
+            # every corrupted-row shape (zero-norm, NULL embedding, NULL
+            # element, NaN/Inf component) lands on NULL via _cosine —
+            # non-finite rows are outside similarity
+            F.col("cosine").isNotNull()
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -505,7 +531,12 @@ def cosine_topk_lsh(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.filter(F.col("cosine").isNotNull())  # zero-norm: no cosine
+        scored.filter(
+            # every corrupted-row shape (zero-norm, NULL embedding, NULL
+            # element, NaN/Inf component) lands on NULL via _cosine —
+            # non-finite rows are outside similarity
+            F.col("cosine").isNotNull()
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -589,12 +589,23 @@ def queries() -> Q:
 
 def _cos_sql(a: str, b: str) -> str:
     """Sequential float64 cosine of two array columns — Spark's
-    _dot(a,b)/(_norm(a)*_norm(b)) fold, operand order preserved."""
-    return (
+    _dot(a,b)/(_norm(a)*_norm(b)) fold, operand order preserved — with the
+    engine's corrupted-row contract made explicit: a NULL ELEMENT inside
+    either array yields NULL (Spark's fold propagates it, but DuckDB's
+    list_aggregate SKIPS nulls and would score the damaged vector as if
+    whole), and a NaN cosine (NaN/Inf components) also yields NULL
+    (mirroring operators.similarity.nan_to_null — NaN sorts ABOVE every
+    number in DESC in both engines, so it must not reach a ranking)."""
+    raw = (
         f"list_aggregate([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
         f"FOR i IN range(1, len({a}) + 1)], 'sum')"
         f" / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN {a}], 'sum'))"
         f" * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN {b}], 'sum')) )"
+    )
+    return (
+        f"CASE WHEN len(list_filter({a}, x -> x IS NULL)) > 0"
+        f" OR len(list_filter({b}, x -> x IS NULL)) > 0"
+        f" OR isnan({raw}) THEN NULL ELSE {raw} END"
     )
 
 
@@ -648,7 +659,7 @@ def _ivf_topk_sql(k: int = 3, k_cells: int = 16, n_probe: int = 4) -> str:
                  ) AS rank
           -- filter BEFORE ranking (mirrors the engine's cosine-IS-NOT-NULL
           -- filter): a NULL-cosine candidate must not consume a rank slot
-          FROM scored WHERE cos_raw IS NOT NULL
+          FROM scored WHERE cos_raw IS NOT NULL AND NOT isnan(cos_raw)
         )
         SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
         FROM ranked WHERE rank <= {k}
@@ -990,21 +1001,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
             FROM documents d JOIN canon USING (doc_id)
         """,
-        "dedup_embedding_cosine": """
-            -- sequential float64 cosine (matches Spark's aggregate() fold)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     list_aggregate([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                                     FOR i IN range(1, len(a.embedding) + 1)], 'sum')
-                     / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN a.embedding], 'sum'))
-                       * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
-                   , 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_aggregate([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                                  FOR i IN range(1, len(a.embedding) + 1)], 'sum')
-                  / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN a.embedding], 'sum'))
-                    * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN b.embedding], 'sum')) )
-                  >= 0.4
+        "dedup_embedding_cosine": f"""
+            -- sequential float64 cosine via _cos_sql (matches Spark's
+            -- aggregate() fold AND the corrupted-row NULL contract: NULL
+            -- elements / NaN components yield NULL, which fails >= 0.4
+            -- exactly like the engine's nan_to_null + threshold filter)
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_cos_sql("a.embedding", "b.embedding")} AS cos_raw
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+            FROM scored WHERE cos_raw >= 0.4
         """,
         "dedup_embedding_cosine_lsh": f"""
             -- replica of the lsh_tables=4/lsh_planes=4 scale path: same
@@ -1027,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = c.id_b
             )
             SELECT id_a, id_b, round(cos_raw, 6) AS cosine
-            FROM scored WHERE cos_raw >= 0.4
+            FROM scored WHERE cos_raw >= 0.4 AND NOT isnan(cos_raw)
         """,
         "sim_cosine_topk_ivf": _ivf_topk_sql(3, 16, 4),
         "sim_cosine_topk_lsh": f"""
@@ -1045,11 +1053,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT c.query_id, c.neighbor_id,
-                     list_aggregate([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-                                     FOR i IN range(1, len(q.embedding) + 1)], 'sum')
-                     / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN q.embedding], 'sum'))
-                       * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum')) )
-                     AS cos_raw
+                     {_cos_sql("q.embedding", "e.embedding")} AS cos_raw
               FROM cand c
               JOIN embeddings q ON q.vec_id = c.query_id
               JOIN embeddings e ON e.vec_id = c.neighbor_id
@@ -1063,21 +1067,18 @@ def oracle_sql() -> dict[str, str]:
               -- NULL-cosine rows (zero-norm or NULL embedding on either
               -- side: 0/0 and NULL both divide to NULL) are excluded from
               -- ranking, mirroring the engine's cosine-IS-NOT-NULL filter
-              FROM scored WHERE cos_raw IS NOT NULL
+              FROM scored WHERE cos_raw IS NOT NULL AND NOT isnan(cos_raw)
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3
         """,
-        "sim_cosine_topk": """
+        "sim_cosine_topk": f"""
             -- cosine in sequential float64 (matches Spark's aggregate() fold
-            -- bitwise; DuckDB's list_cosine_similarity is float32 — wrong)
+            -- bitwise; DuckDB's list_cosine_similarity is float32 — wrong);
+            -- _cos_sql carries the shared corrupted-row NULL contract
             WITH scored AS (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     list_aggregate([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-                                     FOR i IN range(1, len(q.embedding) + 1)], 'sum')
-                     / ( sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN q.embedding], 'sum'))
-                       * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum')) )
-                     AS cos_raw
+                     {_cos_sql("q.embedding", "e.embedding")} AS cos_raw
               FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
               WHERE q.vec_id < 5
             ),
@@ -1089,7 +1090,7 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               -- mirror the engine's cosine-IS-NOT-NULL filter (zero-norm /
               -- NULL embeddings produce no top-k rows, are never neighbors)
-              FROM scored WHERE cos_raw IS NOT NULL
+              FROM scored WHERE cos_raw IS NOT NULL AND NOT isnan(cos_raw)
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3

@@ -118,6 +118,26 @@ def _embeddings(n: int = 120, dim: int = 64) -> pd.DataFrame:
             v = np.full(dim, 1.0e18, dtype=np.float32)  # huge magnitudes
         elif i == 5:
             v = np.full(dim, 1.0e-30, dtype=np.float32)  # denormal-scale
+        elif i == 6:
+            v = np.full(dim, np.nan, dtype=np.float32)   # all-NaN (corrupt)
+        elif i == 7:
+            v = np.arange(dim, dtype=np.float32)
+            v[0] = np.nan                                # one NaN component
+        elif i == 8:
+            v = np.arange(dim, dtype=np.float32)
+            v[0] = np.inf                                # +Inf component
+        elif i == 9:
+            v = np.arange(dim, dtype=np.float32)
+            v[0] = -np.inf                               # -Inf component
+        elif i == 10:
+            # NULL ELEMENT inside the array (distinct from NaN!): Spark's
+            # fold propagates it to a NULL cosine, but DuckDB's
+            # list_aggregate SKIPS nulls and would score the damaged
+            # vector as if whole — the shape that forced _cos_sql's
+            # explicit NULL-element guard
+            v = [None] + [float(x) for x in range(1, dim)]
+            vecs.append(v)
+            continue
         else:
             # deterministic pseudo-clustered: 8 centroid patterns + index jitter
             c = i % 8
@@ -370,16 +390,26 @@ def write_skew(
 
 def _write_tables(tables: "dict[str, pd.DataFrame]", out_dir: str) -> None:
     for name, df in tables.items():
-        schema_override = None
         if name == "embeddings":
-            schema_override = pa.schema(
-                [("vec_id", pa.int64()),
-                 ("embedding", pa.list_(pa.float32())),
-                 ("label", pa.int32())]
+            # build the list column directly (from_pandas=False): pandas
+            # conversion treats float NaN as NULL, silently turning the
+            # NaN-component vectors into NULL-element vectors — a
+            # DIFFERENT hostile shape (both are covered, explicitly)
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(
+                        df["vec_id"].tolist(), type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        list(df["embedding"]),
+                        type=pa.list_(pa.float32()),
+                        from_pandas=False,
+                    ),
+                    "label": pa.array(df["label"], type=pa.int32()),
+                }
             )
-        tbl = pa.Table.from_pandas(
-            df, schema=schema_override, preserve_index=False
-        )
+        else:
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
         pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {len(df)} rows")
 

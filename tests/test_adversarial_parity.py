@@ -221,17 +221,21 @@ def test_asof_null_ts_matches_nothing(spark, adv_dir):
 
 
 def test_cosine_topk_degenerate_rows_produce_nothing(spark, adv_dir):
-    """Zero-norm and NULL embeddings yield no top-k rows and never appear
-    as neighbors (vec 0 = zero-norm, vec 3 = NULL in the fixture)."""
+    """Zero-norm, NULL, NaN, Inf and NULL-element embeddings yield no
+    top-k rows and never appear as neighbors (fixture: 0 zero-norm,
+    3 NULL, 6 all-NaN, 7 one-NaN, 8 +Inf, 9 -Inf, 10 NULL element)."""
     from pyspark.sql import functions as F
 
     from scrapontologies_spark.operators.similarity import cosine_topk_bruteforce
 
     emb = spark.read.parquet(f"{adv_dir}/embeddings.parquet")
-    res = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    res = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=3)
     got = res.toPandas()
-    assert not set(got.query_id) & {0, 3}
-    assert not set(got.neighbor_id) & {0, 3}
+    # 0 zero-norm, 3 NULL, 6/7 NaN, 8/9 Inf components, 10 NULL element —
+    # all non-finite cosines, excluded as queries AND as neighbors
+    degenerate = {0, 3, 6, 7, 8, 9, 10}
+    assert not set(got.query_id) & degenerate
+    assert not set(got.neighbor_id) & degenerate
     # the identical pair (1, 2) must be each other's top neighbor, cosine 1
     top = {r.query_id: (r.neighbor_id, round(r.cosine, 9))
            for r in res.filter(F.col("rank") == 1).collect()}
