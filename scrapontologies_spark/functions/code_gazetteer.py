@@ -88,9 +88,82 @@ _PY_FROM = re.compile(r"^from\s+(\w+)\s+import", re.M)
 _PY_DEF = re.compile(r"^(\s*)def\s+(\w+)\s*\(", re.M)
 _PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
 
-_JS_IMPORT = re.compile(r"""(?:import\s+\w+\s+from\s+['"](\w+)['"]|require\(['"](\w+)['"]\))""")
-_JS_FUNC = re.compile(r"^\s*function\s+(\w+)\s*\(", re.M)
-_JS_CLASS = re.compile(r"^\s*class\s+(\w+)", re.M)
+# --- JavaScript / TypeScript --------------------------------------------
+# Modern module shapes (the round-4 verdict's recall gap: on a real repo
+# nearly every top-level declaration is `export`-prefixed, and the old
+# `^\s*function` / default-only-import anchors matched almost nothing):
+#   - `export` / `export default` prefixes on function/class declarations
+#   - async functions and generator `function*`
+#   - arrow-function declarators: `const f = (a, b) => …`,
+#     `let g = async x => …` (the `=>` is required — a plain
+#     `const x = (a + b) * c` initializer must NOT register)
+#   - function expressions: `const f = function (…) {`
+#   - TS nominal types as class-kind: `interface I`, `type T = …`,
+#     `enum E` / `const enum E`, each with optional export/declare
+#   - named / namespace / side-effect imports: `import {a, b} from 'p'`,
+#     `import * as ns from 'p'`, `import d, {a} from 'p'`, `import 'p'`,
+#     `import type {T} from 'p'`, plus require('p').  The mention name is
+#     the module spec's first real path segment ('@scope/pkg' → scope,
+#     './utils/x.js' → utils) — join-safe like the ruby/c import stems.
+_JS_EXPORT = r"(?:export\s+(?:default\s+)?)?"
+_JS_IMPORT = re.compile(
+    r"""(?:import\s+(?:type\s+)?"""
+    r"""(?:[\w$]+|\{[^}]*\}|\*\s+as\s+[\w$]+)"""
+    r"""(?:\s*,\s*(?:\{[^}]*\}|\*\s+as\s+[\w$]+))?"""
+    r"""\s+from\s+['"]([^'"]+)['"]"""
+    r"""|import\s+['"]([^'"]+)['"]"""
+    r"""|require\(\s*['"]([^'"]+)['"]\s*\))"""
+)
+_JS_FUNC = re.compile(
+    r"^\s*" + _JS_EXPORT + r"(?:async\s+)?function\s*\*?\s*(\w+)\s*\(", re.M
+)
+_JS_CLASS = re.compile(
+    r"^\s*" + _JS_EXPORT + r"(?:abstract\s+)?class\s+(\w+)", re.M
+)
+_JS_ARROW = re.compile(
+    r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
+    r"(?:\([^)]*\)|[\w$]+)\s*=>",
+    re.M,
+)
+_JS_FUNC_EXPR = re.compile(
+    r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
+    r"function\b",
+    re.M,
+)
+# TS nominal types route to the "class" kind (nominal containers, same as
+# rust struct/enum/trait); `type` needs the `=` so a TS `type` annotation
+# keyword inside other contexts can't fire.
+_TS_NOMINAL = re.compile(
+    r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?"
+    r"(?:(?:const\s+)?enum\s+(\w+)|interface\s+(\w+)|type\s+(\w+)\s*=)",
+    re.M,
+)
+# owner tracking for the call stream: any declarator that _calls_tracked
+# should treat as "current function changed".  Same alternatives as the
+# mention regexes above, minus classes (a class is a container, not a call
+# owner at this grammar's granularity).
+_JS_DECL_UPDATE = re.compile(
+    r"\s*" + _JS_EXPORT +
+    r"(?:(?:async\s+)?function\s*\*?\s*(\w+)\s*\("
+    r"|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
+    r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>))"
+)
+# no calls from import/type/interface/enum/class header lines — `extends
+# Mixin(Base)` and `import('mod')` shapes would otherwise leak call rows
+_JS_DECL_SKIP = re.compile(
+    r"\s*(?:import\b|(?:export\s+(?:default\s+)?)?(?:abstract\s+)?class\b"
+    r"|(?:export\s+)?(?:declare\s+)?(?:interface\b|(?:const\s+)?enum\b"
+    r"|type\s+\w+\s*=))"
+)
+_JS_KEYWORDS = frozenset({"constructor", "await", "typeof", "async"})
+
+
+def _js_module_name(spec: str) -> str:
+    """Module spec → join-safe mention name: first real path segment with
+    any extension dropped ('@scope/pkg' → scope, './utils/x.js' → utils,
+    'lodash.merge' → lodash).  '' when no word-safe segment exists."""
+    seg = spec.lstrip("@./").split("/", 1)[0].split(".", 1)[0]
+    return seg if re.fullmatch(r"[\w-]+", seg, re.ASCII) else ""
 
 _GO_IMPORT = re.compile(r'^import\s+"(\w+)"', re.M)
 _GO_FUNC = re.compile(r"^func\s+(?:\([^)]*\)\s*)?(\w+)\s*\(", re.M)
@@ -233,11 +306,19 @@ _ANY_DECL = re.compile(
 # Regex/scanner-based on purpose (NOT json.loads/tomllib): a 1024-byte
 # chunk is rarely a complete parseable document, and the per-chunk
 # extraction must degrade per chunk, never fail a page.
-_CONFIG_KEY_OK = re.compile(r"[\w.-]+$", re.ASCII)
+# \Z, not $: $ also matches before a trailing newline, so a hostile chunk
+# key like 'name\n' passed the join-safe check and emitted an entity id
+# with an embedded newline (ADVICE r04)
+_CONFIG_KEY_OK = re.compile(r"[\w.-]+\Z", re.ASCII)
 # a yaml key line: optional indent, bare-word key, ':' followed by
 # whitespace or EOL ('url: http://x' matches once — the '//' colon fails
-# the lookahead and isn't line-anchored)
-_YAML_KEY = re.compile(r"^([ \t]*)([\w.-]+)[ \t]*:(?=[ \t]|$)", re.M | re.ASCII)
+# the lookahead and isn't line-anchored).  The optional '- ' prefix admits
+# sequence-of-mapping keys ('- name: foo' — the CI/k8s list-item shape,
+# ADVICE r04); the dash contributes to the captured indent so a list item
+# under a section stays owned by that section.
+_YAML_KEY = re.compile(
+    r"^([ \t]*(?:-[ \t]+)?)([\w.-]+)[ \t]*:(?=[ \t]|$)", re.M | re.ASCII
+)
 _TOML_SECTION = re.compile(r"^[ \t]*\[\[?[ \t]*([\w.-]+)[ \t]*\]\]?", re.M | re.ASCII)
 _TOML_KEY = re.compile(r"^[ \t]*([\w.-]+)[ \t]*=", re.M | re.ASCII)
 # shell function definitions: `name() {`, `function name {`,
@@ -277,8 +358,15 @@ def _json_mentions(text: str) -> List[Dict[str, str]]:
                 if depth <= 1:
                     out.append({"kind": "class", "name": key, "owner": ""})
                     owner = key
-                elif depth == 2 and owner:
-                    out.append({"kind": "method", "name": key, "owner": owner})
+                elif depth == 2:
+                    if owner:
+                        out.append({"kind": "method", "name": key, "owner": owner})
+                    else:
+                        # root-array documents ([{"k":1},…]) put every key at
+                        # depth 2 with no top-level owner: standalone entity,
+                        # matching the YAML continuation-chunk fallback
+                        # (ADVICE r04 — these docs yielded no mentions at all)
+                        out.append({"kind": "function", "name": key, "owner": ""})
             i = j + 1
             continue
         if c in "{[":
@@ -352,13 +440,27 @@ def extract_mentions(
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(_calls(text))
     elif lang == "javascript":
+        decls = []
         for m in _JS_IMPORT.finditer(text):
-            out.append({"kind": "import", "name": m.group(1) or m.group(2), "owner": ""})
-        for m in _JS_FUNC.finditer(text):
-            out.append({"kind": "function", "name": m.group(1), "owner": ""})
+            name = _js_module_name(m.group(m.lastindex))
+            if name:
+                decls.append((m.start(), {"kind": "import", "name": name, "owner": ""}))
+        for pat in (_JS_FUNC, _JS_ARROW, _JS_FUNC_EXPR):
+            for m in pat.finditer(text):
+                decls.append(
+                    (m.start(), {"kind": "function", "name": m.group(1), "owner": ""})
+                )
         for m in _JS_CLASS.finditer(text):
-            out.append({"kind": "class", "name": m.group(1), "owner": ""})
-        out.extend(_calls(text))
+            decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        for m in _TS_NOMINAL.finditer(text):
+            decls.append(
+                (m.start(), {"kind": "class", "name": m.group(m.lastindex), "owner": ""})
+            )
+        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        out.extend(
+            _calls_tracked(text, _JS_DECL_UPDATE, _JS_DECL_SKIP,
+                           _KEYWORDS | _JS_KEYWORDS)
+        )
     elif lang == "go":
         for m in _GO_IMPORT.finditer(text):
             out.append({"kind": "import", "name": m.group(1), "owner": ""})

@@ -659,7 +659,7 @@ def _ivf_topk_sql(k: int = 3, k_cells: int = 16, n_probe: int = 4) -> str:
                  ) AS rank
           -- filter BEFORE ranking (mirrors the engine's cosine-IS-NOT-NULL
           -- filter): a NULL-cosine candidate must not consume a rank slot
-          FROM scored WHERE cos_raw IS NOT NULL AND NOT isnan(cos_raw)
+          FROM scored WHERE cos_raw IS NOT NULL
         )
         SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
         FROM ranked WHERE rank <= {k}
@@ -1035,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = c.id_b
             )
             SELECT id_a, id_b, round(cos_raw, 6) AS cosine
-            FROM scored WHERE cos_raw >= 0.4 AND NOT isnan(cos_raw)
+            FROM scored WHERE cos_raw >= 0.4
         """,
         "sim_cosine_topk_ivf": _ivf_topk_sql(3, 16, 4),
         "sim_cosine_topk_lsh": f"""
@@ -1067,7 +1067,7 @@ def oracle_sql() -> dict[str, str]:
               -- NULL-cosine rows (zero-norm or NULL embedding on either
               -- side: 0/0 and NULL both divide to NULL) are excluded from
               -- ranking, mirroring the engine's cosine-IS-NOT-NULL filter
-              FROM scored WHERE cos_raw IS NOT NULL AND NOT isnan(cos_raw)
+              FROM scored WHERE cos_raw IS NOT NULL
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3
@@ -1090,7 +1090,7 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               -- mirror the engine's cosine-IS-NOT-NULL filter (zero-norm /
               -- NULL embeddings produce no top-k rows, are never neighbors)
-              FROM scored WHERE cos_raw IS NOT NULL AND NOT isnan(cos_raw)
+              FROM scored WHERE cos_raw IS NOT NULL
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3

