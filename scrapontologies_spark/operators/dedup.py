@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..profiles import ScaleProfile, pick, resolve_profile
 from .util import drop_hot_buckets, gram_array, spread
 
 # ---------------------------------------------------------------------------
@@ -149,6 +150,7 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     max_bucket_df: "int | None" = None,
     bucket_metrics: "dict | None" = None,
+    scale: "str | ScaleProfile | None" = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key): docs
     sharing any band become candidate pairs (a < b).  The join key is a
@@ -157,7 +159,12 @@ def lsh_candidate_pairs(
     hot-bucket analog of ``max_shingle_df``) drops band buckets hotter
     than the cap from the candidate space (util.drop_hot_buckets — pairs
     colliding only there are missed, exactly like dropping a band;
-    ``bucket_metrics`` receives the dropped-bucket counts)."""
+    ``bucket_metrics`` receives the dropped-bucket counts).
+
+    ``scale``: a profiles.ScaleProfile (or preset name) filling any knob
+    left at None — ``scale="corpus"`` engages the BENCH_SCALING sizing-rule
+    cap without the caller naming it."""
+    max_bucket_df = pick(max_bucket_df, resolve_profile(scale).max_bucket_df)
     bands = drop_hot_buckets(
         band_key_rows(sigs, num_hashes, band_size),
         ("band_idx", "band_key"),
@@ -190,6 +197,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     reuse_shingles: bool = True,
     max_bucket_df: "int | None" = None,
+    scale: "str | ScaleProfile | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.  Returns
     (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b.
@@ -220,7 +228,13 @@ def ngram_jaccard_pairs(
     reliable storage: on a cluster where executor loss mid-query must be
     survivable without a stage re-run, pass False (plan recompute +
     exchange reuse still apply).
+
+    ``scale``: profile filling ``max_shingle_df``/``max_bucket_df`` when
+    left at None (profiles.CORPUS → both 10⁴ per the BENCH_SCALING rule).
     """
+    prof = resolve_profile(scale)
+    max_shingle_df = pick(max_shingle_df, prof.max_shingle_df)
+    max_bucket_df = pick(max_bucket_df, prof.max_bucket_df)
     sh = shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
         hot = (
@@ -439,6 +453,7 @@ def embedding_near_dup_pairs(
     lsh_planes: int = 6,
     max_bucket_df: "int | None" = None,
     bucket_metrics: "dict | None" = None,
+    scale: "str | ScaleProfile | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine) with
     id_a < id_b and cosine ≥ threshold.
@@ -455,7 +470,11 @@ def embedding_near_dup_pairs(
     degenerate bucket of near-identical vectors going quadratic; pairs
     colliding only in dropped buckets are missed.  ``bucket_metrics``
     receives the dropped-bucket counts when provided.
+
+    ``scale``: profile filling ``max_bucket_df`` when left at None
+    (profiles.CORPUS → 10⁴); only meaningful on the lsh path.
     """
+    max_bucket_df = pick(max_bucket_df, resolve_profile(scale).max_bucket_df)
     from .similarity import (
         _bucket_keys_pdf,
         _dot,

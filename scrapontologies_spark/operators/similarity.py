@@ -32,6 +32,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, StringType
 from pyspark.sql.window import Window
 
+from ..profiles import ScaleProfile, pick, resolve_profile
 from .util import drop_hot_buckets, spread
 
 
@@ -428,6 +429,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     max_bucket_df: "int | None" = None,
     bucket_metrics: "dict | None" = None,
+    scale: "str | ScaleProfile | None" = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs that share a bucket in ANY of
     ``n_tables`` independent sign-LSH tables (multi-probe union — the
@@ -445,7 +447,9 @@ def cosine_topk_lsh(
     whose every collision was in dropped buckets simply returns fewer than
     k neighbors (recall loss, not failure).  IVF remains the better scale
     path for clustered data.  ``bucket_metrics`` receives the dropped
-    counts when provided."""
+    counts when provided.  ``scale``: profile filling ``max_bucket_df``
+    when left at None (profiles.CORPUS → 10⁴)."""
+    max_bucket_df = pick(max_bucket_df, resolve_profile(scale).max_bucket_df)
     # All tables' buckets in ONE narrow pass (explode of a per-row array)
     # instead of n_tables unions that each rescan the input.  Spread first:
     # the n_tables × n_planes projection sums are the heavy narrow work.

@@ -62,6 +62,7 @@ def run_job(
     salt: Optional[int] = None,
     allowed_kinds=None,
     allowed_terms=None,
+    scale=None,
 ) -> Dict[str, StageInfo]:
     """``salt``: skew factor for the entity reconcile join (None → default:
     8 when an entities_prev table is present, else unsalted; 0 → force
@@ -69,7 +70,17 @@ def run_job(
 
     ``allowed_kinds``/``allowed_terms``: P8 extraction allowlist
     (user_prompt_for_filter stand-in) — restricts mention extraction, so
-    every downstream stage reflects the filter."""
+    every downstream stage reflects the filter.
+
+    ``scale``: a profiles.ScaleProfile (or preset name, e.g. "corpus")
+    filling ``salt`` when left at None — at corpus scale the reconcile
+    join is always salted so a mega-repo key cannot pin one reducer.
+    Physical knob only (salted == plain, equivalence-tested), so resume
+    tokens are unaffected — flipping the profile never invalidates
+    checkpoints."""
+    from ..profiles import pick, resolve_profile
+
+    salt = pick(salt, resolve_profile(scale).reconcile_salt)
     wh = Warehouse(warehouse_root, fmt)
     infos: Dict[str, StageInfo] = {}
 

@@ -256,10 +256,29 @@ def _compacted_rows(seen: DataFrame) -> DataFrame:
     )
 
 
-def _as_store(store):
-    """Coerce the public ``store_dir`` argument: a path string is the
-    parquet layout; a store object passes through."""
-    return ParquetBandStore(store) if isinstance(store, str) else store
+def _as_store(store, scale=None):
+    """Coerce the public ``store_dir`` argument: a store object passes
+    through; a string is a parquet directory path under the default/small
+    profile.  Under a profile that mandates the bucketed layout
+    (``profiles.CORPUS``: ``band_store_buckets`` set), a plain string must
+    be a catalog table identifier — it becomes a BucketedBandStore, and a
+    path-looking string (contains '/' or '.') raises instead of silently
+    selecting the full-probe parquet layout the profile exists to avoid."""
+    from ..profiles import resolve_profile
+
+    if not isinstance(store, str):
+        return store
+    prof = resolve_profile(scale)
+    if prof.band_store_buckets is None:
+        return ParquetBandStore(store)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", store):
+        raise ValueError(
+            f"scale profile {prof.name!r} requires the bucketed band store "
+            f"(a catalog table), but {store!r} looks like a path; pass an "
+            "unqualified table identifier or an explicit "
+            "ParquetBandStore/BucketedBandStore instance"
+        )
+    return BucketedBandStore(store, n_buckets=prof.band_store_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +389,7 @@ def neardup_filter_batch(
     num_hashes: int = 8,
     band_size: int = 2,
     writer_id: str = "batch",
+    scale=None,
 ) -> DataFrame:
     """One batch of the greedy rule: appends the batch's band keys to
     ``store_dir`` (a parquet directory path, or a ParquetBandStore /
@@ -384,9 +404,10 @@ def neardup_filter_batch(
     always emitted, matching the batch path (no candidates).  ``id_col``
     is assumed unique within a batch (exact-duplicate rows should be
     removed upstream, e.g. incremental.dedup_stream); duplicate ids share
-    one signature row and would all pass or fail together."""
+    one signature row and would all pass or fail together.  ``scale``
+    governs how a string ``store_dir`` is coerced (see ``_as_store``)."""
     novel, bands = _batch_plan(
-        docs, store_dir, batch_id, writer_id,
+        docs, _as_store(store_dir, scale), batch_id, writer_id,
         text_col, id_col, k, num_hashes, band_size,
     )
     # Materialize while the band cache is hot (it appears three times in
@@ -431,6 +452,7 @@ def run_neardup_stream(
     num_hashes: int = 8,
     band_size: int = 2,
     available_now: bool = True,
+    scale=None,
 ):
     """Wire the per-batch filter into a foreachBatch sink: novel documents
     append to ``out_dir`` parquet, band keys accumulate in ``store_dir``
@@ -441,9 +463,11 @@ def run_neardup_stream(
     stable across driver restarts of the same query (retry exclusion keeps
     working for an uncommitted batch) and distinct for a reset checkpoint
     or a second stream sharing the store (whose epoch ids would otherwise
-    collide and hide prior keys)."""
+    collide and hide prior keys).  ``scale``: under ``profiles.CORPUS`` a
+    string ``store_dir`` must name a catalog table (bucketed store); a
+    path raises (see ``_as_store``)."""
     writer_id = _writer_tag(checkpoint_dir)
-    store = _as_store(store_dir)
+    store = _as_store(store_dir, scale)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -465,7 +489,7 @@ def run_neardup_stream(
     return writer.start()
 
 
-def compact_band_store(spark, store_dir) -> int:
+def compact_band_store(spark, store_dir, scale=None) -> int:
     """Rewrite the band store as distinct (band_idx, band_key) rows with
     NULL writer/batch tags — periodic maintenance that bounds file-count
     growth (in continuous mode each micro-batch appends files and the
@@ -474,5 +498,7 @@ def compact_band_store(spark, store_dir) -> int:
     swap: rename-aside directory swap for the parquet layout, catalog
     table-rename swap for the bucketed layout; both leave a complete store
     recoverable at every crash point (probes fail loudly on leftovers
-    instead of restarting empty).  Returns the compacted row count."""
-    return _as_store(store_dir).compact(spark)
+    instead of restarting empty).  Returns the compacted row count.
+    Pass the SAME ``scale`` the stream used so a string ``store_dir``
+    coerces to the same layout."""
+    return _as_store(store_dir, scale).compact(spark)
