@@ -78,6 +78,9 @@ EXTRA_QUERIES = [
     "events_asof_forward",
     "dedup_embedding_cosine_lsh",
     "dedup_keep_canonical",
+    # round-5 additions
+    "events_hourly_rollup",
+    "files_pipeline_triples",
 ]
 
 # docs per unit scale factor for the synthetic KG corpus

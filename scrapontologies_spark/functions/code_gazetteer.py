@@ -85,7 +85,13 @@ _KEYWORDS = {
 
 _PY_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
 _PY_FROM = re.compile(r"^from\s+(\w+)\s+import", re.M)
-_PY_DEF = re.compile(r"^(\s*)def\s+(\w+)\s*\(", re.M)
+# [ \t]*, NOT \s*, for every owner-determining indent capture (also rust/
+# ruby/c fn and the java method anchor): \s matches newlines, so with re.M
+# the match could start at the BLANK LINE above a column-0 declaration,
+# capture indent="\n" (truthy) and mis-attribute a top-level `def main()`
+# following a class as that class's method — found by the round-5 files
+# front-door fixture; the fuzz generators now draw blank-line separators.
+_PY_DEF = re.compile(r"^([ \t]*)def\s+(\w+)\s*\(", re.M)
 _PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
 
 # --- JavaScript / TypeScript --------------------------------------------
@@ -130,6 +136,30 @@ _JS_FUNC_EXPR = re.compile(
     r"function\b",
     re.M,
 )
+# Class-body / object-literal methods: an indented `name(args) {` line,
+# with optional TS modifiers and return-type annotation (`routes():
+# Router {`).  Control statements self-exclude: one-keyword forms are in
+# the keyword filter, `} else if (...) {` starts with `}`, and a CALL
+# can't match because call statements end `);` not `) {` (a callback
+# argument puts `=>` or a nested paren between `)` and `{`).  Owner =
+# nearest preceding class declaration, python/java-style; ownerless
+# (continuation chunk / object literal) falls back to the function kind.
+# Closed by the round-5 realistic-fixture P/R run (scripts/extraction_pr
+# .py): on real TS every instance method was invisible before this.
+# the param span forbids nested parens ([^()]*): a callback call line
+# (`it('works', function () {`) would otherwise fit the shape; real method
+# params with parenthesized defaults are the (rare) envelope cost
+_JS_METHOD = re.compile(
+    r"^([ \t]+)(?:(?:public|private|protected|static|async|get|set"
+    r"|readonly|override)\s+)*"
+    r"(\w+)\s*\(([^()]*)\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
+    re.M,
+)
+_JS_METHOD_SKIP = frozenset({
+    "if", "for", "while", "switch", "catch", "function", "return",
+    "constructor", "do", "try", "else", "new", "await", "typeof",
+})
+
 # TS nominal types route to the "class" kind (nominal containers, same as
 # rust struct/enum/trait); `type` needs the `=` so a TS `type` annotation
 # keyword inside other contexts can't fire.
@@ -146,7 +176,14 @@ _JS_DECL_UPDATE = re.compile(
     r"\s*" + _JS_EXPORT +
     r"(?:(?:async\s+)?function\s*\*?\s*(\w+)\s*\("
     r"|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
-    r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>))"
+    r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>)"
+    # class-body method definitions own their body's calls; the lookahead
+    # mirrors _JS_METHOD_SKIP so `if (x) {` can never become an owner
+    r"|(?:(?:public|private|protected|static|async|get|set|readonly"
+    r"|override)\s+)*"
+    r"(?!(?:if|for|while|switch|catch|function|return|constructor|do|try"
+    r"|else|new|await|typeof)\b)"
+    r"(\w+)\s*\([^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{)"
 )
 # no calls from import/type/interface/enum/class header lines — `extends
 # Mixin(Base)` and `import('mod')` shapes would otherwise leak call rows
@@ -180,10 +217,34 @@ _JAVA_CLASS = re.compile(
 # full modifier set, matching _JAVA_CLASS plus the method-only ones — with
 # only public/private/static, 'protected void close() {' was silently not
 # a declaration and 'close' leaked into the call stream instead
-_JAVA_METHOD = re.compile(
-    r"^\s+(?:(?:public|protected|private|static|final|abstract|synchronized"
-    r"|native)\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{",
-    re.M,
+# the return type admits generics and array suffixes (List<String>,
+# Map<String, List<Integer>>, byte[]): a plain \w+ missed every
+# generic-returning method, and — worse — the unrecognized decl line then
+# leaked the method name into the call stream via _CALL (found by the
+# round-5 realistic-fixture P/R measurement, scripts/extraction_pr.py).
+# <.*> is greedy but line-scoped; backtracking restores the name+args.
+_JAVA_MODS = (
+    r"(?:(?:public|protected|private|static|final|abstract|synchronized"
+    r"|native|default)\s+)*"
+)
+# statement keywords that fit the <type> <name>(args) shape but are not
+# declarations (`throw Error(msg);`, `return make(x);`)
+_JAVA_STMT = (
+    r"(?!(?:return|throw|new|assert|else|if|while|for|switch|do|case"
+    r"|break|continue|yield|super|this)\b)"
+)
+_JAVA_SIG = _JAVA_MODS + _JAVA_STMT + r"\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
+_JAVA_METHOD = re.compile(r"^[ \t]+" + _JAVA_SIG + r"\{", re.M)
+# abstract/interface method prototypes end in ';' — declarations a reader
+# inventories (and that previously leaked their name into the call
+# stream); a call statement can't match: it has no type token + separator
+# before the name, and locals with initializers have '=' in between.
+_JAVA_PROTO = re.compile(r"^[ \t]+" + _JAVA_SIG + r";", re.M)
+_JAVA_DECL_UPDATE = re.compile(r"[ \t]+" + _JAVA_SIG + r"\{")
+_JAVA_DECL_SKIP = re.compile(
+    r"[ \t]*(?:import\b|package\b|@\w+"
+    r"|" + _JAVA_MODS + r"(?:class|interface|enum)\b)"
+    r"|[ \t]+" + _JAVA_SIG + r";"
 )
 
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
@@ -198,7 +259,7 @@ _RUST_TYPE = re.compile(
     r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait)\s+(\w+)", re.M
 )
 _RUST_FN = re.compile(
-    r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
+    r"^([ \t]*)(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
     r'(?:extern\s+"[^"]*"\s+)?fn\s+(\w+)',
     re.M,
 )
@@ -230,7 +291,7 @@ _RUST_KEYWORDS = frozenset({"fn", "let", "match", "impl", "use", "mod", "pub",
 # attribution), else a function.  `def self.foo` strips the receiver.
 _RB_REQUIRE = re.compile(r"""^\s*require(?:_relative)?\s+['"]([\w-]+)""", re.M)
 _RB_CLASS = re.compile(r"^\s*(?:class|module)\s+(\w+)", re.M)
-_RB_DEF = re.compile(r"^(\s*)def\s+(?:self\.)?(\w+)", re.M)
+_RB_DEF = re.compile(r"^([ \t]*)def\s+(?:self\.)?(\w+)", re.M)
 # update BEFORE the paren gate: ruby defs routinely omit parens, and the
 # paren-gated shared _calls() would never learn the enclosing method
 _RB_DECL_UPDATE = re.compile(r"\s*def\s+(?:self\.)?(\w+)")
@@ -256,7 +317,7 @@ _C_CLASS = re.compile(r"^\s*(?:class|struct)\s+(\w+)\s*[:{]", re.M)
 # ('else if') are filtered by _C_CTRL, and '='/';'/'(' are outside the
 # type-token class so initializers, lambdas and statements cannot span it.
 _C_FN = re.compile(
-    r"^(\s*)[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:(\w+)::)?(\w+)\s*\(([^;{}]*)\)\s*"
+    r"^([ \t]*)[A-Za-z_][\w\s\*&<>,:]*?[\s\*&:](?:(\w+)::)?(\w+)\s*\(([^;{}]*)\)\s*"
     r"(?:const\s*)?\{",
     re.M,
 )
@@ -291,7 +352,7 @@ _ANY_DECL = re.compile(
     r"|\s*function\s+(\w+)\s*\("
     r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*\("
     r"|\s+(?:(?:public|protected|private|static|final|abstract|synchronized"
-    r"|native)\s+)*\w+\s+(\w+)\s*\([^)]*\)\s*\{)"
+    r"|native)\s+)*\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*\{)"
 )
 
 # --- config-file grammars (json / yaml / toml) and shell -------------------
@@ -450,11 +511,26 @@ def extract_mentions(
                 decls.append(
                     (m.start(), {"kind": "function", "name": m.group(1), "owner": ""})
                 )
-        for m in _JS_CLASS.finditer(text):
-            decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        class_spans = sorted(
+            (m.start(), m.group(1)) for m in _JS_CLASS.finditer(text)
+        )
+        for start, name in class_spans:
+            decls.append((start, {"kind": "class", "name": name, "owner": ""}))
         for m in _TS_NOMINAL.finditer(text):
             decls.append(
                 (m.start(), {"kind": "class", "name": m.group(m.lastindex), "owner": ""})
+            )
+        for m in _JS_METHOD.finditer(text):
+            name = m.group(2)
+            if name in _JS_METHOD_SKIP:
+                continue
+            # nearest preceding class, python/java-style; ownerless
+            # (object literal / continuation chunk) → function fallback
+            preceding = [c for c in class_spans if c[0] < m.start()]
+            owner = preceding[-1][1] if preceding else ""
+            kind = "method" if owner else "function"
+            decls.append(
+                (m.start(), {"kind": kind, "name": name, "owner": owner})
             )
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(
@@ -478,16 +554,19 @@ def extract_mentions(
         class_spans = sorted((m.start(), m.group(1)) for m in _JAVA_CLASS.finditer(text))
         for _, cname in class_spans:
             out.append({"kind": "class", "name": cname, "owner": ""})
-        for m in _JAVA_METHOD.finditer(text):
-            preceding = [c for c in class_spans if c[0] < m.start()]
-            owner = preceding[-1][1] if preceding else ""
-            # ownerless (class declared in an earlier chunk): fall back to
-            # 'function' like python/rust/ruby do — a kind='method' with
-            # owner '' would emit a has_method triple from the dangling
-            # node '<repo>/<path>::'
-            kind = "method" if owner else "function"
-            out.append({"kind": kind, "name": m.group(1), "owner": owner})
-        out.extend(_calls(text))
+        for pat in (_JAVA_METHOD, _JAVA_PROTO):
+            for m in pat.finditer(text):
+                preceding = [c for c in class_spans if c[0] < m.start()]
+                owner = preceding[-1][1] if preceding else ""
+                # ownerless (class declared in an earlier chunk): fall back
+                # to 'function' like python/rust/ruby do — a kind='method'
+                # with owner '' would emit a has_method triple from the
+                # dangling node '<repo>/<path>::'
+                kind = "method" if owner else "function"
+                out.append({"kind": kind, "name": m.group(1), "owner": owner})
+        out.extend(
+            _calls_tracked(text, _JAVA_DECL_UPDATE, _JAVA_DECL_SKIP, _KEYWORDS)
+        )
     elif lang == "rust":
         decls = []
         for m in _RUST_USE.finditer(text):

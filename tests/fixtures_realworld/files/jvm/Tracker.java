@@ -1,0 +1,27 @@
+import java.util.ArrayList;
+import java.util.List;
+
+public final class Tracker {
+    private final List<String> tasks = new ArrayList<>();
+
+    public int add(String title) {
+        tasks.add(title);
+        return tasks.size();
+    }
+
+    protected synchronized List<String> snapshot() {
+        return new ArrayList<>(tasks);
+    }
+
+    private static boolean valid(String title) {
+        return title != null && !title.isEmpty();
+    }
+}
+
+abstract class Store {
+    public abstract void persist(List<String> rows);
+
+    public void flush() {
+        persist(snapshotAll());
+    }
+}

@@ -1,0 +1,54 @@
+import {Router} from '@tiny/http';
+import type {Task} from './model.ts';
+import * as store from './store.ts';
+
+export interface ApiOptions {
+  prefix: string;
+  maxBody: number;
+}
+
+export type Handler = (req: Request) => Promise<Response>;
+
+export enum Status {
+  Open,
+  Done,
+}
+
+const DEFAULTS = {prefix: '/api', maxBody: 1 << 20};
+
+export class TaskApi {
+  // class methods are outside the grammar's envelope on purpose:
+  // a KG at this granularity keys on the container (TaskApi)
+  constructor(private opts: ApiOptions) {}
+
+  routes(): Router {
+    const router = new Router(this.opts.prefix);
+    router.get('/tasks', listTasks);
+    return router;
+  }
+}
+
+export async function listTasks(req: Request): Promise<Response> {
+  const open = await store.query({status: Status.Open});
+  return respond(open);
+}
+
+export const respond = (body: unknown) => {
+  return new Response(JSON.stringify(body));
+};
+
+function withRetry(handler: Handler, attempts = 3): Handler {
+  return async (req) => {
+    let err;
+    for (let i = 0; i < attempts; i++) {
+      try {
+        return await handler(req);
+      } catch (e) {
+        err = e;
+      }
+    }
+    throw err;
+  };
+}
+
+export default new TaskApi(DEFAULTS);

@@ -1,0 +1,130 @@
+"""Hand-labeled declaration inventory for the realistic fixture tree
+(VERDICT r04 ask #7 — measure M1 extraction P/R on real-world-shaped code,
+not just self-consistent fixtures).
+
+Labeling rules (applied as a human reviewer, INDEPENDENT of the grammars):
+
+- groups collapse the engine's kinds so granularity choices are not
+  penalized: ``callable`` = any function/method/constructor-like
+  definition (incl. abstract/receiver methods a reader would inventory);
+  ``type`` = nominal containers (class/struct/trait/interface/enum/module,
+  and config sections per the engine's structured-doc ontology);
+  ``import`` = module dependencies, named by the engine's join-safe stem
+  rule (first path segment / file stem).
+- labels are SETS of (group, name) per file — the engine's per-occurrence
+  mentions are deduped the same way before comparison.
+- config files: every key in the document is labeled (top-level → type,
+  nested → callable), because that is the engine's declared ontology for
+  them.
+- known-envelope omissions are still LABELED (JS/TS class-body methods,
+  Java abstract method prototypes): the point of this fixture is to
+  measure the envelope, not to restate it.
+
+Expected misses, for the reader (kept in sync with test thresholds):
+  web/api.ts        routes        (class-body method — envelope gap)
+  jvm/Tracker.java  persist       (abstract prototype, no body brace)
+"""
+
+LABELS = {
+    "src/tracker.py": {
+        ("import", "dataclasses"), ("import", "json"), ("import", "collections"),
+        ("type", "Task"), ("type", "Tracker"),
+        ("callable", "matches"), ("callable", "to_json"),
+        ("callable", "__init__"), ("callable", "add"), ("callable", "pending"),
+        ("callable", "load_tracker"), ("callable", "render_summary"),
+    },
+    "src/cli.py": {
+        ("import", "argparse"), ("import", "sys"), ("import", "tracker"),
+        ("callable", "build_parser"), ("callable", "main"),
+    },
+    "web/api.ts": {
+        ("import", "tiny"), ("import", "model"), ("import", "store"),
+        ("type", "ApiOptions"), ("type", "Handler"), ("type", "Status"),
+        ("type", "TaskApi"),
+        ("callable", "routes"),          # class-body method: expected miss
+        ("callable", "listTasks"), ("callable", "respond"),
+        ("callable", "withRetry"),
+    },
+    "web/store.js": {
+        ("import", "fs"), ("import", "path"),
+        ("callable", "readAll"), ("callable", "query"),
+        ("callable", "save"), ("callable", "nextId"),
+    },
+    "svc/server.go": {
+        ("import", "fmt"), ("import", "sync"),
+        ("type", "TaskServer"), ("type", "Option"),
+        ("callable", "NewTaskServer"), ("callable", "Add"),
+        ("callable", "String"), ("callable", "validate"),
+    },
+    "jvm/Tracker.java": {
+        ("import", "java"),
+        ("type", "Tracker"), ("type", "Store"),
+        ("callable", "add"), ("callable", "snapshot"), ("callable", "valid"),
+        ("callable", "persist"),         # abstract prototype: expected miss
+        ("callable", "flush"),
+    },
+    "native/graph.rs": {
+        ("import", "std"),
+        ("type", "Graph"), ("type", "Direction"), ("type", "Visit"),
+        ("callable", "new"), ("callable", "add_edge"), ("callable", "degree"),
+        ("callable", "fmt"), ("callable", "components"),
+        ("callable", "visit"),  # trait method signature — a declaration;
+        # its owner (Visit) is ungraded: fn ownership is impl-scoped
+    },
+    "native/pool.c": {
+        ("import", "stdlib"), ("import", "string"), ("import", "pool"),
+        ("type", "pool"),
+        ("callable", "align_up"), ("callable", "pool_new"),
+        ("callable", "pool_alloc"), ("callable", "pool_reset"),
+        # pool_free is a prototype, not a definition — not labeled
+    },
+    "lib/report.rb": {
+        ("import", "json"), ("import", "tracker"),
+        ("type", "Reporting"), ("type", "Summary"),
+        ("callable", "initialize"), ("callable", "render"),
+        ("callable", "from_file"), ("callable", "open_tasks"),
+        ("callable", "quick_report"),
+    },
+    "ops/deploy.sh": {
+        ("import", "colors"), ("import", "env"),
+        ("callable", "log_step"), ("callable", "build_assets"),
+        ("callable", "upload"), ("callable", "main"),
+    },
+    "ops/ci.yaml": {
+        ("type", "name"), ("type", "on"), ("type", "jobs"),
+        ("callable", "push"), ("callable", "branches"), ("callable", "test"),
+        ("callable", "runs-on"), ("callable", "steps"), ("callable", "uses"),
+        ("callable", "name"), ("callable", "run"), ("callable", "deploy"),
+        ("callable", "needs"),
+    },
+    "ops/settings.toml": {
+        ("type", "title"), ("type", "server"), ("type", "limits"),
+        ("type", "backends"),
+        ("callable", "host"), ("callable", "port"), ("callable", "max_tasks"),
+        ("callable", "max_body"), ("callable", "name"), ("callable", "url"),
+    },
+    "ops/package.json": {
+        ("type", "name"), ("type", "version"), ("type", "scripts"),
+        ("type", "dependencies"),
+        ("callable", "build"), ("callable", "test"), ("callable", "router"),
+    },
+}
+
+# owner spot-checks for matched callables (None = ungraded, e.g. go
+# receiver methods where the engine's granularity is function-level)
+OWNERS = {
+    "src/tracker.py": {"matches": "Task", "to_json": "Task",
+                       "__init__": "Tracker", "add": "Tracker",
+                       "pending": "Tracker", "load_tracker": "",
+                       "render_summary": ""},
+    "lib/report.rb": {"initialize": "Summary", "render": "Summary",
+                      "from_file": "Summary", "open_tasks": "Summary",
+                      "quick_report": ""},
+    "native/graph.rs": {"new": "Graph", "add_edge": "Graph",
+                        "degree": "Graph", "fmt": "Graph", "components": ""},
+    "jvm/Tracker.java": {"add": "Tracker", "snapshot": "Tracker",
+                         "valid": "Tracker", "persist": "Store",
+                         "flush": "Store"},
+    "native/pool.c": {"align_up": "", "pool_new": "", "pool_alloc": "",
+                      "pool_reset": ""},
+}

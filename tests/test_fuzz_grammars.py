@@ -76,6 +76,9 @@ def _python_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 6))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 3))
         if shape == 0:
             blocks.append(f"import mod{i}")
@@ -105,6 +108,9 @@ def _javascript_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 7))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 13))
         if shape == 0:
             blocks.append(f"import mod{i} from 'mod{i}';")
@@ -143,7 +149,20 @@ def _javascript_src(draw):
             kw = draw(st.sampled_from(
                 ("class", "export class", "export default class",
                  "export abstract class")))
-            blocks.append(f"{kw} Cls{i} {{}}")
+            if draw(st.booleans()):
+                blocks.append(f"{kw} Cls{i} {{}}")
+            else:
+                # class-body methods (round-5 envelope extension): with
+                # optional TS modifiers and return-type annotation
+                blocks.append(f"{kw} Cls{i} {{")
+                for j in range(draw(st.integers(1, 2))):
+                    mods = draw(st.sampled_from(
+                        ("", "static ", "async ", "private static ")))
+                    ann = draw(st.sampled_from(("", ": Promise<void>")))
+                    blocks.append(f"  {mods}meth{i}_{j}(props){ann} {{")
+                    blocks.append("  }")
+                    expected.append(("method", f"meth{i}_{j}", f"Cls{i}"))
+                blocks.append("}")
             expected.append(("class", f"Cls{i}", ""))
         elif shape == 10:
             kw = draw(st.sampled_from(
@@ -174,6 +193,9 @@ def _go_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 6))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 3))
         if shape == 0:
             blocks.append(f'import "pkg{i}"')
@@ -198,6 +220,9 @@ def _java_src(draw):
     blocks = []
     n = draw(st.integers(1, 5))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 2))
         if shape == 0:
             blocks.append(f"import seg{i}.util.Thing;")
@@ -210,8 +235,15 @@ def _java_src(draw):
                 mmods = draw(st.sampled_from(
                     ("public ", "protected static ", "private synchronized ",
                      "public final native ")))
-                blocks.append(f"    {mmods}int meth{i}_{j}(int a) {{")
-                blocks.append("    }")
+                rt = draw(st.sampled_from(
+                    ("int", "List<String>", "Map<String, List<Integer>>",
+                     "byte[]")))
+                if draw(st.booleans()):
+                    blocks.append(f"    {mmods}{rt} meth{i}_{j}(int a) {{")
+                    blocks.append("    }")
+                else:
+                    # abstract/interface prototype — also a declaration
+                    blocks.append(f"    {mmods}{rt} meth{i}_{j}(int a);")
             blocks.append("}")
         else:
             # ownerless indented method (class header landed in an earlier
@@ -238,7 +270,7 @@ def _java_src(draw):
         if mimp:
             out_expected.append(("import", mimp.group(1), ""))
             continue
-        mm = re.match(r"\s+(?:\w+\s+)*?(\w+)\s*\(int a\)\s*\{", ln)
+        mm = re.match(r"\s+(?:[\w<>,\[\] ]+\s+)*?(\w+)\s*\(int a\)\s*[{;]", ln)
         if mm and ("meth" in mm.group(1) or "orphan" in mm.group(1)):
             if last_cls:
                 out_expected.append(("method", mm.group(1), last_cls))
@@ -252,6 +284,9 @@ def _rust_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 6))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 3))
         if shape == 0:
             vis = draw(st.sampled_from(("", "pub ", "pub(crate) ")))
@@ -290,6 +325,9 @@ def _ruby_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 6))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 3))
         if shape == 0:
             blocks.append(f"require 'gem{i}/sub'")
@@ -318,6 +356,9 @@ def _c_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 6))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 4))
         if shape == 0:
             form = draw(st.sampled_from(
@@ -407,6 +448,9 @@ def _shell_src(draw):
     blocks, expected = [], []
     n = draw(st.integers(1, 6))
     for i in range(n):
+        if draw(st.booleans()):
+            blocks.append("")  # blank separator — regression surface
+            # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 3))
         if shape == 0:
             form = draw(st.sampled_from(
@@ -582,3 +626,23 @@ def _mk_calls_test(lang):
 
 for _lang in ("python", "javascript", "rust", "ruby"):
     globals()[f"test_calls_{_lang}"] = _mk_calls_test(_lang)
+
+
+def test_blank_line_never_becomes_indent():
+    # regression: ^(\s*) with re.M let the indent capture start at the
+    # BLANK LINE above a column-0 declaration ("\n" is \s), so a top-level
+    # `def main()` after a class was attributed as that class's method —
+    # in python, rust (fn after impl), ruby (def after class) and c
+    # (fn after struct) alike.
+    py = "class App:\n    def run(self):\n        pass\n\ndef main():\n    pass\n"
+    assert ("function", "main", "") in _decls("python", py)
+    assert ("method", "main", "App") not in _decls("python", py)
+
+    rs = "impl Graph {\n    fn node(&self) {}\n}\n\nfn free() {}\n"
+    assert ("function", "free", "") in _decls("rust", rs)
+
+    rb = "class Api\n  def get\n  end\nend\n\ndef helper\nend\n"
+    assert ("function", "helper", "") in _decls("ruby", rb)
+
+    c = "struct S {\n};\n\nvoid free_fn(int x) {\n}\n"
+    assert ("function", "free_fn", "") in _decls("c", c)

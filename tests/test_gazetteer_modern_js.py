@@ -240,3 +240,68 @@ def test_config_key_with_trailing_newline_rejected():
     # '$' matched before a trailing newline, letting 'k\n' become an entity
     # id with an embedded newline; \Z rejects it
     assert _pairs("json", '{"k\n": 1, "ok": 2}') == [("class", "ok")]
+
+
+def test_class_body_methods_and_callback_lines():
+    # round-5 envelope extension: class-body methods (TS modifiers +
+    # return-type annotations) extract as methods of the enclosing class;
+    # callback-call lines that END in "function () {" must NOT register
+    # (the param span forbids nested parens).
+    src = (
+        "export class TaskApi {\n"
+        "  constructor(opts) {}\n"            # keyword: never a mention
+        "  routes(): Router {\n"
+        "    dispatch(1);\n"                   # call owned by routes
+        "  }\n"
+        "  static async load(id): Promise<T> {\n"
+        "  }\n"
+        "}\n"
+        "it('works', function () {\n"          # mocha callback: no mention
+        "});\n"
+    )
+    ms = extract_mentions("javascript", src)
+    decls = [(m["kind"], m["name"], m["owner"]) for m in ms if m["kind"] != "call"]
+    assert decls == [
+        ("class", "TaskApi", ""),
+        ("method", "routes", "TaskApi"),
+        ("method", "load", "TaskApi"),
+    ]
+    # `it(...)` IS a call site (and always was); owner 'load' reflects the
+    # documented line-based envelope — ownership persists past a class's
+    # closing brace within the chunk
+    assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
+        ("dispatch", "routes"),
+        ("it", "load"),
+    ]
+
+
+def test_java_generics_and_prototypes():
+    from scrapontologies_spark.functions.code_gazetteer import extract_mentions as em
+
+    src = (
+        "import java.util.List;\n"
+        "public final class Tracker {\n"
+        "    protected synchronized List<String> snapshot() {\n"
+        "        return copyOf(tasks);\n"
+        "    }\n"
+        "    public abstract Map<String, List<Integer>> index(int a);\n"
+        "    @Override\n"
+        "    public byte[] dump() {\n"
+        "        throw makeError(1);\n"
+        "    }\n"
+        "}\n"
+    )
+    ms = em("java", src)
+    decls = {(m["kind"], m["name"], m["owner"]) for m in ms if m["kind"] != "call"}
+    assert decls == {
+        ("import", "java", ""),
+        ("class", "Tracker", ""),
+        ("method", "snapshot", "Tracker"),
+        ("method", "index", "Tracker"),   # abstract prototype IS a decl
+        ("method", "dump", "Tracker"),
+    }
+    calls = {(m["name"], m["owner"]) for m in ms if m["kind"] == "call"}
+    # copyOf is a real call inside snapshot; makeError follows `throw`
+    # (statement-keyword line, still a call); the prototype and the
+    # annotation line leak nothing
+    assert calls == {("copyOf", "snapshot"), ("makeError", "dump")}
