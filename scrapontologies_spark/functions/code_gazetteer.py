@@ -121,7 +121,8 @@ _JS_IMPORT = re.compile(
     r"""|require\(\s*['"]([^'"]+)['"]\s*\))"""
 )
 _JS_FUNC = re.compile(
-    r"^\s*" + _JS_EXPORT + r"(?:async\s+)?function\s*\*?\s*(\w+)\s*\(", re.M
+    r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\(",
+    re.M,
 )
 _JS_CLASS = re.compile(
     r"^\s*" + _JS_EXPORT + r"(?:abstract\s+)?class\s+(\w+)", re.M
@@ -171,28 +172,39 @@ _TS_NOMINAL = re.compile(
 # owner tracking for the call stream: any declarator that _calls_tracked
 # should treat as "current function changed".  Same alternatives as the
 # mention regexes above, minus classes (a class is a container, not a call
-# owner at this grammar's granularity).
+# owner at this grammar's granularity).  The method alternative's
+# lookahead is BUILT FROM _JS_METHOD_SKIP so the mention pass and the
+# call-owner pass can never drift apart.
+_JS_SKIP_ALT = "|".join(sorted(_JS_METHOD_SKIP))
 _JS_DECL_UPDATE = re.compile(
     r"\s*" + _JS_EXPORT +
-    r"(?:(?:async\s+)?function\s*\*?\s*(\w+)\s*\("
+    r"(?:(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\("
     r"|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
     r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>)"
-    # class-body method definitions own their body's calls; the lookahead
-    # mirrors _JS_METHOD_SKIP so `if (x) {` can never become an owner
+    # class-body method definitions own their body's calls
     r"|(?:(?:public|private|protected|static|async|get|set|readonly"
     r"|override)\s+)*"
-    r"(?!(?:if|for|while|switch|catch|function|return|constructor|do|try"
-    r"|else|new|await|typeof)\b)"
+    r"(?!(?:" + _JS_SKIP_ALT + r")\b)"
     r"(\w+)\s*\([^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{)"
 )
 # no calls from import/type/interface/enum/class header lines — `extends
-# Mixin(Base)` and `import('mod')` shapes would otherwise leak call rows
+# Mixin(Base)` and `import('mod')` shapes would otherwise leak call rows.
+# The last alternative skips TS member SIGNATURES (`get(key: string):
+# string;` in interface/declare bodies, `);`-terminated like Java
+# prototypes): a ':' annotation in the params or a return annotation is
+# required, so a plain call statement `foo(x);` still reaches _CALL.
 _JS_DECL_SKIP = re.compile(
     r"\s*(?:import\b|(?:export\s+(?:default\s+)?)?(?:abstract\s+)?class\b"
     r"|(?:export\s+)?(?:declare\s+)?(?:interface\b|(?:const\s+)?enum\b"
-    r"|type\s+\w+\s*=))"
+    r"|type\s+\w+\s*=)"
+    r"|\s*(?:readonly\s+)?\w+\s*(?:\([^()]*:[^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?"
+    r"|\([^()]*\)\s*:\s*[\w$<>\[\],. |&]+)\s*;)"
 )
-_JS_KEYWORDS = frozenset({"constructor", "await", "typeof", "async"})
+# 'default' is here because `export default (a, b) => …` (the standard
+# anonymous default-export arrow) otherwise leaves 'default (' for _CALL
+# to match — a phantom entity `<module>::default` per React-style module
+_JS_KEYWORDS = frozenset({"constructor", "await", "typeof", "async",
+                          "default", "delete", "yield"})
 
 
 def _js_module_name(spec: str) -> str:
@@ -342,17 +354,16 @@ _C_CTRL = frozenset({"if", "for", "while", "switch", "return", "do"})
 _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
                          "dynamic_cast", "reinterpret_cast", "const_cast"})
 
-# One alternation fusing the four per-line decl probes of _calls(); the
-# alternatives appear in the same order as the sequential matches they
-# replace, and .match anchoring makes alternation order ≡ sequential-or, so
-# results are identical with 1/4 of the regex-engine entries.  lastindex
-# still names the captured symbol (py contributes two groups; the rest one).
+# One alternation fusing _calls()'s per-line decl probes; .match anchoring
+# makes alternation order ≡ sequential-or.  lastindex still names the
+# captured symbol (py contributes two groups; go one).
+# _calls (and this decl probe) now serves ONLY python and go: javascript
+# and java moved to _calls_tracked with language-specific decl patterns
+# this round, so their old alternatives here were dead code and were
+# removed (they could never match valid python/go source anyway).
 _ANY_DECL = re.compile(
     r"(?:(\s*)def\s+(\w+)\s*\("
-    r"|\s*function\s+(\w+)\s*\("
-    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*\("
-    r"|\s+(?:(?:public|protected|private|static|final|abstract|synchronized"
-    r"|native)\s+)*\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*\{)"
+    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*\()"
 )
 
 # --- config-file grammars (json / yaml / toml) and shell -------------------

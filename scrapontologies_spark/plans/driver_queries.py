@@ -284,12 +284,17 @@ def queries() -> Q:
     # indent capture, see code_gazetteer._PY_DEF).
     def files_pipeline_triples(spark: SparkSession, d: str) -> DataFrame:
         import os
+        import shutil
         import tempfile
 
         from ..sources.files import corpus_from_files
         from .pipeline import run_pipeline
 
         root = os.path.join(tempfile.gettempdir(), "kg_files_fixture_v1", "kgfix")
+        # clear first: a leftover tree from an older fixture version (or a
+        # renamed/removed file) would otherwise be scanned alongside the
+        # current files and break the hand-inlined VALUES oracle
+        shutil.rmtree(root, ignore_errors=True)
         for rel, content in _FILES_FIXTURE.items():
             p = os.path.join(root, rel)
             os.makedirs(os.path.dirname(p), exist_ok=True)

@@ -103,6 +103,13 @@ def _gen_javascript(rng: random.Random) -> str:
         kw = rng.choice(("class", "export class", "export default class",
                          "export interface"))
         lines.append(f"{kw} Cls_{c} {{")
+        if kw != "export interface" and rng.random() < 0.5:
+            # class-body methods (round-5 envelope): owner = the class
+            m = rng.randrange(N_FUNCS)
+            mods = rng.choice(("", "static ", "async "))
+            lines.append(f"  {mods}fn_{m}(props) {{")
+            lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(props);")
+            lines.append("  }")
         lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
@@ -127,9 +134,19 @@ def _gen_java(rng: random.Random) -> str:
     lines.append(f"class Cls_{c} {{")
     for _ in range(rng.randint(1, 4)):
         f = rng.randrange(N_FUNCS)
-        lines.append(f"    int fn_{f}(int x) {{")
-        lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
-        lines.append("    }")
+        style = rng.random()
+        if style < 0.5:
+            lines.append(f"    int fn_{f}(int x) {{")
+            lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("    }")
+        elif style < 0.8:
+            # generic return type (round-5 envelope)
+            lines.append(f"    public List<Integer> fn_{f}(int x) {{")
+            lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("    }")
+        else:
+            # abstract/interface prototype — a declaration, never a call
+            lines.append(f"    abstract int fn_{f}(int x);")
     lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)

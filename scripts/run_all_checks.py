@@ -3,8 +3,10 @@
 
 Round 4's highest-yield technique was the adversarial-data program, but it
 only helps if it re-runs after every operator/oracle change — and it was
-five manual invocations.  This gate chains all of them and exits nonzero
-on the first divergence:
+five manual invocations.  This gate chains all of them, runs every
+independent step to completion (one summary, all failures visible), skips
+an oracle sweep whose table-generation step failed (a stale directory
+passing would muddy diagnosis), and exits nonzero if ANY step failed:
 
   1. full pytest suite (`python -m pytest tests/ -q`)
   2. full-registry cross-engine check vs DuckDB at the driver's gate scale
@@ -60,11 +62,23 @@ def main() -> int:
         if flag:
             gen.append(flag)
         gen.append(out)
+        # the oracle sweep depends on its gen step: mark it so a failed
+        # generation skips the sweep instead of re-checking stale tables
         steps.append((f"gen:{variant}", gen))
         steps.append((f"oracle@{variant}",
                       [py, "scripts/cross_scale_check.py", out, CPUS]))
 
-    results = [run(label, cmd) for label, cmd in steps]
+    results = []
+    failed_gens: set[str] = set()
+    for label, cmd in steps:
+        if label.startswith("oracle@adversarial") and \
+                label.split("@", 1)[1] in failed_gens:
+            print(f"\n=== {label}: SKIPPED (generation failed)", flush=True)
+            results.append((label, 0.0, 1))
+            continue
+        results.append(run(label, cmd))
+        if label.startswith("gen:") and results[-1][2] != 0:
+            failed_gens.add(label.split(":", 1)[1])
     print("\n==== gate summary ====")
     bad = 0
     for label, dt, rc in results:

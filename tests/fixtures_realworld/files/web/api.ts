@@ -17,8 +17,8 @@ export enum Status {
 const DEFAULTS = {prefix: '/api', maxBody: 1 << 20};
 
 export class TaskApi {
-  // class methods are outside the grammar's envelope on purpose:
-  // a KG at this granularity keys on the container (TaskApi)
+  // class-body methods are in the grammar's envelope since round 5
+  // (constructor stays excluded — a keyword, not a join-safe symbol)
   constructor(private opts: ApiOptions) {}
 
   routes(): Router {

@@ -305,3 +305,40 @@ def test_java_generics_and_prototypes():
     # (statement-keyword line, still a call); the prototype and the
     # annotation line leak nothing
     assert calls == {("copyOf", "snapshot"), ("makeError", "dump")}
+
+
+def test_interface_member_signatures_do_not_leak_calls():
+    # review r05: `get(key: string): string;` inside an interface body
+    # matched _CALL and emitted bogus call triples on every real TS module
+    src = (
+        "export interface Store {\n"
+        "  get(key: string): string;\n"
+        "  set(key: string, v: string): void;\n"
+        "  flush(): Promise<void>;\n"
+        "}\n"
+        "declare function helper(n: number): void;\n"
+        "touch(1);\n"  # a REAL call statement must still register
+    )
+    ms = extract_mentions("javascript", src)
+    calls = [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"]
+    # touch's owner is helper: the ambient decl above it is the most
+    # recent declarator in the line-based envelope
+    assert calls == [("touch", "helper")]
+    pairs = [(m["kind"], m["name"]) for m in ms]
+    assert ("class", "Store") in pairs
+    # `declare function` is an ambient DECLARATION, not a call
+    assert ("function", "helper") in pairs
+
+
+def test_anonymous_default_export_arrow_yields_no_phantom_default():
+    # review r05: `export default (a, b) => …` left 'default (' for _CALL,
+    # minting a phantom entity <module>::default; the genuine combine()
+    # call inside the arrow body is the only mention
+    src = "export default (a, b) => combine(a, b);\n"
+    ms = extract_mentions("javascript", src)
+    assert [(m["kind"], m["name"]) for m in ms] == [("call", "combine")]
+    # named default exports still work
+    src2 = "export default function main(a) { run(a); }\n"
+    assert ("function", "main") in [
+        (m["kind"], m["name"]) for m in extract_mentions("javascript", src2)
+    ]
