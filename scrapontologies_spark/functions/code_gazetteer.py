@@ -193,11 +193,18 @@ _JS_DECL_UPDATE = re.compile(
 # string;` in interface/declare bodies, `);`-terminated like Java
 # prototypes): a ':' annotation in the params or a return annotation is
 # required, so a plain call statement `foo(x);` still reaches _CALL.
+# The param-annotation ':' must appear before any '?', brace or quote —
+# otherwise ternary args (`log(x ? a : b);`), object-literal args
+# (`draw({x: 1});`) and string args (`get('http://u');`) would be
+# mistaken for signatures and their genuine calls lost.  A TS parameter
+# name is a plain identifier (optional '?` handled by the return-
+# annotation alternative), so the restriction costs no real signature.
 _JS_DECL_SKIP = re.compile(
     r"\s*(?:import\b|(?:export\s+(?:default\s+)?)?(?:abstract\s+)?class\b"
     r"|(?:export\s+)?(?:declare\s+)?(?:interface\b|(?:const\s+)?enum\b"
     r"|type\s+\w+\s*=)"
-    r"|\s*(?:readonly\s+)?\w+\s*(?:\([^()]*:[^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?"
+    r"|\s*(?:readonly\s+)?\w+\s*"
+    r"(?:\([^(){}?'\"`]*:[^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?"
     r"|\([^()]*\)\s*:\s*[\w$<>\[\],. |&]+)\s*;)"
 )
 # 'default' is here because `export default (a, b) => …` (the standard
@@ -215,8 +222,20 @@ def _js_module_name(spec: str) -> str:
     return seg if re.fullmatch(r"[\w-]+", seg, re.ASCII) else ""
 
 _GO_IMPORT = re.compile(r'^import\s+"(\w+)"', re.M)
-_GO_FUNC = re.compile(r"^func\s+(?:\([^)]*\)\s*)?(\w+)\s*\(", re.M)
-_GO_TYPE = re.compile(r"^type\s+(\w+)\s+struct", re.M)
+# receiver methods carry their receiver TYPE (`func (s *Srv) Add(…)` →
+# method Add owned by Srv) — the go analog of a class method, so go files
+# contribute has_method containment edges like every other code grammar
+# (round-5 fidelity pass).  The receiver group tolerates `s *T`, `s T`
+# and generic receivers `s *T[K]` (type = first word after the optional
+# pointer star).
+_GO_FUNC = re.compile(
+    r"^func\s+(?:\(\s*\w+\s+\*?(\w+)[^)]*\)\s*)?(\w+)\s*\(", re.M
+)
+# struct AND interface are both nominal types (class kind).  Interface
+# METHOD-SET lines (`Add(x int) int` inside the body) remain a declared
+# call-stream envelope gap: they are shape-identical to go call
+# statements on a line basis, so a stateless skip would eat real calls.
+_GO_TYPE = re.compile(r"^type\s+(\w+)\s+(?:struct|interface)", re.M)
 
 _JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
 # Stacked modifiers ('public final class', 'protected abstract class', …)
@@ -285,6 +304,13 @@ _RUST_IMPL = re.compile(
     r"^impl(?:\s*<[^>]*>)?\s+(?:[\w:]+(?:\s*<[^>]*>)?\s+for\s+)?"
     r"(?:\w+::)*(\w+)",
     re.M,
+)
+# trait headers are fn owners too: a required-method signature inside
+# `trait Visit { fn visit(&self); }` is a declaration owned by the trait,
+# same as an impl body (round-5 fidelity pass — previously those fns fell
+# back to ownerless functions)
+_RUST_TRAIT_OWNER = re.compile(
+    r"^(?:pub(?:\([^)]*\))?\s+)?trait\s+(\w+)", re.M
 )
 _RUST_DECL_UPDATE = re.compile(
     r"\s*(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
@@ -552,7 +578,9 @@ def extract_mentions(
         for m in _GO_IMPORT.finditer(text):
             out.append({"kind": "import", "name": m.group(1), "owner": ""})
         for m in _GO_FUNC.finditer(text):
-            out.append({"kind": "function", "name": m.group(1), "owner": ""})
+            recv, name = m.group(1), m.group(2)
+            kind = "method" if recv else "function"
+            out.append({"kind": kind, "name": name, "owner": recv or ""})
         for m in _GO_TYPE.finditer(text):
             out.append({"kind": "class", "name": m.group(1), "owner": ""})
         out.extend(_calls(text))
@@ -584,7 +612,10 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
         for m in _RUST_TYPE.finditer(text):
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
-        impl_spans = sorted((m.start(), m.group(1)) for m in _RUST_IMPL.finditer(text))
+        impl_spans = sorted(
+            [(m.start(), m.group(1)) for m in _RUST_IMPL.finditer(text)]
+            + [(m.start(), m.group(1)) for m in _RUST_TRAIT_OWNER.finditer(text)]
+        )
         for m in _RUST_FN.finditer(text):
             indent, name = m.group(1), m.group(2)
             owner = ""

@@ -12,6 +12,10 @@ type Option struct {
 	Addr string
 }
 
+type Store interface {
+	Persist(rows []string) error
+}
+
 func NewTaskServer(opt Option) *TaskServer {
 	return &TaskServer{tasks: map[int]string{}}
 }

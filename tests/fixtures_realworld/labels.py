@@ -52,7 +52,10 @@ LABELS = {
     },
     "svc/server.go": {
         ("import", "fmt"), ("import", "sync"),
-        ("type", "TaskServer"), ("type", "Option"),
+        ("type", "TaskServer"), ("type", "Option"), ("type", "Store"),
+        # Store's method-set line (Persist) is a declared call-stream
+        # envelope gap (shape-identical to a go call statement), and decl
+        # P/R doesn't measure calls — not labeled as a callable
         ("callable", "NewTaskServer"), ("callable", "Add"),
         ("callable", "String"), ("callable", "validate"),
     },
@@ -68,8 +71,7 @@ LABELS = {
         ("type", "Graph"), ("type", "Direction"), ("type", "Visit"),
         ("callable", "new"), ("callable", "add_edge"), ("callable", "degree"),
         ("callable", "fmt"), ("callable", "components"),
-        ("callable", "visit"),  # trait method signature — a declaration;
-        # its owner (Visit) is ungraded: fn ownership is impl-scoped
+        ("callable", "visit"),  # trait method signature — a declaration
     },
     "native/pool.c": {
         ("import", "stdlib"), ("import", "string"), ("import", "pool"),
@@ -110,9 +112,10 @@ LABELS = {
     },
 }
 
-# owner spot-checks for matched callables (None = ungraded, e.g. go
-# receiver methods where the engine's granularity is function-level)
+# owner spot-checks for matched callables
 OWNERS = {
+    "svc/server.go": {"NewTaskServer": "", "Add": "TaskServer",
+                      "String": "TaskServer", "validate": ""},
     "src/tracker.py": {"matches": "Task", "to_json": "Task",
                        "__init__": "Tracker", "add": "Tracker",
                        "pending": "Tracker", "load_tracker": "",
@@ -121,7 +124,8 @@ OWNERS = {
                       "from_file": "Summary", "open_tasks": "Summary",
                       "quick_report": ""},
     "native/graph.rs": {"new": "Graph", "add_edge": "Graph",
-                        "degree": "Graph", "fmt": "Graph", "components": ""},
+                        "degree": "Graph", "fmt": "Graph", "components": "",
+                        "visit": "Visit"},
     "jvm/Tracker.java": {"add": "Tracker", "snapshot": "Tracker",
                          "valid": "Tracker", "persist": "Store",
                          "flush": "Store"},

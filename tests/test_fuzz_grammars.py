@@ -201,11 +201,15 @@ def _go_src(draw):
             blocks.append(f'import "pkg{i}"')
             expected.append(("import", f"pkg{i}", ""))
         elif shape == 1:
-            recv = draw(st.sampled_from(("", f"(s *Srv{i}) ")))
+            recv = draw(st.sampled_from(("", f"(s *Srv{i}) ", f"(s Srv{i}) ")))
             blocks.append(f"func {recv}Fn{i}(x int) int {{")
             blocks.append("  return x")
             blocks.append("}")
-            expected.append(("function", f"Fn{i}", ""))
+            if recv:
+                # receiver method: owned by the receiver type (round 5)
+                expected.append(("method", f"Fn{i}", f"Srv{i}"))
+            else:
+                expected.append(("function", f"Fn{i}", ""))
         elif shape == 2:
             blocks.append(f"type Typ{i} struct {{")
             blocks.append("}")

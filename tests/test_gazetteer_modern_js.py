@@ -342,3 +342,18 @@ def test_anonymous_default_export_arrow_yields_no_phantom_default():
     assert ("function", "main") in [
         (m["kind"], m["name"]) for m in extract_mentions("javascript", src2)
     ]
+
+
+def test_signature_skip_never_eats_real_calls():
+    # the signature skip requires the param ':' BEFORE any '?'/brace/quote:
+    # ternary, object-literal and string args all contain ':' but are calls
+    for src, want in {
+        "log(x ? a : b);": [("call", "log")],
+        "draw({x: 1});": [("call", "draw")],
+        "fetch(url, {method: 'POST'});": [("call", "fetch")],
+        "probe('http://example');": [("call", "probe")],
+        "  set(key: string, v: string);": [],
+        "  flush(): Promise<void>;": [],
+    }.items():
+        got = [(m["kind"], m["name"]) for m in extract_mentions("javascript", src)]
+        assert got == want, (src, got)
