@@ -280,6 +280,17 @@ _JAVA_DECL_SKIP = re.compile(
 
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
 _DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
+# Lines that START with a comment marker never yield call mentions:
+# `# see foo(x)`, `// retry bar(1)`, `/* function ghost(x) { */` and
+# JSDoc ` * @see baz(y)` all leaked bogus calls (the decl regexes were
+# already immune — their anchors break on the marker — but _CALL was
+# not).  `\*[ \t]` requires a space after a bare '*' so a call-argument
+# continuation line (`*args)`) is not mistaken for a JSDoc line.
+# TRAILING comments (`foo(x); // calls bar(y)`) remain the declared
+# envelope: stripping them naively would corrupt string literals
+# ('http://…' contains //).  This also marks C preprocessor lines
+# (#include/#define) — no call site lives there.
+_COMMENT_LINE = re.compile(r"[ \t]*(?:#|//|/\*|\*[ \t])")
 
 # --- Rust -------------------------------------------------------------------
 # `use` imports report the crate root segment; struct/enum/trait all map to
@@ -755,6 +766,8 @@ def _calls(text: str) -> List[Dict[str, str]]:
         # neither update `current` nor yield calls
         if "(" not in line:
             continue
+        if _COMMENT_LINE.match(line):
+            continue
         dm = _ANY_DECL.match(line)
         if dm:
             current = dm.group(dm.lastindex)
@@ -783,6 +796,8 @@ def _calls_tracked(
     calls: List[Dict[str, str]] = []
     current = ""
     for line in text.split("\n"):
+        if _COMMENT_LINE.match(line):
+            continue
         dm = decl_update.match(line)
         if dm:
             current = dm.group(dm.lastindex)
@@ -810,13 +825,22 @@ def _calls_c(
     itself, and calls inside a prototype span (`void foo(int);` — every
     header line) are declarations — neither is a call site; an outside
     call is attributed to the nearest definition starting above it in the
-    chunk ('' = file scope)."""
+    chunk ('' = file scope).  Comment-start lines are excluded like the
+    line-based extractors (`// pool_free(p) cleanup` is not a call)."""
+    comment_spans = []
+    pos = 0
+    for line in text.split("\n"):
+        if _COMMENT_LINE.match(line):
+            comment_spans.append((pos, pos + len(line)))
+        pos += len(line) + 1
     calls: List[Dict[str, str]] = []
     for m in _CALL.finditer(text):
         pos = m.start()
         if any(s <= pos < e for s, e, _ in fn_spans):
             continue
         if proto_spans and any(s <= pos < e for s, e in proto_spans):
+            continue
+        if any(s <= pos < e for s, e in comment_spans):
             continue
         name = m.group(1)
         if name in _KEYWORDS or name in _C_KEYWORDS:

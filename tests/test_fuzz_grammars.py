@@ -650,3 +650,29 @@ def test_blank_line_never_becomes_indent():
 
     c = "struct S {\n};\n\nvoid free_fn(int x) {\n}\n"
     assert ("function", "free_fn", "") in _decls("c", c)
+
+
+def test_comment_lines_never_yield_calls():
+    # round-5: lines STARTING with a comment marker leaked bogus calls in
+    # every grammar (`# see foo(x)`, `// retry bar(1)`, JSDoc ` * baz(y)`,
+    # `/* function ghost(x) { */`); decl anchors were already immune
+    cases = {
+        ("python", "# see foo(x) for details\nbar(1)\n"): [("bar", "")],
+        ("go", "// helper(x) usage\nrender(w)\n"): [("render", "")],
+        ("java", "    // init(x)\n    run(y);\n"): [("run", "")],
+        ("rust", "// spawn(x)\nemit(1);\n"): [("emit", "")],
+        ("ruby", "# call me(1)\nping(2)\n"): [("ping", "")],
+        ("javascript",
+         "/* function ghost(x) { */\n * @see baz(y)\nreal(1);\n"): [("real", "")],
+        ("c", "// pool_free(p) cleanup\nvoid f(int x) {\n  use(x);\n}\n"):
+            [("use", "f")],
+    }
+    for (lang, src), want in cases.items():
+        got = [(m["name"], m["owner"])
+               for m in extract_mentions(lang, src) if m["kind"] == "call"]
+        assert got == want, (lang, src, got)
+    # a call-argument continuation line (`*args)`) is NOT a JSDoc line
+    src = "def f(x):\n    g(\n        *args)\n"
+    names = [m["name"] for m in extract_mentions("python", src)
+             if m["kind"] == "call"]
+    assert names == ["g"]
