@@ -291,6 +291,30 @@ _DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
 # ('http://…' contains //).  This also marks C preprocessor lines
 # (#include/#define) — no call site lives there.
 _COMMENT_LINE = re.compile(r"[ \t]*(?:#|//|/\*|\*[ \t])")
+# Single-line string-literal spans, escape-aware ("a \" b" is ONE span),
+# plus backtick templates (go raw strings / JS templates, no escapes).
+# Call-shaped text inside a string is prose, not a call site:
+# `log("retry fetch(url)")` must not mint a fetch() edge.  Envelope:
+# multi-line strings (python triple-quote bodies, multi-line templates)
+# and calls interpolated inside `${…}` are not distinguished.
+_STRING_SPAN = re.compile(
+    r"\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|`[^`]*`"
+)
+
+
+def _line_calls(line: str):
+    """_CALL matches on one line, excluding those inside string literals.
+    Lines without quote characters skip the span scan (the common case —
+    zero added cost on the Arrow hot path)."""
+    if '"' in line or "'" in line or "`" in line:
+        spans = [(m.start(), m.end()) for m in _STRING_SPAN.finditer(line)]
+        for m in _CALL.finditer(line):
+            pos = m.start(1)
+            if any(s <= pos < e for s, e in spans):
+                continue
+            yield m
+    else:
+        yield from _CALL.finditer(line)
 
 # --- Rust -------------------------------------------------------------------
 # `use` imports report the crate root segment; struct/enum/trait all map to
@@ -774,7 +798,7 @@ def _calls(text: str) -> List[Dict[str, str]]:
             continue
         if _DECL_LINE.match(line):
             continue
-        for m in _CALL.finditer(line):
+        for m in _line_calls(line):
             name = m.group(1)
             if name in _KEYWORDS:
                 continue
@@ -806,7 +830,7 @@ def _calls_tracked(
             continue
         if decl_skip.match(line):
             continue
-        for m in _CALL.finditer(line):
+        for m in _line_calls(line):
             name = m.group(1)
             if name in keywords:
                 continue
@@ -825,13 +849,19 @@ def _calls_c(
     itself, and calls inside a prototype span (`void foo(int);` — every
     header line) are declarations — neither is a call site; an outside
     call is attributed to the nearest definition starting above it in the
-    chunk ('' = file scope).  Comment-start lines are excluded like the
-    line-based extractors (`// pool_free(p) cleanup` is not a call)."""
-    comment_spans = []
+    chunk ('' = file scope).  Comment-start lines and single-line string
+    literals are excluded like the line-based extractors
+    (`// pool_free(p) cleanup` and `puts("use free(p)")` are not calls)."""
+    skip_spans = []
     pos = 0
     for line in text.split("\n"):
         if _COMMENT_LINE.match(line):
-            comment_spans.append((pos, pos + len(line)))
+            skip_spans.append((pos, pos + len(line)))
+        elif '"' in line or "'" in line:
+            skip_spans.extend(
+                (pos + m.start(), pos + m.end())
+                for m in _STRING_SPAN.finditer(line)
+            )
         pos += len(line) + 1
     calls: List[Dict[str, str]] = []
     for m in _CALL.finditer(text):
@@ -840,7 +870,7 @@ def _calls_c(
             continue
         if proto_spans and any(s <= pos < e for s, e in proto_spans):
             continue
-        if any(s <= pos < e for s, e in comment_spans):
+        if any(s <= pos < e for s, e in skip_spans):
             continue
         name = m.group(1)
         if name in _KEYWORDS or name in _C_KEYWORDS:

@@ -676,3 +676,27 @@ def test_comment_lines_never_yield_calls():
     names = [m["name"] for m in extract_mentions("python", src)
              if m["kind"] == "call"]
     assert names == ["g"]
+
+
+def test_string_literals_never_yield_calls():
+    # round-5: call-shaped text inside single-line string literals is
+    # prose ('log("retry fetch(url)")' must not mint a fetch edge);
+    # escape-aware spans, backtick templates included; a genuine call on
+    # the same line still registers
+    cases = {
+        ("python", 'def f(x):\n    log("retry fetch(url) now")\n'): ["log"],
+        ("javascript", 'function f(x) {\n  send("use run(a) here");\n}\n'):
+            ["send"],
+        ("c", 'void f(int x) {\n  puts("use free(p)");\n  emit(x);\n}\n'):
+            ["puts", "emit"],
+        ("go", 'func f(x int) {\n  say(`raw tick(1)`)\n}\n'): ["say"],
+        ("ruby", "def f\n  warn('do ping(1)')\n  pong(2)\nend\n"):
+            ["warn", "pong"],
+        ("python", 'def f(x):\n    s = "a \\" b(c)"\n    real(1)\n'):
+            ["real"],
+        ("python", 'def f(x):\n    g("arg")\n'): ["g"],
+    }
+    for (lang, src), want in cases.items():
+        got = [m["name"] for m in extract_mentions(lang, src)
+               if m["kind"] == "call"]
+        assert got == want, (lang, src, got)
