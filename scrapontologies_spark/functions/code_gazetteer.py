@@ -302,6 +302,125 @@ _STRING_SPAN = re.compile(
 )
 
 
+def _mask_block_spans(text: str, lang: str) -> str:
+    """Blank out multi-line comment bodies (and python triple-quoted
+    strings) BEFORE the grammars run, so commented-out code and
+    docstring/doctest examples can never mint declarations or calls —
+    the highest-volume false-positive source on real repositories.
+
+    Masking replaces span content with spaces while PRESERVING newlines,
+    so every match offset, line structure and chunk id downstream is
+    byte-identical to the unmasked text.  The scanner skips single-line
+    string literals (a ``"/*"`` inside a string must not open a block)
+    and line comments (``// see /*`` must not either); go/JS backtick
+    strings are treated as multi-line.  A span left open at chunk end
+    masks to the end — the chunk-boundary envelope shared by every
+    grammar here (an opener in chunk N cannot shadow chunk N+1).
+    Returns ``text`` unchanged (no copy) when no opener occurs.
+    """
+    if lang == "python":
+        probe = ('"""', "'''")
+        if not any(p in text for p in probe):
+            return text
+    else:
+        if "/*" not in text:
+            return text
+    # token-jumping scan: O(interesting tokens), not O(chars) — a per-char
+    # python loop cost ~25% of kernel throughput on a docstring-rich corpus
+    tok_re = _PY_MASK_TOK if lang == "python" else _C_MASK_TOK
+    spans = []
+    n = len(text)
+    i = 0
+    while True:
+        m = tok_re.search(text, i)
+        if m is None:
+            break
+        tok, start = m.group(), m.start()
+        if tok in ('"""', "'''"):
+            j = text.find(tok, start + 3)
+            end = n if j == -1 else j + 3
+            spans.append((start, end))
+            i = end
+        elif tok == "/*":
+            j = text.find("*/", start + 2)
+            end = n if j == -1 else j + 2
+            spans.append((start, end))
+            i = end
+        elif tok in ("#", "//"):  # line comment: no opener inside counts
+            j = text.find("\n", start)
+            i = n if j == -1 else j + 1
+        elif tok == "`":  # multi-line raw string / template
+            j = text.find("`", start + 1)
+            i = n if j == -1 else j + 1
+        else:  # ' or " single-line string, escape-aware
+            q = tok
+            j = start + 1
+            while True:
+                k = text.find(q, j)
+                nl = text.find("\n", j)
+                if k == -1:
+                    i = n if nl == -1 else nl + 1
+                    break
+                if nl != -1 and nl < k:
+                    i = nl + 1
+                    break
+                b = k - 1
+                while b >= 0 and text[b] == "\\":
+                    b -= 1
+                if (k - 1 - b) % 2 == 0:
+                    i = k + 1
+                    break
+                j = k + 1
+    if not spans:
+        return text
+    out, last = [], 0
+    for s, e in spans:
+        out.append(text[last:s])
+        out.append("".join("\n" if ch == "\n" else " " for ch in text[s:e]))
+        last = e
+    out.append(text[last:])
+    return "".join(out)
+
+
+_MASKED_LANGS = frozenset(
+    {"python", "javascript", "go", "java", "rust", "c"}
+)
+# tokens the mask scanner jumps between (order matters: ''' / """ / /*
+# before their single-char prefixes)
+_PY_MASK_TOK = re.compile(r'"""|\'\'\'|#|["\']')
+_C_MASK_TOK = re.compile(r"/\*|//|[\"'`]")
+
+
+def chunk_text_masked(
+    content: str, lang: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> "List[Tuple[int, str, str]]":
+    """``[(chunk_id, original_chunk, extraction_text)]`` — chunk ids and
+    boundaries come from the ORIGINAL content (the sha256 content
+    invariant reconstructs documents from stored chunk rows, so those
+    must stay byte-exact), while the extraction text is the DOCUMENT-
+    level block-comment mask sliced to the same lines.
+
+    Masking at document level is essential: per-chunk masking would see
+    an orphan closer when a docstring straddles a chunk boundary and
+    blank the rest of that chunk — real declarations lost.  Document-
+    level pairing has no boundary; the mask preserves line structure, so
+    slicing by line count keeps original and masked chunks aligned."""
+    chunks = chunk_text(content, chunk_bytes)
+    if lang not in _MASKED_LANGS:
+        return [(cid, t, t) for cid, t in chunks]
+    masked = _mask_block_spans(content, lang)
+    if masked is content:
+        return [(cid, t, t) for cid, t in chunks]
+    mlines = masked.split("\n")
+    out: List[Tuple[int, str, str]] = []
+    li = 0
+    for cid, t in chunks:
+        n = t.count("\n") + 1
+        out.append((cid, t, "\n".join(mlines[li : li + n])))
+        li += n
+    return out
+
+
 def _line_calls(line: str):
     """_CALL matches on one line, excluding those inside string literals.
     Lines without quote characters skip the span scan (the common case —
@@ -547,6 +666,11 @@ def extract_mentions(
     reference's prompt — payloads, schemas, entities and triples downstream
     all reflect the restricted extraction.
     """
+    if lang in _MASKED_LANGS:
+        # blank multi-line comment / docstring bodies first (offsets and
+        # line structure preserved) — commented-out code and doctest
+        # examples must not mint declarations or calls
+        text = _mask_block_spans(text, lang)
     out: List[Dict[str, str]] = []
     if lang == "python":
         decls: List[Tuple[int, Dict[str, str]]] = []
@@ -1018,8 +1142,8 @@ def document_payload(
     chunk payload → A2 left fold in chunk order.  This is the oracle the
     distributed fold must match exactly (SURVEY §5.3)."""
     payloads = [
-        chunk_payload(extract_mentions(lang, text, allowed_kinds, allowed_terms))
-        for _, text in chunk_text(content, chunk_bytes)
+        chunk_payload(extract_mentions(lang, ext, allowed_kinds, allowed_terms))
+        for _, _orig, ext in chunk_text_masked(content, lang, chunk_bytes)
     ]
     return combine_entities_data(payloads)
 
@@ -1034,9 +1158,9 @@ def document_schema(
     """Per-document schema: union of per-chunk digests (A4)."""
     return schema_union_all(
         chunk_schema_digest(
-            chunk_payload(extract_mentions(lang, text, allowed_kinds, allowed_terms))
+            chunk_payload(extract_mentions(lang, ext, allowed_kinds, allowed_terms))
         )
-        for _, text in chunk_text(content, chunk_bytes)
+        for _, _orig, ext in chunk_text_masked(content, lang, chunk_bytes)
     )
 
 
@@ -1090,8 +1214,8 @@ def document_triples(
     extraction is oracle-checkable too."""
     module_id = f"{repo}/{path}"
     triples = set()
-    for _, text in chunk_text(content, chunk_bytes):
+    for _, _orig, ext in chunk_text_masked(content, lang, chunk_bytes):
         triples |= triples_for_mentions(
-            module_id, extract_mentions(lang, text, allowed_kinds, allowed_terms)
+            module_id, extract_mentions(lang, ext, allowed_kinds, allowed_terms)
         )
     return sorted(triples)

@@ -33,7 +33,7 @@ from ..functions.code_gazetteer import (
     DEFAULT_CHUNK_BYTES,
     chunk_payload,
     chunk_schema_digest,
-    chunk_text,
+    chunk_text_masked,
     extract_mentions,
     triples_for_mentions,
 )
@@ -86,8 +86,10 @@ def extract_chunks(
                 if content is None:
                     content = ""  # a NULL row must not kill the stage
                 sha = sha256_hex(content)
-                for cid, text in chunk_text(content, chunk_bytes):
-                    mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
+                # chunk rows keep ORIGINAL text (sha invariant); the
+                # extraction reads the document-level block-comment mask
+                for cid, _orig, ext in chunk_text_masked(content, lang, chunk_bytes):
+                    mentions = extract_mentions(lang, ext, allowed_kinds, allowed_terms)
                     payload = chunk_payload(mentions)
                     digest = chunk_schema_digest(payload)
                     rows.append(
@@ -244,9 +246,9 @@ def extract_document_rows(
                 digests = []
                 triples = set()
                 n_chunks = 0
-                for cid, text in chunk_text(content, chunk_bytes):
+                for cid, _orig, ext in chunk_text_masked(content, lang, chunk_bytes):
                     n_chunks += 1
-                    mentions = extract_mentions(lang, text, allowed_kinds, allowed_terms)
+                    mentions = extract_mentions(lang, ext, allowed_kinds, allowed_terms)
                     payload = chunk_payload(mentions)
                     if with_entities:
                         # only the A2 fold below reads this list; chunk rows

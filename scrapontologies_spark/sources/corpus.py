@@ -46,6 +46,14 @@ def _gen_python(rng: random.Random) -> str:
         else:
             lines.append(f"from mod_{m} import fn_{rng.randrange(N_FUNCS)}")
     lines.append("")
+    if rng.random() < 0.3:
+        # docstring with decl-shaped content: the block mask must keep
+        # doctest examples out of the extraction (round-5 envelope)
+        lines.append('"""Module docs.')
+        lines.append(f">>> fn_{rng.randrange(N_FUNCS)}(1)")
+        lines.append(f"def ghost_{rng.randrange(99)}(x):")
+        lines.append('"""')
+        lines.append("")
     for _ in range(rng.randint(1, 5)):
         f = rng.randrange(N_FUNCS)
         lines.append(f"def fn_{f}(x):")
@@ -83,6 +91,13 @@ def _gen_javascript(rng: random.Random) -> str:
             lines.append(f"import {{fn_{rng.randrange(N_FUNCS)}}} from '{src}';")
         else:
             lines.append(f"import * as m{rng.randrange(9)} from '{src}';")
+    if rng.random() < 0.25:
+        # commented-out code: the block mask keeps it out of extraction
+        lines.append("/*")
+        lines.append(f"export function dead_{rng.randrange(99)}(x) {{")
+        lines.append(f"  gone_{rng.randrange(99)}(x);")
+        lines.append("}")
+        lines.append("*/")
     for _ in range(rng.randint(1, 4)):
         f = rng.randrange(N_FUNCS)
         style = rng.random()

@@ -700,3 +700,56 @@ def test_string_literals_never_yield_calls():
         got = [m["name"] for m in extract_mentions(lang, src)
                if m["kind"] == "call"]
         assert got == want, (lang, src, got)
+
+
+def test_block_mask_is_document_level_across_chunks():
+    # a docstring straddling a chunk boundary must not let the orphan
+    # closer blank real code in the next chunk (document-level pairing),
+    # and doctest/commented-out decls never extract
+    from scrapontologies_spark.functions.code_gazetteer import document_triples
+
+    body = "\n".join(f"docstring filler line {i}" for i in range(40))
+    src = (
+        '"""Module docs.\n' + body + "\n"
+        ">>> ghost_call(1)\n"
+        "def ghost(x):\n"
+        '"""\n'
+        "\n"
+        "def real(x):\n"
+        "    return x\n"
+    )
+    # chunk_bytes small enough that the docstring spans several chunks
+    triples = document_triples("r", "m.py", "python", src, chunk_bytes=256)
+    objs = {o for _, _, o, _ in triples}
+    assert "r/m.py::real" in objs
+    assert "r/m.py::ghost" not in objs
+    assert "r/m.py::ghost_call" not in objs
+
+    js = (
+        "/*\n" + body + "\n"
+        "export function dead(x) { gone(x); }\n"
+        "*/\n"
+        "export function live(x) {}\n"
+    )
+    triples = document_triples("r", "m.js", "javascript", js, chunk_bytes=256)
+    objs = {o for _, _, o, _ in triples}
+    assert "r/m.js::live" in objs
+    assert "r/m.js::dead" not in objs and "r/m.js::gone" not in objs
+
+
+def test_mask_preserves_sha_and_strings_keep_blocks_open():
+    from scrapontologies_spark.functions.code_gazetteer import (
+        _mask_block_spans,
+        chunk_text,
+        chunk_text_masked,
+    )
+
+    src = 'const p = "/*";\nfunction keep(x) {}\n/* dead */\nreal(1);\n'
+    masked = _mask_block_spans(src, "javascript")
+    assert len(masked) == len(src)           # offsets preserved
+    assert masked.count("\n") == src.count("\n")
+    assert "dead" not in masked and "keep" in masked
+    # original chunks are byte-identical to plain chunking (sha invariant)
+    plain = chunk_text(src, 32)
+    trip = chunk_text_masked(src, "javascript", 32)
+    assert [(c, t) for c, t, _ in trip] == plain
