@@ -121,7 +121,8 @@ _JS_IMPORT = re.compile(
     r"""|require\(\s*['"]([^'"]+)['"]\s*\))"""
 )
 _JS_FUNC = re.compile(
-    r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\(",
+    r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?(?:async\s+)?function\s*\*?\s*"
+    r"(\w+)\s*(?:<[^>]*>)?\s*\(",
     re.M,
 )
 _JS_CLASS = re.compile(
@@ -153,7 +154,19 @@ _JS_FUNC_EXPR = re.compile(
 _JS_METHOD = re.compile(
     r"^([ \t]+)(?:(?:public|private|protected|static|async|get|set"
     r"|readonly|override)\s+)*"
-    r"(\w+)\s*\(([^()]*)\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
+    r"(\w+)\s*(?:<[^>]*>)?\s*\(([^()]*)\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
+    re.M,
+)
+# class-field arrows (`tick = () => {…}`, `reset = async (n) => …`) are
+# the dominant instance-method shape in modern React/Node classes; an
+# indented bare `name = … =>` line (no const/let/var declarator — those
+# are _JS_ARROW's) declares a method owned by the nearest preceding
+# class, function when ownerless.  `this.x = () =>` cannot match: the
+# name must directly follow the indent.  Envelope: a REASSIGNMENT of an
+# outer binding to an arrow inside a function body also fits this shape
+# — counted as a (re)declaration, which is how a reader inventories it.
+_JS_FIELD_ARROW = re.compile(
+    r"^([ \t]+)(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>",
     re.M,
 )
 _JS_METHOD_SKIP = frozenset({
@@ -178,14 +191,16 @@ _TS_NOMINAL = re.compile(
 _JS_SKIP_ALT = "|".join(sorted(_JS_METHOD_SKIP))
 _JS_DECL_UPDATE = re.compile(
     r"\s*" + _JS_EXPORT +
-    r"(?:(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\("
+    r"(?:(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*(?:<[^>]*>)?\s*\("
     r"|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
     r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>)"
-    # class-body method definitions own their body's calls
+    # class-body method definitions and class-field arrows own their
+    # body's calls (same modifier prefix + keyword lookahead for both)
     r"|(?:(?:public|private|protected|static|async|get|set|readonly"
     r"|override)\s+)*"
     r"(?!(?:" + _JS_SKIP_ALT + r")\b)"
-    r"(\w+)\s*\([^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{)"
+    r"(?:(\w+)\s*(?:<[^>]*>)?\s*\([^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{"
+    r"|(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>))"
 )
 # no calls from import/type/interface/enum/class header lines — `extends
 # Mixin(Base)` and `import('mod')` shapes would otherwise leak call rows.
@@ -203,7 +218,7 @@ _JS_DECL_SKIP = re.compile(
     r"\s*(?:import\b|(?:export\s+(?:default\s+)?)?(?:abstract\s+)?class\b"
     r"|(?:export\s+)?(?:declare\s+)?(?:interface\b|(?:const\s+)?enum\b"
     r"|type\s+\w+\s*=)"
-    r"|\s*(?:readonly\s+)?\w+\s*"
+    r"|\s*(?:readonly\s+)?\w+\s*(?:<[^>]*>)?\s*"
     r"(?:\([^(){}?'\"`]*:[^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?"
     r"|\([^()]*\)\s*:\s*[\w$<>\[\],. |&]+)\s*;)"
 )
@@ -241,8 +256,14 @@ _JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
 # Stacked modifiers ('public final class', 'protected abstract class', …)
 # are one alternation with *, same as _JAVA_METHOD — a single optional
 # modifier missed 'public final class Foo' entirely.
+# interface and enum are nominal types like class (the TS/go/rust
+# grammars already treat their equivalents as class-kind) — and member
+# prototypes inside an interface body need the interface as their owner,
+# not whatever class happened to precede it.  `@interface` (annotation
+# decl) cannot match: '@' breaks the anchor before the keyword.
 _JAVA_CLASS = re.compile(
-    r"^\s*(?:(?:public|protected|private|abstract|final|static)\s+)*class\s+(\w+)",
+    r"^\s*(?:(?:public|protected|private|abstract|final|static)\s+)*"
+    r"(?:class|interface|enum)\s+(\w+)",
     re.M,
 )
 # full modifier set, matching _JAVA_CLASS plus the method-only ones — with
@@ -264,7 +285,16 @@ _JAVA_STMT = (
     r"(?!(?:return|throw|new|assert|else|if|while|for|switch|do|case"
     r"|break|continue|yield|super|this)\b)"
 )
-_JAVA_SIG = _JAVA_MODS + _JAVA_STMT + r"\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
+# the optional leading <...> is a method TYPE-PARAMETER clause
+# (`static <K, V> V find(K key)`): without it every generic-declaring
+# method was invisible AND leaked its name into the call stream (same
+# failure mode as the generic-return-type gap the realistic-fixture P/R
+# run closed) — the clause applies to _JAVA_METHOD, _JAVA_PROTO and both
+# call-stream twins because all four are built from this one signature
+_JAVA_SIG = (
+    _JAVA_MODS + _JAVA_STMT + r"(?:<[^>]*>\s+)?"
+    r"\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
+)
 _JAVA_METHOD = re.compile(r"^[ \t]+" + _JAVA_SIG + r"\{", re.M)
 # abstract/interface method prototypes end in ';' — declarations a reader
 # inventories (and that previously leaked their name into the call
@@ -716,18 +746,19 @@ def extract_mentions(
             decls.append(
                 (m.start(), {"kind": "class", "name": m.group(m.lastindex), "owner": ""})
             )
-        for m in _JS_METHOD.finditer(text):
-            name = m.group(2)
-            if name in _JS_METHOD_SKIP:
-                continue
-            # nearest preceding class, python/java-style; ownerless
-            # (object literal / continuation chunk) → function fallback
-            preceding = [c for c in class_spans if c[0] < m.start()]
-            owner = preceding[-1][1] if preceding else ""
-            kind = "method" if owner else "function"
-            decls.append(
-                (m.start(), {"kind": kind, "name": name, "owner": owner})
-            )
+        for pat in (_JS_METHOD, _JS_FIELD_ARROW):
+            for m in pat.finditer(text):
+                name = m.group(2)
+                if name in _JS_METHOD_SKIP:
+                    continue
+                # nearest preceding class, python/java-style; ownerless
+                # (object literal / continuation chunk) → function fallback
+                preceding = [c for c in class_spans if c[0] < m.start()]
+                owner = preceding[-1][1] if preceding else ""
+                kind = "method" if owner else "function"
+                decls.append(
+                    (m.start(), {"kind": kind, "name": name, "owner": owner})
+                )
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(
             _calls_tracked(text, _JS_DECL_UPDATE, _JS_DECL_SKIP,

@@ -4,6 +4,14 @@ import java.util.List;
 public final class Tracker {
     private final List<String> tasks = new ArrayList<>();
 
+    public Tracker(List<String> seed) {
+        register(this);
+    }
+
+    static <T> List<T> pair(T a, T b) {
+        return listOf(a, b);
+    }
+
     public int add(String title) {
         tasks.add(title);
         return tasks.size();
@@ -24,4 +32,8 @@ abstract class Store {
     public void flush() {
         persist(snapshotAll());
     }
+}
+
+interface Sink {
+    <T> void accept(T row);
 }

@@ -26,6 +26,14 @@ export class TaskApi {
     router.get('/tasks', listTasks);
     return router;
   }
+
+  describe = () => {
+    return formatPrefix(this.opts.prefix);
+  };
+
+  first<T>(xs: T[]): T {
+    return xs[0];
+  }
 }
 
 export async function listTasks(req: Request): Promise<Response> {

@@ -20,7 +20,10 @@ Labeling rules (applied as a human reviewer, INDEPENDENT of the grammars):
   is to measure the envelope, not to restate it.  Authoring these labels
   drove three round-5 envelope extensions (JS/TS class-body methods,
   Java generic return types, Java abstract/interface prototypes) plus
-  the blank-line indent-capture fix — at HEAD every labeled declaration
+  the blank-line indent-capture fix; a second round-5 wave then closed
+  the declared residual itself (JS class-field arrows, <T> type-
+  parameter methods in both JS/TS and Java, Java constructors and
+  interface/enum nominal types) — at HEAD every labeled declaration
   extracts (P = R = 1.0, thresholds pinned in tests/test_extraction_pr
   .py), so there are currently NO expected misses in this inventory.
 """
@@ -41,7 +44,9 @@ LABELS = {
         ("import", "tiny"), ("import", "model"), ("import", "store"),
         ("type", "ApiOptions"), ("type", "Handler"), ("type", "Status"),
         ("type", "TaskApi"),
-        ("callable", "routes"),          # class-body method: expected miss
+        ("callable", "routes"),
+        ("callable", "describe"),        # class-field arrow
+        ("callable", "first"),           # generic method, type params
         ("callable", "listTasks"), ("callable", "respond"),
         ("callable", "withRetry"),
     },
@@ -61,10 +66,13 @@ LABELS = {
     },
     "jvm/Tracker.java": {
         ("import", "java"),
-        ("type", "Tracker"), ("type", "Store"),
+        ("type", "Tracker"), ("type", "Store"), ("type", "Sink"),
+        ("callable", "Tracker"),         # constructor — a reader inventories it
+        ("callable", "pair"),            # static <T> type-parameter method
         ("callable", "add"), ("callable", "snapshot"), ("callable", "valid"),
         ("callable", "persist"),         # abstract prototype: expected miss
         ("callable", "flush"),
+        ("callable", "accept"),          # generic interface member
     },
     "native/graph.rs": {
         ("import", "std"),
@@ -126,9 +134,13 @@ OWNERS = {
     "native/graph.rs": {"new": "Graph", "add_edge": "Graph",
                         "degree": "Graph", "fmt": "Graph", "components": "",
                         "visit": "Visit"},
-    "jvm/Tracker.java": {"add": "Tracker", "snapshot": "Tracker",
+    "jvm/Tracker.java": {"Tracker": "Tracker", "pair": "Tracker",
+                         "add": "Tracker", "snapshot": "Tracker",
                          "valid": "Tracker", "persist": "Store",
-                         "flush": "Store"},
+                         "flush": "Store", "accept": "Sink"},
+    "web/api.ts": {"routes": "TaskApi", "describe": "TaskApi",
+                   "first": "TaskApi", "listTasks": "",
+                   "respond": "", "withRetry": ""},
     "native/pool.c": {"align_up": "", "pool_new": "", "pool_alloc": "",
                       "pool_reset": ""},
 }

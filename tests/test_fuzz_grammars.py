@@ -134,7 +134,11 @@ def _javascript_src(draw):
             kw = draw(st.sampled_from(
                 ("function", "export function", "export default function",
                  "export async function", "async function", "function*")))
-            blocks.append(f"{kw} fn{i}(x) {{}}")
+            # <T> type-parameter clause (second round-5 wave) — not on
+            # generators, where TS disallows it without a comma hint
+            gen = "" if kw.endswith("*") else draw(
+                st.sampled_from(("", "<T>", "<T, U extends object>")))
+            blocks.append(f"{kw} fn{i}{gen}(x) {{}}")
             expected.append(("function", f"fn{i}", ""))
         elif shape == 7:
             kw = draw(st.sampled_from(("const", "let", "var", "export const")))
@@ -156,11 +160,25 @@ def _javascript_src(draw):
                 # optional TS modifiers and return-type annotation
                 blocks.append(f"{kw} Cls{i} {{")
                 for j in range(draw(st.integers(1, 2))):
-                    mods = draw(st.sampled_from(
-                        ("", "static ", "async ", "private static ")))
-                    ann = draw(st.sampled_from(("", ": Promise<void>")))
-                    blocks.append(f"  {mods}meth{i}_{j}(props){ann} {{")
-                    blocks.append("  }")
+                    member = draw(st.integers(0, 2))
+                    if member == 0:
+                        mods = draw(st.sampled_from(
+                            ("", "static ", "async ", "private static ")))
+                        gen = draw(st.sampled_from(("", "<T>")))
+                        ann = draw(st.sampled_from(("", ": Promise<void>")))
+                        blocks.append(f"  {mods}meth{i}_{j}{gen}(props){ann} {{")
+                        blocks.append("  }")
+                    elif member == 1:
+                        # class-field arrow (second round-5 wave)
+                        arrow = draw(st.sampled_from(
+                            ("() =>", "async (e) =>", "x =>")))
+                        blocks.append(f"  meth{i}_{j} = {arrow} {{")
+                        blocks.append("  };")
+                    else:
+                        # plain field initializers must NOT register
+                        blocks.append(f"  meth{i}_{j}(props) {{")
+                        blocks.append("  }")
+                        blocks.append(f"  notafn{i}_{j} = 42;")
                     expected.append(("method", f"meth{i}_{j}", f"Cls{i}"))
                 blocks.append("}")
             expected.append(("class", f"Cls{i}", ""))
@@ -234,20 +252,23 @@ def _java_src(draw):
             mods = draw(st.sampled_from(
                 ("", "public ", "public final ", "protected abstract ",
                  "private static final ")))
-            blocks.append(f"{mods}class Cls{i} {{")
+            kind = draw(st.sampled_from(("class", "interface", "enum")))
+            blocks.append(f"{mods}{kind} Cls{i} {{")
             for j in range(draw(st.integers(0, 2))):
                 mmods = draw(st.sampled_from(
                     ("public ", "protected static ", "private synchronized ",
                      "public final native ")))
+                # optional <T> type-parameter clause (second round-5 wave)
+                tp = draw(st.sampled_from(("", "<T> ", "<K, V> ")))
                 rt = draw(st.sampled_from(
                     ("int", "List<String>", "Map<String, List<Integer>>",
                      "byte[]")))
                 if draw(st.booleans()):
-                    blocks.append(f"    {mmods}{rt} meth{i}_{j}(int a) {{")
+                    blocks.append(f"    {mmods}{tp}{rt} meth{i}_{j}(int a) {{")
                     blocks.append("    }")
                 else:
                     # abstract/interface prototype — also a declaration
-                    blocks.append(f"    {mmods}{rt} meth{i}_{j}(int a);")
+                    blocks.append(f"    {mmods}{tp}{rt} meth{i}_{j}(int a);")
             blocks.append("}")
         else:
             # ownerless indented method (class header landed in an earlier
@@ -265,7 +286,7 @@ def _java_src(draw):
     for ln in blocks:
         mcls = re.match(
             r"(?:(?:public|protected|private|abstract|final|static)\s+)*"
-            r"class\s+(\w+)", ln)
+            r"(?:class|interface|enum)\s+(\w+)", ln)
         if mcls:
             last_cls = mcls.group(1)
             out_expected.append(("class", last_cls, ""))

@@ -357,3 +357,106 @@ def test_signature_skip_never_eats_real_calls():
     }.items():
         got = [(m["kind"], m["name"]) for m in extract_mentions("javascript", src)]
         assert got == want, (src, got)
+
+
+def test_class_field_arrows_are_methods_and_own_their_calls():
+    # round-5 envelope extension #2: class-field arrows — the dominant
+    # instance-method shape in modern React/Node classes.  `this.x = …`
+    # must not match (name must follow the indent directly), and the
+    # same-line body of a one-line arrow stays the documented envelope.
+    src = (
+        "export class Timer {\n"
+        "  ticks = 0;\n"                       # plain field: no arrow, no mention
+        "  tick = () => {\n"
+        "    emit(this.ticks);\n"              # call owned by tick
+        "  };\n"
+        "  reset = async (n) => setCount(n);\n"  # one-liner: decl only
+        "}\n"
+        "function setup() {\n"
+        "  this.boot = () => {};\n"            # this.x: not a field decl
+        "}\n"
+    )
+    ms = extract_mentions("javascript", src)
+    decls = [(m["kind"], m["name"], m["owner"]) for m in ms if m["kind"] != "call"]
+    assert decls == [
+        ("class", "Timer", ""),
+        ("method", "tick", "Timer"),
+        ("method", "reset", "Timer"),
+        ("function", "setup", ""),
+    ]
+    assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
+        ("emit", "tick"),
+    ]
+
+
+def test_generic_type_parameter_methods_js_and_java():
+    # round-5 envelope extension #3: <T>-parameterized declarations.
+    # Before, `first<T>(xs)` / `static <K, V> V find(K key)` were
+    # invisible AND (java) leaked their names into the call stream.
+    ts = (
+        "export class Seq {\n"
+        "  first<T>(xs: T[]): T {\n"
+        "    return pickOne(xs);\n"
+        "  }\n"
+        "}\n"
+        "export function head<T>(xs: T[]): T {\n"
+        "  return xs[0];\n"
+        "}\n"
+        "interface Store {\n"
+        "  get<T>(key: string): T;\n"          # generic member signature: no call
+        "}\n"
+    )
+    ms = extract_mentions("javascript", ts)
+    decls = {(m["kind"], m["name"], m["owner"]) for m in ms if m["kind"] != "call"}
+    assert decls == {
+        ("class", "Seq", ""),
+        ("method", "first", "Seq"),
+        ("function", "head", ""),
+        ("class", "Store", ""),
+    }
+    assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
+        ("pickOne", "first"),
+    ]
+
+    java = (
+        "public final class Box {\n"
+        "    public Box(int cap) {\n"          # constructor: a method decl
+        "        init(cap);\n"
+        "    }\n"
+        "    static <K, V> V find(K key) {\n"
+        "        return lookup(key);\n"
+        "    }\n"
+        "}\n"
+        "interface Repo {\n"                    # interface: nominal type
+        "    <T> T load(String id);\n"          # generic prototype: decl, no call
+        "}\n"
+    )
+    jms = extract_mentions("java", java)
+    jdecls = {(m["kind"], m["name"], m["owner"]) for m in jms if m["kind"] != "call"}
+    assert jdecls == {
+        ("class", "Box", ""),
+        ("method", "Box", "Box"),
+        ("method", "find", "Box"),
+        ("class", "Repo", ""),
+        ("method", "load", "Repo"),
+    }
+    assert {(m["name"], m["owner"]) for m in jms if m["kind"] == "call"} == {
+        ("init", "Box"),
+        ("lookup", "find"),
+    }
+
+
+def test_java_enum_is_a_nominal_type():
+    src = (
+        "public enum Status {\n"
+        "    OPEN, DONE;\n"
+        "    public boolean closed() {\n"
+        "        return this == DONE;\n"
+        "    }\n"
+        "}\n"
+    )
+    ms = extract_mentions("java", src)
+    assert {(m["kind"], m["name"], m["owner"]) for m in ms} == {
+        ("class", "Status", ""),
+        ("method", "closed", "Status"),
+    }
