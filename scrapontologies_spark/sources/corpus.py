@@ -119,12 +119,23 @@ def _gen_javascript(rng: random.Random) -> str:
                          "export interface"))
         lines.append(f"{kw} Cls_{c} {{")
         if kw != "export interface" and rng.random() < 0.5:
-            # class-body methods (round-5 envelope): owner = the class
+            # class-body members (round-5 envelope, both waves): plain
+            # methods, class-field arrows, <T> generic methods
             m = rng.randrange(N_FUNCS)
-            mods = rng.choice(("", "static ", "async "))
-            lines.append(f"  {mods}fn_{m}(props) {{")
-            lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(props);")
-            lines.append("  }")
+            style = rng.random()
+            if style < 0.4:
+                mods = rng.choice(("", "static ", "async "))
+                lines.append(f"  {mods}fn_{m}(props) {{")
+                lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(props);")
+                lines.append("  }")
+            elif style < 0.7:
+                lines.append(f"  fn_{m} = (e) => {{")
+                lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(e);")
+                lines.append("  };")
+            else:
+                lines.append(f"  fn_{m}<T>(xs) {{")
+                lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(xs);")
+                lines.append("  }")
         lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
@@ -146,22 +157,41 @@ def _gen_go(rng: random.Random) -> str:
 def _gen_java(rng: random.Random) -> str:
     lines = [f"import mod_{rng.randrange(N_MODS)}.util;"]
     c = rng.randrange(N_CLASSES)
-    lines.append(f"class Cls_{c} {{")
-    for _ in range(rng.randint(1, 4)):
-        f = rng.randrange(N_FUNCS)
-        style = rng.random()
-        if style < 0.5:
-            lines.append(f"    int fn_{f}(int x) {{")
-            lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+    # interface/enum are nominal types too (second round-5 wave); their
+    # members are prototypes, a class's members mix all the decl shapes
+    kind = rng.choice(("class", "class", "class", "interface", "enum"))
+    lines.append(f"{kind} Cls_{c} {{")
+    if kind != "class":
+        for _ in range(rng.randint(1, 2)):
+            tp = rng.choice(("", "<T> "))
+            rt = "T" if tp else "int"
+            lines.append(f"    {tp}{rt} fn_{rng.randrange(N_FUNCS)}(int x);")
+    else:
+        if rng.random() < 0.3:
+            # constructor — name = class, modifier-as-type backtracking
+            lines.append(f"    public Cls_{c}(int seed) {{")
+            lines.append(f"        fn_{rng.randrange(N_FUNCS)}(seed);")
             lines.append("    }")
-        elif style < 0.8:
-            # generic return type (round-5 envelope)
-            lines.append(f"    public List<Integer> fn_{f}(int x) {{")
-            lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
-            lines.append("    }")
-        else:
-            # abstract/interface prototype — a declaration, never a call
-            lines.append(f"    abstract int fn_{f}(int x);")
+        for _ in range(rng.randint(1, 4)):
+            f = rng.randrange(N_FUNCS)
+            style = rng.random()
+            if style < 0.4:
+                lines.append(f"    int fn_{f}(int x) {{")
+                lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+                lines.append("    }")
+            elif style < 0.65:
+                # generic return type (round-5 envelope)
+                lines.append(f"    public List<Integer> fn_{f}(int x) {{")
+                lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+                lines.append("    }")
+            elif style < 0.85:
+                # <T> type-parameter method (second round-5 wave)
+                lines.append(f"    static <T> T fn_{f}(T x) {{")
+                lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
+                lines.append("    }")
+            else:
+                # abstract prototype — a declaration, never a call
+                lines.append(f"    abstract int fn_{f}(int x);")
     lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
