@@ -112,6 +112,12 @@ _PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
 #     the module spec's first real path segment ('@scope/pkg' → scope,
 #     './utils/x.js' → utils) — join-safe like the ruby/c import stems.
 _JS_EXPORT = r"(?:export\s+(?:default\s+)?)?"
+# a <...> type-parameter clause with ONE level of nesting
+# (`<T extends Comparable<T>>`, `<T extends Map<K, V>>`) — flat
+# `<[^>]*>` stops at the inner '>', silently un-declaring every
+# bounded-generic method (and, in java, leaking its name into the call
+# stream).  The char classes partition on <>, so matching is linear.
+_TYPE_PARAMS = r"<[^<>]*(?:<[^<>]*>[^<>]*)*>"
 _JS_IMPORT = re.compile(
     r"""(?:import\s+(?:type\s+)?"""
     r"""(?:[\w$]+|\{[^}]*\}|\*\s+as\s+[\w$]+)"""
@@ -122,7 +128,7 @@ _JS_IMPORT = re.compile(
 )
 _JS_FUNC = re.compile(
     r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?(?:async\s+)?function\s*\*?\s*"
-    r"(\w+)\s*(?:<[^>]*>)?\s*\(",
+    r"(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(",
     re.M,
 )
 _JS_CLASS = re.compile(
@@ -154,7 +160,8 @@ _JS_FUNC_EXPR = re.compile(
 _JS_METHOD = re.compile(
     r"^([ \t]+)(?:(?:public|private|protected|static|async|get|set"
     r"|readonly|override)\s+)*"
-    r"(\w+)\s*(?:<[^>]*>)?\s*\(([^()]*)\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
+    r"(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(([^()]*)\)\s*"
+    r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
     re.M,
 )
 # class-field arrows (`tick = () => {…}`, `reset = async (n) => …`) are
@@ -191,7 +198,8 @@ _TS_NOMINAL = re.compile(
 _JS_SKIP_ALT = "|".join(sorted(_JS_METHOD_SKIP))
 _JS_DECL_UPDATE = re.compile(
     r"\s*" + _JS_EXPORT +
-    r"(?:(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*(?:<[^>]*>)?\s*\("
+    r"(?:(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*"
+    r"(?:" + _TYPE_PARAMS + r")?\s*\("
     r"|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
     r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>)"
     # class-body method definitions and class-field arrows own their
@@ -199,7 +207,8 @@ _JS_DECL_UPDATE = re.compile(
     r"|(?:(?:public|private|protected|static|async|get|set|readonly"
     r"|override)\s+)*"
     r"(?!(?:" + _JS_SKIP_ALT + r")\b)"
-    r"(?:(\w+)\s*(?:<[^>]*>)?\s*\([^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?\s*\{"
+    r"(?:(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\([^()]*\)\s*"
+    r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{"
     r"|(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>))"
 )
 # no calls from import/type/interface/enum/class header lines — `extends
@@ -218,7 +227,7 @@ _JS_DECL_SKIP = re.compile(
     r"\s*(?:import\b|(?:export\s+(?:default\s+)?)?(?:abstract\s+)?class\b"
     r"|(?:export\s+)?(?:declare\s+)?(?:interface\b|(?:const\s+)?enum\b"
     r"|type\s+\w+\s*=)"
-    r"|\s*(?:readonly\s+)?\w+\s*(?:<[^>]*>)?\s*"
+    r"|\s*(?:readonly\s+)?\w+\s*(?:" + _TYPE_PARAMS + r")?\s*"
     r"(?:\([^(){}?'\"`]*:[^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?"
     r"|\([^()]*\)\s*:\s*[\w$<>\[\],. |&]+)\s*;)"
 )
@@ -292,7 +301,7 @@ _JAVA_STMT = (
 # run closed) — the clause applies to _JAVA_METHOD, _JAVA_PROTO and both
 # call-stream twins because all four are built from this one signature
 _JAVA_SIG = (
-    _JAVA_MODS + _JAVA_STMT + r"(?:<[^>]*>\s+)?"
+    _JAVA_MODS + _JAVA_STMT + r"(?:" + _TYPE_PARAMS + r"\s+)?"
     r"\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
 )
 _JAVA_METHOD = re.compile(r"^[ \t]+" + _JAVA_SIG + r"\{", re.M)

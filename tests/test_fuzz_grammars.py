@@ -137,7 +137,8 @@ def _javascript_src(draw):
             # <T> type-parameter clause (second round-5 wave) — not on
             # generators, where TS disallows it without a comma hint
             gen = "" if kw.endswith("*") else draw(
-                st.sampled_from(("", "<T>", "<T, U extends object>")))
+                st.sampled_from(("", "<T>", "<T, U extends object>",
+                                 "<T extends Map<K, V>>")))
             blocks.append(f"{kw} fn{i}{gen}(x) {{}}")
             expected.append(("function", f"fn{i}", ""))
         elif shape == 7:
@@ -258,8 +259,10 @@ def _java_src(draw):
                 mmods = draw(st.sampled_from(
                     ("public ", "protected static ", "private synchronized ",
                      "public final native ")))
-                # optional <T> type-parameter clause (second round-5 wave)
-                tp = draw(st.sampled_from(("", "<T> ", "<K, V> ")))
+                # optional <T> type-parameter clause (second round-5 wave);
+                # the bounded form nests one level of generics
+                tp = draw(st.sampled_from(
+                    ("", "<T> ", "<K, V> ", "<T extends Comparable<T>> ")))
                 rt = draw(st.sampled_from(
                     ("int", "List<String>", "Map<String, List<Integer>>",
                      "byte[]")))

@@ -460,3 +460,40 @@ def test_java_enum_is_a_nominal_type():
         ("class", "Status", ""),
         ("method", "closed", "Status"),
     }
+
+
+def test_bounded_type_parameters_one_level_nesting():
+    # `<T extends Comparable<T>>` — flat <[^>]*> stopped at the inner '>',
+    # silently un-declaring every bounded-generic method (java: + call leak)
+    java = (
+        "public class Util {\n"
+        "    public <T extends Comparable<T>> T max(List<T> xs) {\n"
+        "        return reduceAll(xs);\n"
+        "    }\n"
+        "}\n"
+    )
+    ms = extract_mentions("java", java)
+    assert ("method", "max", "Util") in {
+        (m["kind"], m["name"], m["owner"]) for m in ms
+    }
+    assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
+        ("reduceAll", "max"),
+    ]
+
+    ts = (
+        "export class Reg {\n"
+        "  clone<T extends Map<K, V>>(m: T): T {\n"
+        "    return copyDeep(m);\n"
+        "  }\n"
+        "}\n"
+        "interface S {\n"
+        "  get<T extends Map<K, V>>(k: string): T;\n"  # signature: no call
+        "}\n"
+    )
+    tms = extract_mentions("javascript", ts)
+    assert ("method", "clone", "Reg") in {
+        (m["kind"], m["name"], m["owner"]) for m in tms
+    }
+    assert [(m["name"], m["owner"]) for m in tms if m["kind"] == "call"] == [
+        ("copyDeep", "clone"),
+    ]
