@@ -173,7 +173,9 @@ _JS_METHOD = re.compile(
 # outer binding to an arrow inside a function body also fits this shape
 # — counted as a (re)declaration, which is how a reader inventories it.
 _JS_FIELD_ARROW = re.compile(
-    r"^([ \t]+)(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>",
+    r"^([ \t]+)(?:(?:public|private|protected|static|readonly"
+    r"|override)\s+)*"
+    r"(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>",
     re.M,
 )
 _JS_METHOD_SKIP = frozenset({

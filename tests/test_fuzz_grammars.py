@@ -170,10 +170,13 @@ def _javascript_src(draw):
                         blocks.append(f"  {mods}meth{i}_{j}{gen}(props){ann} {{")
                         blocks.append("  }")
                     elif member == 1:
-                        # class-field arrow (second round-5 wave)
+                        # class-field arrow (second round-5 wave),
+                        # optionally modifier-prefixed (static factories)
+                        fmods = draw(st.sampled_from(
+                            ("", "static ", "private readonly ")))
                         arrow = draw(st.sampled_from(
                             ("() =>", "async (e) =>", "x =>")))
-                        blocks.append(f"  meth{i}_{j} = {arrow} {{")
+                        blocks.append(f"  {fmods}meth{i}_{j} = {arrow} {{")
                         blocks.append("  };")
                     else:
                         # plain field initializers must NOT register

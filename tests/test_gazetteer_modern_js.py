@@ -371,6 +371,9 @@ def test_class_field_arrows_are_methods_and_own_their_calls():
         "    emit(this.ticks);\n"              # call owned by tick
         "  };\n"
         "  reset = async (n) => setCount(n);\n"  # one-liner: decl only
+        "  static create = (cfg) => {\n"          # modifier-prefixed field
+        "    return wire(cfg);\n"                 # arrow — owner twin and
+        "  };\n"                                  # mention pass must agree
         "}\n"
         "function setup() {\n"
         "  this.boot = () => {};\n"            # this.x: not a field decl
@@ -382,10 +385,12 @@ def test_class_field_arrows_are_methods_and_own_their_calls():
         ("class", "Timer", ""),
         ("method", "tick", "Timer"),
         ("method", "reset", "Timer"),
+        ("method", "create", "Timer"),
         ("function", "setup", ""),
     ]
     assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
         ("emit", "tick"),
+        ("wire", "create"),
     ]
 
 
