@@ -91,7 +91,10 @@ _PY_FROM = re.compile(r"^from\s+(\w+)\s+import", re.M)
 # capture indent="\n" (truthy) and mis-attribute a top-level `def main()`
 # following a class as that class's method — found by the round-5 files
 # front-door fixture; the fuzz generators now draw blank-line separators.
-_PY_DEF = re.compile(r"^([ \t]*)def\s+(\w+)\s*\(", re.M)
+# the optional [...] admits PEP 695 type-parameter lists
+# (`def first[T](xs: list[T])`) — without it the decl is invisible and
+# its body's calls inherit a stale owner
+_PY_DEF = re.compile(r"^([ \t]*)def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\(", re.M)
 _PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
 
 # --- JavaScript / TypeScript --------------------------------------------
@@ -254,14 +257,21 @@ _GO_IMPORT = re.compile(r'^import\s+"(\w+)"', re.M)
 # (round-5 fidelity pass).  The receiver group tolerates `s *T`, `s T`
 # and generic receivers `s *T[K]` (type = first word after the optional
 # pointer star).
+# the optional [...] after the name admits go 1.18 type parameters
+# (`func Map[T any, U any](xs []T)`)
 _GO_FUNC = re.compile(
-    r"^func\s+(?:\(\s*\w+\s+\*?(\w+)[^)]*\)\s*)?(\w+)\s*\(", re.M
+    r"^func\s+(?:\(\s*\w+\s+\*?(\w+)[^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\(",
+    re.M,
 )
 # struct AND interface are both nominal types (class kind).  Interface
 # METHOD-SET lines (`Add(x int) int` inside the body) remain a declared
 # call-stream envelope gap: they are shape-identical to go call
 # statements on a line basis, so a stateless skip would eat real calls.
-_GO_TYPE = re.compile(r"^type\s+(\w+)\s+(?:struct|interface)", re.M)
+# the optional [...] admits generic type declarations
+# (`type Stack[T any] struct`)
+_GO_TYPE = re.compile(
+    r"^type\s+(\w+)(?:\[[^\]]*\])?\s+(?:struct|interface)", re.M
+)
 
 _JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
 # Stacked modifiers ('public final class', 'protected abstract class', …)
@@ -582,9 +592,12 @@ _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
 # and java moved to _calls_tracked with language-specific decl patterns
 # this round, so their old alternatives here were dead code and were
 # removed (they could never match valid python/go source anyway).
+# both alternatives admit the bracket type-parameter lists their mention
+# twins accept (PEP 695 / go 1.18) — owner tracking must see the same
+# declarations the mention pass does
 _ANY_DECL = re.compile(
-    r"(?:(\s*)def\s+(\w+)\s*\("
-    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*\()"
+    r"(?:(\s*)def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\("
+    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\()"
 )
 
 # --- config-file grammars (json / yaml / toml) and shell -------------------

@@ -95,7 +95,9 @@ def _python_src(draw):
                 blocks.append("        pass")
                 expected.append(("method", f"meth{i}_{j}", f"Cls{i}"))
         else:
-            blocks.append(f"def fn{i}(a, b):")
+            # optional PEP 695 type-parameter list
+            tp = draw(st.sampled_from(("", "[T]", "[T: int, *Ts]")))
+            blocks.append(f"def fn{i}{tp}(a, b):")
             blocks.append("    pass")
             expected.append(("function", f"fn{i}", ""))
         if draw(st.booleans()):
@@ -224,7 +226,11 @@ def _go_src(draw):
             expected.append(("import", f"pkg{i}", ""))
         elif shape == 1:
             recv = draw(st.sampled_from(("", f"(s *Srv{i}) ", f"(s Srv{i}) ")))
-            blocks.append(f"func {recv}Fn{i}(x int) int {{")
+            # plain funcs may take go 1.18 type parameters; receiver
+            # methods can't declare their own in go
+            tp = "" if recv else draw(
+                st.sampled_from(("", "[T any]", "[T any, U comparable]")))
+            blocks.append(f"func {recv}Fn{i}{tp}(x int) int {{")
             blocks.append("  return x")
             blocks.append("}")
             if recv:
@@ -233,7 +239,9 @@ def _go_src(draw):
             else:
                 expected.append(("function", f"Fn{i}", ""))
         elif shape == 2:
-            blocks.append(f"type Typ{i} struct {{")
+            tp = draw(st.sampled_from(("", "[T any]")))
+            kind = draw(st.sampled_from(("struct", "interface")))
+            blocks.append(f"type Typ{i}{tp} {kind} {{")
             blocks.append("}")
             expected.append(("class", f"Typ{i}", ""))
         else:

@@ -502,3 +502,40 @@ def test_bounded_type_parameters_one_level_nesting():
     assert [(m["name"], m["owner"]) for m in tms if m["kind"] == "call"] == [
         ("copyDeep", "clone"),
     ]
+
+
+def test_bracket_type_parameters_python_and_go():
+    # PEP 695 (`def first[T](xs)`) and go 1.18 (`func Map[T any](xs)`,
+    # `type Stack[T any] struct`) — without the optional bracket clause
+    # the decls were invisible and their body calls kept a stale owner.
+    py = (
+        "class Box[T]:\n"
+        "    def get(self) -> T:\n"
+        "        return unwrap(self)\n"
+        "\n"
+        "def first[T](xs: list[T]) -> T:\n"
+        "    return pick(xs)\n"
+    )
+    pms = extract_mentions("python", py)
+    assert {(m["kind"], m["name"], m["owner"]) for m in pms} == {
+        ("class", "Box", ""),
+        ("method", "get", "Box"),
+        ("function", "first", ""),
+        ("call", "unwrap", "get"),
+        ("call", "pick", "first"),
+    }
+
+    go = (
+        "type Stack[T any] struct {\n"
+        "}\n"
+        "\n"
+        "func Map[T any, U any](xs []T, f func(T) U) []U {\n"
+        "    return apply(xs, f)\n"
+        "}\n"
+    )
+    gms = extract_mentions("go", go)
+    assert {(m["kind"], m["name"], m["owner"]) for m in gms} == {
+        ("class", "Stack", ""),
+        ("function", "Map", ""),
+        ("call", "apply", "Map"),
+    }
