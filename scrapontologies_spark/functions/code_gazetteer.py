@@ -91,10 +91,14 @@ _PY_FROM = re.compile(r"^from\s+(\w+)\s+import", re.M)
 # capture indent="\n" (truthy) and mis-attribute a top-level `def main()`
 # following a class as that class's method — found by the round-5 files
 # front-door fixture; the fuzz generators now draw blank-line separators.
-# the optional [...] admits PEP 695 type-parameter lists
-# (`def first[T](xs: list[T])`) — without it the decl is invisible and
-# its body's calls inherit a stale owner
-_PY_DEF = re.compile(r"^([ \t]*)def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\(", re.M)
+# the optional `async` admits coroutine defs (`async def fetch(…)`) —
+# on a real asyncio/FastAPI codebase every handler is one, and without
+# it the decl was invisible, its name leaked into the call stream, and
+# its body's calls inherited a stale owner.  The optional [...] admits
+# PEP 695 type-parameter lists (`def first[T](xs: list[T])`).
+_PY_DEF = re.compile(
+    r"^([ \t]*)(?:async[ \t]+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\(", re.M
+)
 _PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
 
 # --- JavaScript / TypeScript --------------------------------------------
@@ -596,7 +600,7 @@ _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
 # twins accept (PEP 695 / go 1.18) — owner tracking must see the same
 # declarations the mention pass does
 _ANY_DECL = re.compile(
-    r"(?:(\s*)def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\("
+    r"(?:(\s*)(?:async\s+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\("
     r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\()"
 )
 

@@ -13,6 +13,11 @@ def build_parser():
     return parser
 
 
+async def watch(path, interval=2.0):
+    while True:
+        refresh(path)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     tracker = load_tracker(args.db)

@@ -39,6 +39,7 @@ LABELS = {
     "src/cli.py": {
         ("import", "argparse"), ("import", "sys"), ("import", "tracker"),
         ("callable", "build_parser"), ("callable", "main"),
+        ("callable", "watch"),           # coroutine (async def)
     },
     "web/api.ts": {
         ("import", "tiny"), ("import", "model"), ("import", "store"),

@@ -91,13 +91,15 @@ def _python_src(draw):
             blocks.append(f"class Cls{i}" + ("(Base):" if base else ":"))
             expected.append(("class", f"Cls{i}", ""))
             for j in range(draw(st.integers(0, 2))):
-                blocks.append(f"    def meth{i}_{j}(self):")
+                kw = draw(st.sampled_from(("def", "async def")))
+                blocks.append(f"    {kw} meth{i}_{j}(self):")
                 blocks.append("        pass")
                 expected.append(("method", f"meth{i}_{j}", f"Cls{i}"))
         else:
-            # optional PEP 695 type-parameter list
+            # coroutine defs and optional PEP 695 type-parameter lists
+            kw = draw(st.sampled_from(("def", "async def")))
             tp = draw(st.sampled_from(("", "[T]", "[T: int, *Ts]")))
-            blocks.append(f"def fn{i}{tp}(a, b):")
+            blocks.append(f"{kw} fn{i}{tp}(a, b):")
             blocks.append("    pass")
             expected.append(("function", f"fn{i}", ""))
         if draw(st.booleans()):

@@ -539,3 +539,26 @@ def test_bracket_type_parameters_python_and_go():
         ("function", "Map", ""),
         ("call", "apply", "Map"),
     }
+
+
+def test_python_async_defs_are_declarations():
+    # `async def` — every handler on an asyncio/FastAPI codebase.  Before,
+    # the decl was invisible, its NAME leaked into the call stream, and
+    # its body's calls inherited a stale owner.
+    src = (
+        "class Api:\n"
+        "    async def fetch(self, url):\n"
+        "        return await load(url)\n"
+        "\n"
+        "async def main():\n"
+        "    run(Api())\n"
+    )
+    ms = extract_mentions("python", src)
+    assert {(m["kind"], m["name"], m["owner"]) for m in ms} == {
+        ("class", "Api", ""),
+        ("method", "fetch", "Api"),
+        ("function", "main", ""),
+        ("call", "load", "fetch"),
+        ("call", "run", "main"),
+        ("call", "Api", "main"),
+    }
