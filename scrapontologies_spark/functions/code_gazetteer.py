@@ -281,14 +281,20 @@ _JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
 # Stacked modifiers ('public final class', 'protected abstract class', …)
 # are one alternation with *, same as _JAVA_METHOD — a single optional
 # modifier missed 'public final class Foo' entirely.
-# interface and enum are nominal types like class (the TS/go/rust
-# grammars already treat their equivalents as class-kind) — and member
-# prototypes inside an interface body need the interface as their owner,
-# not whatever class happened to precede it.  `@interface` (annotation
-# decl) cannot match: '@' breaks the anchor before the keyword.
+# interface, enum and record are nominal types like class (the TS/go/
+# rust grammars already treat their equivalents as class-kind) — and
+# member prototypes inside an interface body need the interface as
+# their owner, not whatever class happened to precede it.  `record` in
+# particular MUST be a declaration: its header (`record Point(int x)`)
+# fits the call shape, so an unrecognized record leaked a phantom call.
+# sealed/non-sealed are class-only modifiers (Java 17).  `@interface`
+# (annotation decl) cannot match: '@' breaks the anchor.
+_JAVA_CLASS_MODS = (
+    r"(?:(?:public|protected|private|abstract|final|static|sealed"
+    r"|non-sealed|strictfp)\s+)*"
+)
 _JAVA_CLASS = re.compile(
-    r"^\s*(?:(?:public|protected|private|abstract|final|static)\s+)*"
-    r"(?:class|interface|enum)\s+(\w+)",
+    r"^\s*" + _JAVA_CLASS_MODS + r"(?:class|interface|enum|record)\s+(\w+)",
     re.M,
 )
 # full modifier set, matching _JAVA_CLASS plus the method-only ones — with
@@ -329,7 +335,7 @@ _JAVA_PROTO = re.compile(r"^[ \t]+" + _JAVA_SIG + r";", re.M)
 _JAVA_DECL_UPDATE = re.compile(r"[ \t]+" + _JAVA_SIG + r"\{")
 _JAVA_DECL_SKIP = re.compile(
     r"[ \t]*(?:import\b|package\b|@\w+"
-    r"|" + _JAVA_MODS + r"(?:class|interface|enum)\b)"
+    r"|" + _JAVA_CLASS_MODS + r"(?:class|interface|enum|record)\b)"
     r"|[ \t]+" + _JAVA_SIG + r";"
 )
 
@@ -524,7 +530,13 @@ _RUST_TRAIT_OWNER = re.compile(
 _RUST_DECL_UPDATE = re.compile(
     r"\s*(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
     r'(?:extern\s+"[^"]*"\s+)?fn\s+(\w+)'
+    # macro definitions own their body's expansion-time calls
+    r"|\s*macro_rules!\s+(\w+)"
 )
+# a macro definition is a declaration a reader inventories (function
+# kind — it is callable, `name!(…)`); the `!` keeps USE sites out of
+# the _CALL stream, so only the definition needs a grammar rule
+_RUST_MACRO = re.compile(r"^\s*macro_rules!\s+(\w+)", re.M)
 _RUST_DECL_SKIP = re.compile(r"\s*(?:pub\b|use\b|impl\b|struct\b|enum\b|trait\b|mod\b)")
 # Some/Ok/Err/None are enum-variant constructors, not call sites a KG wants;
 # macros (println! / vec!) self-exclude — `!` breaks the _CALL shape
@@ -830,6 +842,10 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
         for m in _RUST_TYPE.finditer(text):
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        for m in _RUST_MACRO.finditer(text):
+            decls.append(
+                (m.start(), {"kind": "function", "name": m.group(1), "owner": ""})
+            )
         impl_spans = sorted(
             [(m.start(), m.group(1)) for m in _RUST_IMPL.finditer(text)]
             + [(m.start(), m.group(1)) for m in _RUST_TRAIT_OWNER.finditer(text)]

@@ -37,3 +37,6 @@ abstract class Store {
 interface Sink {
     <T> void accept(T row);
 }
+
+record TaskRow(String title, boolean done) {
+}

@@ -74,6 +74,7 @@ LABELS = {
         ("callable", "persist"),         # abstract prototype: expected miss
         ("callable", "flush"),
         ("callable", "accept"),          # generic interface member
+        ("type", "TaskRow"),             # record — compact call-shaped header
     },
     "native/graph.rs": {
         ("import", "std"),
@@ -81,6 +82,7 @@ LABELS = {
         ("callable", "new"), ("callable", "add_edge"), ("callable", "degree"),
         ("callable", "fmt"), ("callable", "components"),
         ("callable", "visit"),  # trait method signature — a declaration
+        ("callable", "trace_edge"),      # macro_rules! definition
     },
     "native/pool.c": {
         ("import", "stdlib"), ("import", "string"), ("import", "pool"),

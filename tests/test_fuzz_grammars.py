@@ -266,7 +266,14 @@ def _java_src(draw):
             mods = draw(st.sampled_from(
                 ("", "public ", "public final ", "protected abstract ",
                  "private static final ")))
-            kind = draw(st.sampled_from(("class", "interface", "enum")))
+            kind = draw(st.sampled_from(
+                ("class", "interface", "enum", "record", "sealed class")))
+            if kind == "record":
+                # compact record header — fits the call shape, must still
+                # be a decl (and never leak a phantom call)
+                blocks.append(f"{mods}record Cls{i}(int a, int b) {{")
+                blocks.append("}")
+                continue
             blocks.append(f"{mods}{kind} Cls{i} {{")
             for j in range(draw(st.integers(0, 2))):
                 mmods = draw(st.sampled_from(
@@ -301,8 +308,9 @@ def _java_src(draw):
     last_cls = ""
     for ln in blocks:
         mcls = re.match(
-            r"(?:(?:public|protected|private|abstract|final|static)\s+)*"
-            r"(?:class|interface|enum)\s+(\w+)", ln)
+            r"(?:(?:public|protected|private|abstract|final|static"
+            r"|sealed|non-sealed)\s+)*"
+            r"(?:class|interface|enum|record)\s+(\w+)", ln)
         if mcls:
             last_cls = mcls.group(1)
             out_expected.append(("class", last_cls, ""))
@@ -340,12 +348,18 @@ def _rust_src(draw):
             blocks.append("}")
             expected.append(("class", f"Typ{i}", ""))
         elif shape == 2:
-            mods = draw(st.sampled_from(
-                ("", "pub ", "pub async ", "pub(crate) unsafe ",
-                 "const ", 'extern "C" ')))
-            blocks.append(f"{mods}fn fn{i}(x: u64) -> u64 {{")
-            blocks.append("    x")
-            blocks.append("}")
+            if draw(st.booleans()):
+                mods = draw(st.sampled_from(
+                    ("", "pub ", "pub async ", "pub(crate) unsafe ",
+                     "const ", 'extern "C" ')))
+                blocks.append(f"{mods}fn fn{i}(x: u64) -> u64 {{")
+                blocks.append("    x")
+                blocks.append("}")
+            else:
+                # macro definition: function-kind decl, callable as name!()
+                blocks.append(f"macro_rules! fn{i} {{")
+                blocks.append("    ($x:expr) => { $x };")
+                blocks.append("}")
             expected.append(("function", f"fn{i}", ""))
         else:
             tgt = f"Impl{i}"

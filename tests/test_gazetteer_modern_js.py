@@ -562,3 +562,41 @@ def test_python_async_defs_are_declarations():
         ("call", "run", "main"),
         ("call", "Api", "main"),
     }
+
+
+def test_java_records_sealed_classes_and_rust_macros():
+    java = (
+        "public record Point(int x, int y) {\n"   # header fits the call
+        "}\n"                                      # shape: decl, no leak
+        "public sealed class Shape permits Circle {\n"
+        "    public int area() {\n"
+        "        return compute(this);\n"
+        "    }\n"
+        "}\n"
+        "public non-sealed class Circle extends Shape {\n"
+        "}\n"
+    )
+    ms = extract_mentions("java", java)
+    assert {(m["kind"], m["name"], m["owner"]) for m in ms} == {
+        ("class", "Point", ""),
+        ("class", "Shape", ""),
+        ("class", "Circle", ""),
+        ("method", "area", "Shape"),
+        ("call", "compute", "area"),
+    }
+
+    rust = (
+        "macro_rules! log_it {\n"
+        "    ($x:expr) => { emit($x) };\n"  # expansion body: owned call
+        "}\n"
+        "pub async fn serve(port: u16) {\n"
+        "    bind(port);\n"
+        "}\n"
+    )
+    rms = extract_mentions("rust", rust)
+    assert {(m["kind"], m["name"], m["owner"]) for m in rms} == {
+        ("function", "log_it", ""),
+        ("function", "serve", ""),
+        ("call", "emit", "log_it"),
+        ("call", "bind", "serve"),
+    }
