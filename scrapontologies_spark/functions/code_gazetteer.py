@@ -131,7 +131,11 @@ _JS_IMPORT = re.compile(
     r"""(?:\s*,\s*(?:\{[^}]*\}|\*\s+as\s+[\w$]+))?"""
     r"""\s+from\s+['"]([^'"]+)['"]"""
     r"""|import\s+['"]([^'"]+)['"]"""
-    r"""|require\(\s*['"]([^'"]+)['"]\s*\))"""
+    r"""|require\(\s*['"]([^'"]+)['"]\s*\)"""
+    # re-exports (`export {a} from 'm'`, `export * from 'm'`) are module
+    # dependencies exactly like imports — barrel files are nothing else
+    r"""|export\s+(?:\{[^}]*\}|\*(?:\s+as\s+[\w$]+)?)"""
+    r"""\s+from\s+['"]([^'"]+)['"])"""
 )
 _JS_FUNC = re.compile(
     r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?(?:async\s+)?function\s*\*?\s*"
@@ -255,6 +259,12 @@ def _js_module_name(spec: str) -> str:
     return seg if re.fullmatch(r"[\w-]+", seg, re.ASCII) else ""
 
 _GO_IMPORT = re.compile(r'^import\s+"(\w+)"', re.M)
+# gofmt groups imports into one parenthesized block — the DOMINANT form
+# on real go code (`import (\n\t"fmt"\n\tf "net/http"\n)`); entries are
+# one per line, optionally aliased, and the mention name is the path's
+# first segment like the single-line form's
+_GO_IMPORT_OPEN = re.compile(r"^import\s*\(", re.M)
+_GO_IMPORT_ENTRY = re.compile(r'"(\w+)')
 # receiver methods carry their receiver TYPE (`func (s *Srv) Add(…)` →
 # method Add owned by Srv) — the go analog of a class method, so go files
 # contribute has_method containment edges like every other code grammar
@@ -807,6 +817,11 @@ def extract_mentions(
     elif lang == "go":
         for m in _GO_IMPORT.finditer(text):
             out.append({"kind": "import", "name": m.group(1), "owner": ""})
+        for mb in _GO_IMPORT_OPEN.finditer(text):
+            close = text.find(")", mb.end())
+            block = text[mb.end(): close if close != -1 else len(text)]
+            for ml in _GO_IMPORT_ENTRY.finditer(block):
+                out.append({"kind": "import", "name": ml.group(1), "owner": ""})
         for m in _GO_FUNC.finditer(text):
             recv, name = m.group(1), m.group(2)
             kind = "method" if recv else "function"
@@ -894,11 +909,18 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
         fn_spans = []
         for m in _C_FN.finditer(text):
-            indent, qual, name = m.group(1), m.group(2), m.group(3)
+            qual, name = m.group(2), m.group(3)
             if name in _C_CTRL:  # `else if (...) {` fits the def shape
                 continue
             owner = qual or ""
-            if not owner and indent:
+            # member-ness = indent of the NAME's own line, not the match
+            # start: the multi-line type span may begin at a column-0
+            # line (`public:` access specifier, `template <…>` header)
+            # even when the member line itself is indented — the match-
+            # start indent group handed every member after an access
+            # specifier owner '' (found by the round-5 C++ probe batch)
+            ls = text.rfind("\n", 0, m.start(3)) + 1
+            if not owner and text[ls] in " \t":
                 # inline member definition: owner = nearest preceding
                 # class/struct declaration, python/java-style
                 preceding = [c for c in decls if c[1]["kind"] == "class"

@@ -1,7 +1,9 @@
 package svc
 
-import "fmt"
-import "sync"
+import (
+	"fmt"
+	"sync"
+)
 
 type TaskServer struct {
 	mu    sync.Mutex

@@ -2,6 +2,8 @@ import {Router} from '@tiny/http';
 import type {Task} from './model.ts';
 import * as store from './store.ts';
 
+export {TaskFilter} from './filters.ts';
+
 export interface ApiOptions {
   prefix: string;
   maxBody: number;

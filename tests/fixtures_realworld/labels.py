@@ -43,6 +43,8 @@ LABELS = {
     },
     "web/api.ts": {
         ("import", "tiny"), ("import", "model"), ("import", "store"),
+        ("import", "filters"),           # barrel re-export — a dependency
+
         ("type", "ApiOptions"), ("type", "Handler"), ("type", "Status"),
         ("type", "TaskApi"),
         ("callable", "routes"),

@@ -132,7 +132,12 @@ def _javascript_src(draw):
             blocks.append(f"import type {{T{i}}} from 'types{i}';")
             expected.append(("import", f"types{i}", ""))
         elif shape == 5:
-            blocks.append(f"const m{i} = require('req{i}');")
+            form = draw(st.sampled_from((
+                f"const m{i} = require('req{i}');",
+                f"export {{a{i}}} from 'req{i}';",
+                f"export * from 'req{i}';",
+            )))
+            blocks.append(form)
             expected.append(("import", f"req{i}", ""))
         elif shape == 6:
             kw = draw(st.sampled_from(
@@ -224,8 +229,17 @@ def _go_src(draw):
             # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 3))
         if shape == 0:
-            blocks.append(f'import "pkg{i}"')
-            expected.append(("import", f"pkg{i}", ""))
+            if draw(st.booleans()):
+                blocks.append(f'import "pkg{i}"')
+                expected.append(("import", f"pkg{i}", ""))
+            else:
+                # gofmt grouped block, optionally aliased entries
+                blocks.append("import (")
+                for j in range(draw(st.integers(1, 2))):
+                    alias = draw(st.sampled_from(("", "alias ", "_ ")))
+                    blocks.append(f'    {alias}"grp{i}_{j}/sub"')
+                    expected.append(("import", f"grp{i}_{j}", ""))
+                blocks.append(")")
         elif shape == 1:
             recv = draw(st.sampled_from(("", f"(s *Srv{i}) ", f"(s Srv{i}) ")))
             # plain funcs may take go 1.18 type parameters; receiver
@@ -424,6 +438,13 @@ def _c_src(draw):
             kw = draw(st.sampled_from(("struct", "class")))
             suffix = draw(st.sampled_from((" {", " : public Base {")))
             blocks.append(f"{kw} Typ{i}{suffix}")
+            if draw(st.booleans()):
+                # inline member after an access specifier: the column-0
+                # `public:` line must not strip the member's owner
+                blocks.append("public:")
+                blocks.append(f"    void memb{i}(int v) {{")
+                blocks.append("    }")
+                expected.append(("method", f"memb{i}", f"Typ{i}"))
             blocks.append("};")
             expected.append(("class", f"Typ{i}", ""))
         elif shape == 2:

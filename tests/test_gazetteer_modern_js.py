@@ -600,3 +600,44 @@ def test_java_records_sealed_classes_and_rust_macros():
         ("call", "emit", "log_it"),
         ("call", "bind", "serve"),
     }
+
+
+def test_go_grouped_imports_js_reexports_cpp_member_owner():
+    # gofmt grouped import blocks (the dominant form), aliased and blank
+    go = (
+        "import (\n"
+        '    "fmt"\n'
+        '    f "net/http"\n'
+        '    _ "embed"\n'
+        ")\n"
+    )
+    assert [(m["kind"], m["name"]) for m in extract_mentions("go", go)] == [
+        ("import", "fmt"),
+        ("import", "net"),
+        ("import", "embed"),
+    ]
+
+    # barrel re-exports are module dependencies like imports
+    js = "export {a, b} from './helpers.js';\nexport * from '@scope/lib';\n"
+    assert [(m["kind"], m["name"]) for m in extract_mentions("javascript", js)] == [
+        ("import", "helpers"),
+        ("import", "scope"),
+    ]
+
+    # a column-0 access specifier between class header and member must
+    # not strip the member's owner (the _C_FN type span may start there)
+    cpp = (
+        "class Socket : public Base {\n"
+        "public:\n"
+        "    void open(int port) {\n"
+        "        bind_to(port);\n"
+        "    }\n"
+        "};\n"
+    )
+    ms = extract_mentions("c", cpp)
+    assert ("method", "open", "Socket") in {
+        (m["kind"], m["name"], m["owner"]) for m in ms
+    }
+    assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
+        ("bind_to", "open"),
+    ]
