@@ -84,7 +84,13 @@ _KEYWORDS = {
 }
 
 _PY_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
-_PY_FROM = re.compile(r"^from\s+(\w+)\s+import", re.M)
+# first NAMED segment, tolerating dotted paths and relative-import dots
+# (`from collections.abc import`, `from .models import`, `from
+# ..common.utils import` → collections / models / common) — the plain
+# `(\w+)\s+import` form matched none of those, so every dotted or
+# intra-package dependency was invisible.  `from . import x` stays out:
+# it has no named segment before `import`.
+_PY_FROM = re.compile(r"^from\s+\.*(\w+)[\w.]*\s+import", re.M)
 # [ \t]*, NOT \s*, for every owner-determining indent capture (also rust/
 # ruby/c fn and the java method anchor): \s matches newlines, so with re.M
 # the match could start at the BLANK LINE above a column-0 declaration,
@@ -514,6 +520,11 @@ _RUST_USE = re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?use\s+(\w+)", re.M)
 _RUST_TYPE = re.compile(
     r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait)\s+(\w+)", re.M
 )
+# modules are nominal containers (class kind), same as the ruby grammar's
+# `module` — both the `mod name;` file form and the inline `mod name {`
+_RUST_MOD = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?mod\s+(\w+)", re.M
+)
 _RUST_FN = re.compile(
     r"^([ \t]*)(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
     r'(?:extern\s+"[^"]*"\s+)?fn\s+(\w+)',
@@ -860,6 +871,10 @@ def extract_mentions(
         for m in _RUST_MACRO.finditer(text):
             decls.append(
                 (m.start(), {"kind": "function", "name": m.group(1), "owner": ""})
+            )
+        for m in _RUST_MOD.finditer(text):
+            decls.append(
+                (m.start(), {"kind": "class", "name": m.group(1), "owner": ""})
             )
         impl_spans = sorted(
             [(m.start(), m.group(1)) for m in _RUST_IMPL.finditer(text)]

@@ -84,7 +84,13 @@ def _python_src(draw):
             blocks.append(f"import mod{i}")
             expected.append(("import", f"mod{i}", ""))
         elif shape == 1:
-            blocks.append(f"from pkg{i} import thing")
+            form = draw(st.sampled_from((
+                f"from pkg{i} import thing",
+                f"from pkg{i}.sub.deep import thing",   # dotted path
+                f"from .pkg{i} import thing",            # relative
+                f"from ..pkg{i}.util import thing",
+            )))
+            blocks.append(form)
             expected.append(("import", f"pkg{i}", ""))
         elif shape == 2:
             base = draw(st.booleans())
@@ -357,7 +363,7 @@ def _rust_src(draw):
             expected.append(("import", f"crate{i}", ""))
         elif shape == 1:
             vis = draw(st.sampled_from(("", "pub ")))
-            kw = draw(st.sampled_from(("struct", "enum", "trait")))
+            kw = draw(st.sampled_from(("struct", "enum", "trait", "mod")))
             blocks.append(f"{vis}{kw} Typ{i} {{")
             blocks.append("}")
             expected.append(("class", f"Typ{i}", ""))

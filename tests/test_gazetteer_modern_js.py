@@ -641,3 +641,30 @@ def test_go_grouped_imports_js_reexports_cpp_member_owner():
     assert [(m["name"], m["owner"]) for m in ms if m["kind"] == "call"] == [
         ("bind_to", "open"),
     ]
+
+
+def test_python_dotted_and_relative_from_imports_and_rust_mod():
+    # `from collections.abc import` / `from .models import` — the plain
+    # (\w+)\s+import form matched NEITHER, so every dotted or
+    # intra-package dependency was invisible
+    py = (
+        "from collections.abc import Mapping\n"
+        "from .models import Task\n"
+        "from ..common.utils import helper\n"
+        "from . import sibling\n"   # no named segment: no mention
+        "from os import path\n"
+    )
+    assert [(m["kind"], m["name"]) for m in extract_mentions("python", py)] == [
+        ("import", "collections"),
+        ("import", "models"),
+        ("import", "common"),
+        ("import", "os"),
+    ]
+
+    rust = "pub mod handlers;\n\nmod util {\n    pub fn fix(x: u8) -> u8 { x }\n}\n"
+    ms = extract_mentions("rust", rust)
+    assert {(m["kind"], m["name"]) for m in ms} == {
+        ("class", "handlers"),
+        ("class", "util"),
+        ("function", "fix"),
+    }
