@@ -293,7 +293,9 @@ _GO_TYPE = re.compile(
     r"^type\s+(\w+)(?:\[[^\]]*\])?\s+(?:struct|interface)", re.M
 )
 
-_JAVA_IMPORT = re.compile(r"^import\s+(\w+)", re.M)
+# `import static java.util.Arrays.asList;` must name `java`, not mint a
+# phantom module called "static"
+_JAVA_IMPORT = re.compile(r"^import\s+(?:static\s+)?(\w+)", re.M)
 # Stacked modifiers ('public final class', 'protected abstract class', …)
 # are one alternation with *, same as _JAVA_METHOD — a single optional
 # modifier missed 'public final class Foo' entirely.

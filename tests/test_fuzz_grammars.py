@@ -281,7 +281,8 @@ def _java_src(draw):
             # for the \\s*-crosses-newline indent-capture bug
         shape = draw(st.integers(0, 2))
         if shape == 0:
-            blocks.append(f"import seg{i}.util.Thing;")
+            stat = draw(st.sampled_from(("", "static ")))
+            blocks.append(f"import {stat}seg{i}.util.Thing;")
         elif shape == 1:
             mods = draw(st.sampled_from(
                 ("", "public ", "public final ", "protected abstract ",
@@ -335,7 +336,7 @@ def _java_src(draw):
             last_cls = mcls.group(1)
             out_expected.append(("class", last_cls, ""))
             continue
-        mimp = re.match(r"import\s+(\w+)", ln)
+        mimp = re.match(r"import\s+(?:static\s+)?(\w+)", ln)
         if mimp:
             out_expected.append(("import", mimp.group(1), ""))
             continue

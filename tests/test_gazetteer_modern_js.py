@@ -668,3 +668,8 @@ def test_python_dotted_and_relative_from_imports_and_rust_mod():
         ("class", "util"),
         ("function", "fix"),
     }
+
+
+def test_java_static_import_names_the_package():
+    ms = extract_mentions("java", "import static java.util.Arrays.asList;\n")
+    assert [(m["kind"], m["name"]) for m in ms] == [("import", "java")]
