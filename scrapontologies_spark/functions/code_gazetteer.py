@@ -106,6 +106,14 @@ _PY_DEF = re.compile(
     r"^([ \t]*)(?:async[ \t]+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\(", re.M
 )
 _PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
+# a lambda assigned to a plain name declares a callable the way `def`
+# does (`f = lambda x: x + 1`); indented under a column-0 class it is a
+# method like its def twin.  The name must sit directly at the indent —
+# attribute targets (`self.f = lambda …`, `cfg.k = lambda …`) and dict
+# values stay out because '.'/quote breaks the anchor.  A REASSIGNMENT
+# inside a function body also fits — counted as a (re)declaration, the
+# same envelope as the JS class-field arrow.
+_PY_LAMBDA = re.compile(r"^([ \t]*)(\w+)\s*=\s*lambda\b", re.M)
 
 # --- JavaScript / TypeScript --------------------------------------------
 # Modern module shapes (the round-4 verdict's recall gap: on a real repo
@@ -151,9 +159,24 @@ _JS_FUNC = re.compile(
 _JS_CLASS = re.compile(
     r"^\s*" + _JS_EXPORT + r"(?:abstract\s+)?class\s+(\w+)", re.M
 )
+# an arrow's param list may carry a TS return-type annotation before the
+# `=>` (`export const useThing = (): Thing => {` — the dominant React-hook
+# declarator); without the optional annotation every typed arrow was
+# invisible (round-5 wave-4 shape probe)
+_JS_RET_ANN = r"(?::\s*[\w$<>\[\],. |&]+)?"
 _JS_ARROW = re.compile(
     r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
-    r"(?:\([^)]*\)|[\w$]+)\s*=>",
+    r"(?:\([^)]*\)\s*" + _JS_RET_ANN + r"|[\w$]+)\s*=>",
+    re.M,
+)
+# CommonJS export assignments declare module members exactly like `export
+# function` does in ESM (`exports.helper = function (x) {`,
+# `module.exports.run = async () => {`) — the dominant Node/CJS shape;
+# `module.exports = { run }` (object of existing bindings) is NOT a
+# declaration and stays out by requiring the `.name` member access
+_JS_EXPORTS_ASSIGN = re.compile(
+    r"^\s*(?:module\.)?exports\.(\w+)\s*=\s*(?:async\s+)?"
+    r"(?:function\b|(?:\([^()]*\)\s*" + _JS_RET_ANN + r"|[\w$]+)\s*=>)",
     re.M,
 )
 _JS_FUNC_EXPR = re.compile(
@@ -192,7 +215,8 @@ _JS_METHOD = re.compile(
 _JS_FIELD_ARROW = re.compile(
     r"^([ \t]+)(?:(?:public|private|protected|static|readonly"
     r"|override)\s+)*"
-    r"(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>",
+    r"(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
+    + r"|[\w$]+)\s*=>",
     re.M,
 )
 _JS_METHOD_SKIP = frozenset({
@@ -205,7 +229,13 @@ _JS_METHOD_SKIP = frozenset({
 # keyword inside other contexts can't fire.
 _TS_NOMINAL = re.compile(
     r"^\s*" + _JS_EXPORT + r"(?:declare\s+)?"
-    r"(?:(?:const\s+)?enum\s+(\w+)|interface\s+(\w+)|type\s+(\w+)\s*=)",
+    r"(?:(?:const\s+)?enum\s+(\w+)|interface\s+(\w+)|type\s+(\w+)\s*="
+    # TS namespaces (and the legacy `module Geo {` spelling) are nominal
+    # containers like rust `mod`; the `{` is required so `module.exports`
+    # and ambient `declare module 'spec'` (quoted name) can never fire.
+    # Dotted names (`namespace A.B.C {`) are one mention, full path —
+    # join-safe, same [\w.]+ shape as config keys and java imports.
+    r"|(?:namespace|module)\s+([\w.]+)\s*\{)",
     re.M,
 )
 # owner tracking for the call stream: any declarator that _calls_tracked
@@ -220,7 +250,11 @@ _JS_DECL_UPDATE = re.compile(
     r"(?:(?:declare\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*"
     r"(?:" + _TYPE_PARAMS + r")?\s*\("
     r"|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
-    r"(?:function\b|(?:\([^)]*\)|[\w$]+)\s*=>)"
+    r"(?:function\b|(?:\([^)]*\)\s*" + _JS_RET_ANN + r"|[\w$]+)\s*=>)"
+    # CommonJS export assignment owns its body's calls like the
+    # const-arrow twin above (mirror of _JS_EXPORTS_ASSIGN)
+    r"|(?:module\.)?exports\.(\w+)\s*=\s*(?:async\s+)?"
+    r"(?:function\b|(?:\([^()]*\)\s*" + _JS_RET_ANN + r"|[\w$]+)\s*=>)"
     # class-body method definitions and class-field arrows own their
     # body's calls (same modifier prefix + keyword lookahead for both)
     r"|(?:(?:public|private|protected|static|async|get|set|readonly"
@@ -228,7 +262,8 @@ _JS_DECL_UPDATE = re.compile(
     r"(?!(?:" + _JS_SKIP_ALT + r")\b)"
     r"(?:(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\([^()]*\)\s*"
     r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{"
-    r"|(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)|[\w$]+)\s*=>))"
+    r"|(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
+    + r"|[\w$]+)\s*=>))"
 )
 # no calls from import/type/interface/enum/class header lines — `extends
 # Mixin(Base)` and `import('mod')` shapes would otherwise leak call rows.
@@ -283,15 +318,25 @@ _GO_FUNC = re.compile(
     r"^func\s+(?:\(\s*\w+\s+\*?(\w+)[^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\(",
     re.M,
 )
-# struct AND interface are both nominal types (class kind).  Interface
-# METHOD-SET lines (`Add(x int) int` inside the body) remain a declared
-# call-stream envelope gap: they are shape-identical to go call
-# statements on a line basis, so a stateless skip would eat real calls.
-# the optional [...] admits generic type declarations
-# (`type Stack[T any] struct`)
+# EVERY `type` line declares a nominal type (class kind): structs,
+# interfaces, defined types (`type Celsius float64`), aliases
+# (`type MyInt = int`) and function types (`type Handler func(w, r)`) —
+# the old struct|interface restriction silently dropped the other three
+# (round-5 wave-4 shape probe).  Interface METHOD-SET lines (`Add(x int)
+# int` inside the body) remain a declared call-stream envelope gap: they
+# are shape-identical to go call statements on a line basis, so a
+# stateless skip would eat real calls.  The optional [...] admits generic
+# type declarations (`type Stack[T any] struct`).
 _GO_TYPE = re.compile(
-    r"^type\s+(\w+)(?:\[[^\]]*\])?\s+(?:struct|interface)", re.M
+    r"^type\s+(\w+)(?:\[[^\]]*\])?\s+=?\s*\S", re.M
 )
+# grouped form: `type ( A struct{…} \n B = int \n )` — same
+# block-scan as the grouped import, one class mention per entry line
+_GO_TYPE_OPEN = re.compile(r"^type\s*\(", re.M)
+_GO_TYPE_ENTRY = re.compile(
+    r"^[ \t]+(\w+)(?:\[[^\]]*\])?\s+=?\s*\S", re.M
+)
+_GO_PAREN_CLOSE = re.compile(r"^\)", re.M)
 
 # `import static java.util.Arrays.asList;` must name `java`, not mint a
 # phantom module called "static"
@@ -306,13 +351,16 @@ _JAVA_IMPORT = re.compile(r"^import\s+(?:static\s+)?(\w+)", re.M)
 # particular MUST be a declaration: its header (`record Point(int x)`)
 # fits the call shape, so an unrecognized record leaked a phantom call.
 # sealed/non-sealed are class-only modifiers (Java 17).  `@interface`
-# (annotation decl) cannot match: '@' breaks the anchor.
+# (annotation-type decl) is a nominal type like the rest — the optional
+# '@' admits it; a USE-site annotation (`@Override`) still cannot fire
+# because the annotation name is not followed by a declared identifier
+# in the `(?:class|…)\s+(\w+)` tail.
 _JAVA_CLASS_MODS = (
     r"(?:(?:public|protected|private|abstract|final|static|sealed"
     r"|non-sealed|strictfp)\s+)*"
 )
 _JAVA_CLASS = re.compile(
-    r"^\s*" + _JAVA_CLASS_MODS + r"(?:class|interface|enum|record)\s+(\w+)",
+    r"^\s*" + _JAVA_CLASS_MODS + r"(?:class|@?interface|enum|record)\s+(\w+)",
     re.M,
 )
 # full modifier set, matching _JAVA_CLASS plus the method-only ones — with
@@ -340,21 +388,30 @@ _JAVA_STMT = (
 # failure mode as the generic-return-type gap the realistic-fixture P/R
 # run closed) — the clause applies to _JAVA_METHOD, _JAVA_PROTO and both
 # call-stream twins because all four are built from this one signature
+# the optional `throws` clause: without it EVERY throwing method —
+# most of real-world Java I/O code — was invisible and leaked its name
+# into the call stream (round-5 wave-4 shape probe).  [\w.,\s]* cannot
+# contain '{' or ';', so the terminator stays unambiguous.
 _JAVA_SIG = (
     _JAVA_MODS + _JAVA_STMT + r"(?:" + _TYPE_PARAMS + r"\s+)?"
     r"\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
+    r"(?:throws\s+[\w.,\s]*)?"
 )
 _JAVA_METHOD = re.compile(r"^[ \t]+" + _JAVA_SIG + r"\{", re.M)
 # abstract/interface method prototypes end in ';' — declarations a reader
 # inventories (and that previously leaked their name into the call
 # stream); a call statement can't match: it has no type token + separator
 # before the name, and locals with initializers have '=' in between.
-_JAVA_PROTO = re.compile(r"^[ \t]+" + _JAVA_SIG + r";", re.M)
+# annotation members may carry a `default <constant>` tail
+# (`int attempts() default 3;`).
+_JAVA_PROTO = re.compile(
+    r"^[ \t]+" + _JAVA_SIG + r"(?:default\s+[^;{]*)?;", re.M
+)
 _JAVA_DECL_UPDATE = re.compile(r"[ \t]+" + _JAVA_SIG + r"\{")
 _JAVA_DECL_SKIP = re.compile(
     r"[ \t]*(?:import\b|package\b|@\w+"
-    r"|" + _JAVA_CLASS_MODS + r"(?:class|interface|enum|record)\b)"
-    r"|[ \t]+" + _JAVA_SIG + r";"
+    r"|" + _JAVA_CLASS_MODS + r"(?:class|@?interface|enum|record)\b)"
+    r"|[ \t]+" + _JAVA_SIG + r"(?:default\s+[^;{]*)?;"
 )
 
 _CALL = re.compile(r"(?<![\w.])(\w+)\s*\(")
@@ -590,7 +647,27 @@ _RB_KEYWORDS = frozenset({"puts", "require", "raise", "lambda", "proc", "new",
 # (Foo::bar) is a method with owner Foo.  Control keywords self-exclude:
 # 'if (' / 'while (' have no second identifier before the paren.
 _C_INCLUDE = re.compile(r'^\s*#\s*include\s+[<"]([\w./-]+)[>"]', re.M)
-_C_CLASS = re.compile(r"^\s*(?:class|struct)\s+(\w+)\s*[:{]", re.M)
+# class/struct/union/enum (incl. C++11 `enum class Color : int {`) are all
+# nominal type declarations; the optional typedef prefix admits the named
+# C form `typedef struct Tag { … } Alias;` (mention = Tag).  The `[:{]`
+# requirement keeps forward declarations (`struct Point;`) and uses in
+# variable declarations (`struct Point p;`) out.
+_C_CLASS = re.compile(
+    r"^\s*(?:typedef\s+)?"
+    r"(?:class|struct|union|enum(?:\s+(?:class|struct))?)\s+(\w+)\s*[:{]",
+    re.M,
+)
+# a typedef'd body (`typedef struct { … } Point;` or `typedef struct
+# tag { … } tag_t;`) carries the ALIAS after the closing brace: find the
+# matching brace with a linear counter (regexes can't balance), then
+# take the `name;` tail.  The anonymous form's alias is its only name;
+# the named form yields tag (via _C_CLASS) AND alias — both are usable
+# type names a reader inventories.  A body the chunk boundary split is
+# skipped — declared envelope, same as every other cross-chunk container.
+_C_TYPEDEF = re.compile(
+    r"^[ \t]*typedef\s+(?:struct|union|enum)(?:\s+\w+)?\s*\{", re.M
+)
+_C_TYPEDEF_TAIL = re.compile(r"\s*(\w+)\s*;")
 # leading whitespace allowed: inline member-function definitions inside a
 # class body ('    void f() { g(); }') are the norm in C++ headers — an
 # indent-rejected definition would leak its name (and body calls) into the
@@ -636,7 +713,12 @@ _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
 # declarations the mention pass does
 _ANY_DECL = re.compile(
     r"(?:(\s*)(?:async\s+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\("
-    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\()"
+    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\("
+    # lambda declarators own their (same-line) body's calls like a def;
+    # a paren-free lambda line never reaches this probe (the '(' gate
+    # skips it) — current-owner then stays put, which matches the
+    # extractor's no-dedent-tracking envelope for module-level code
+    r"|[ \t]*(\w+)\s*=\s*lambda\b)"
 )
 
 # --- config-file grammars (json / yaml / toml) and shell -------------------
@@ -778,15 +860,18 @@ def extract_mentions(
         )
         for start, name in class_spans:
             decls.append((start, {"kind": "class", "name": name, "owner": ""}))
-        for m in _PY_DEF.finditer(text):
-            indent, name = m.group(1), m.group(2)
-            owner = ""
-            if indent:
-                preceding = [c for c in class_spans if c[0] < m.start()]
-                if preceding:
-                    owner = preceding[-1][1]
-            kind = "method" if owner else "function"
-            decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
+        for pat in (_PY_DEF, _PY_LAMBDA):
+            for m in pat.finditer(text):
+                indent, name = m.group(1), m.group(2)
+                owner = ""
+                if indent:
+                    preceding = [c for c in class_spans if c[0] < m.start()]
+                    if preceding:
+                        owner = preceding[-1][1]
+                kind = "method" if owner else "function"
+                decls.append(
+                    (m.start(), {"kind": kind, "name": name, "owner": owner})
+                )
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(_calls(text))
     elif lang == "javascript":
@@ -795,7 +880,7 @@ def extract_mentions(
             name = _js_module_name(m.group(m.lastindex))
             if name:
                 decls.append((m.start(), {"kind": "import", "name": name, "owner": ""}))
-        for pat in (_JS_FUNC, _JS_ARROW, _JS_FUNC_EXPR):
+        for pat in (_JS_FUNC, _JS_ARROW, _JS_FUNC_EXPR, _JS_EXPORTS_ASSIGN):
             for m in pat.finditer(text):
                 decls.append(
                     (m.start(), {"kind": "function", "name": m.group(1), "owner": ""})
@@ -841,6 +926,22 @@ def extract_mentions(
             out.append({"kind": kind, "name": name, "owner": recv or ""})
         for m in _GO_TYPE.finditer(text):
             out.append({"kind": "class", "name": m.group(1), "owner": ""})
+        for mb in _GO_TYPE_OPEN.finditer(text):
+            closem = _GO_PAREN_CLOSE.search(text, mb.end())
+            block = text[mb.end(): closem.start() if closem else len(text)]
+            # only depth-0 lines are entries — a struct FIELD line inside
+            # the block (`\t\tX int`) fits the entry shape but is not a
+            # type declaration (brace counting is line-based; braces in
+            # string literals are the shared envelope)
+            depth = 0
+            for line in block.split("\n"):
+                if depth == 0:
+                    ml = _GO_TYPE_ENTRY.match(line)
+                    if ml:
+                        out.append(
+                            {"kind": "class", "name": ml.group(1), "owner": ""}
+                        )
+                depth = max(0, depth + line.count("{") - line.count("}"))
         out.extend(_calls(text))
     elif lang == "java":
         for m in _JAVA_IMPORT.finditer(text):
@@ -924,6 +1025,22 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "import", "name": stem, "owner": ""}))
         for m in _C_CLASS.finditer(text):
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        for m in _C_TYPEDEF.finditer(text):
+            depth, i, n = 1, m.end(), len(text)
+            while i < n and depth:
+                c = text[i]
+                if c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+                i += 1
+            if depth == 0:
+                tail = _C_TYPEDEF_TAIL.match(text, i)
+                if tail:
+                    decls.append(
+                        (m.start(),
+                         {"kind": "class", "name": tail.group(1), "owner": ""})
+                    )
         fn_spans = []
         for m in _C_FN.finditer(text):
             qual, name = m.group(2), m.group(3)

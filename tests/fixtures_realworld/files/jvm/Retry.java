@@ -1,0 +1,21 @@
+package jvm;
+
+import java.lang.annotation.ElementType;
+import java.lang.annotation.Retention;
+import java.lang.annotation.RetentionPolicy;
+import java.lang.annotation.Target;
+
+/** Annotation type plus its processor — the wave-4 @interface shape. */
+@Retention(RetentionPolicy.RUNTIME)
+@Target(ElementType.METHOD)
+public @interface Retry {
+    int attempts() default 3;
+
+    long backoffMillis() default 100L;
+}
+
+class RetryProcessor {
+    static int resolveAttempts(Retry r) {
+        return Math.max(1, r.attempts());
+    }
+}

@@ -1,0 +1,35 @@
+/* Public header: the C type-declaration shapes beyond class/struct —
+ * typedef'd anonymous structs/enums, unions, and C++11 scoped enums. */
+#ifndef SHAPES_H
+#define SHAPES_H
+
+#include <stddef.h>
+#include "pool.h"
+
+typedef struct {
+    double x;
+    double y;
+} vec2_t;
+
+typedef enum {
+    SHAPE_OK,
+    SHAPE_ERR,
+} shape_status_t;
+
+union scalar {
+    long   i;
+    double f;
+};
+
+enum class Winding : int { CW, CCW };
+
+typedef struct shape_node {
+    vec2_t pos;
+    struct shape_node *next;
+} shape_node_t;
+
+/* prototypes — declarations, not call sites */
+shape_status_t shape_area(const vec2_t *pts, size_t n, double *out);
+void shape_free(struct shape_node *head);
+
+#endif

@@ -123,6 +123,60 @@ LABELS = {
         ("type", "dependencies"),
         ("callable", "build"), ("callable", "test"), ("callable", "router"),
     },
+    # --- round-5 wave-4 shape files -------------------------------------
+    "web/hooks.ts": {
+        ("import", "react"), ("import", "model"),
+        ("type", "PollOptions"), ("type", "Compat"),   # TS namespace
+        ("callable", "useTasks"),        # typed arrow `= (): Task[] =>`
+        ("callable", "usePoll"),
+        ("callable", "wrap"),
+        ("callable", "reportMetric"),    # ambient `declare function`
+        ("callable", "fetchTasks"),      # typed async arrow
+    },
+    "web/legacy.cjs": {
+        ("import", "path"), ("import", "store"),
+        ("callable", "loadConfig"),      # exports.name = function
+        ("callable", "merge"),           # exports.name = arrow
+        ("callable", "watch"),           # module.exports.name = async arrow
+        # `module.exports = {…}` re-exports existing bindings — not a decl
+    },
+    "native/shapes.h": {
+        ("import", "stddef"), ("import", "pool"),
+        ("type", "vec2_t"),              # anonymous typedef struct
+        ("type", "shape_status_t"),      # anonymous typedef enum
+        ("type", "scalar"),              # union
+        ("type", "Winding"),             # C++11 enum class
+        ("type", "shape_node"), ("type", "shape_node_t"),  # tag + alias
+        # shape_area / shape_free are prototypes, not definitions — not
+        # labeled, same convention as pool.c's pool_free
+    },
+    "svc/models.go": {
+        ("import", "time"),
+        # grouped `type (…)` block entries
+        ("type", "Task"), ("type", "Event"), ("type", "Clock"),
+        ("type", "Priority"), ("type", "TaskID"),
+        # single-line defined types beyond struct/interface
+        ("type", "Duration"), ("type", "Middleware"),
+        ("callable", "Overdue"), ("callable", "NewTask"),
+        # Clock's method-set line (Now) is the declared call-stream
+        # envelope — not a callable label, same as server.go's Persist
+    },
+    "jvm/Retry.java": {
+        ("import", "java"),
+        ("type", "Retry"),               # @interface annotation type
+        ("type", "RetryProcessor"),
+        ("callable", "attempts"),        # member with `default` tail
+        ("callable", "backoffMillis"),
+        ("callable", "resolveAttempts"),
+    },
+    "src/rules.py": {
+        ("import", "re"),
+        ("type", "RuleSet"),
+        ("callable", "is_urgent"),       # lambda declarator
+        ("callable", "normalize"),
+        ("callable", "default_key"),     # class-body lambda → method
+        ("callable", "apply"), ("callable", "combined"),
+    },
 }
 
 # owner spot-checks for matched callables
@@ -148,4 +202,12 @@ OWNERS = {
                    "respond": "", "withRetry": ""},
     "native/pool.c": {"align_up": "", "pool_new": "", "pool_alloc": "",
                       "pool_reset": ""},
+    # round-5 wave-4 owner checks
+    "web/legacy.cjs": {"loadConfig": "", "merge": "", "watch": ""},
+    "svc/models.go": {"Overdue": "Task", "NewTask": ""},
+    "jvm/Retry.java": {"attempts": "Retry", "backoffMillis": "Retry",
+                       "resolveAttempts": "RetryProcessor"},
+    "src/rules.py": {"is_urgent": "", "normalize": "",
+                     "default_key": "RuleSet", "apply": "RuleSet",
+                     "combined": ""},
 }
