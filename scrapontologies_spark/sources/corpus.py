@@ -56,6 +56,11 @@ def _gen_python(rng: random.Random) -> str:
         lines.append("")
     for _ in range(rng.randint(1, 5)):
         f = rng.randrange(N_FUNCS)
+        if rng.random() < 0.15:
+            # lambda declarator (fourth round-5 wave)
+            lines.append(f"fn_{f} = lambda x: fn_{rng.randrange(N_FUNCS)}(x)")
+            lines.append("")
+            continue
         lines.append(f"def fn_{f}(x):")
         for _ in range(rng.randint(1, 3)):
             lines.append(f"    y = fn_{rng.randrange(N_FUNCS)}(x)")
@@ -101,16 +106,27 @@ def _gen_javascript(rng: random.Random) -> str:
     for _ in range(rng.randint(1, 4)):
         f = rng.randrange(N_FUNCS)
         style = rng.random()
-        if style < 0.4:
+        if style < 0.3:
             lines.append(f"function fn_{f}(x) {{")
             lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
             lines.append("}")
-        elif style < 0.7:
+        elif style < 0.55:
             lines.append(f"export function fn_{f}(x) {{")
             lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
             lines.append("}")
-        else:
+        elif style < 0.75:
             lines.append(f"export const fn_{f} = (x) => {{")
+            lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("};")
+        elif style < 0.9:
+            # typed arrow declarator (fourth round-5 wave)
+            lines.append(f"export const fn_{f} = (x: number): Res<T> => {{")
+            lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("};")
+        else:
+            # CommonJS export assignment (fourth round-5 wave)
+            head = rng.choice(("exports", "module.exports"))
+            lines.append(f"{head}.fn_{f} = function (x) {{")
             lines.append(f"  return fn_{rng.randrange(N_FUNCS)}(x);")
             lines.append("};")
     if rng.random() < 0.5:
@@ -149,7 +165,18 @@ def _gen_go(rng: random.Random) -> str:
         lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(x)")
         lines.append("}")
     if rng.random() < 0.4:
-        lines.append(f"type Cls_{rng.randrange(N_CLASSES)} struct {{}}")
+        style = rng.random()
+        if style < 0.5:
+            lines.append(f"type Cls_{rng.randrange(N_CLASSES)} struct {{}}")
+        elif style < 0.75:
+            # grouped type block (fourth round-5 wave)
+            lines.append("type (")
+            lines.append(f"\tCls_{rng.randrange(N_CLASSES)} struct {{}}")
+            lines.append(f"\tCls_{rng.randrange(N_CLASSES)} = int")
+            lines.append(")")
+        else:
+            # defined type / func type beyond struct|interface
+            lines.append(f"type Cls_{rng.randrange(N_CLASSES)} func(x int) int")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
 
@@ -159,9 +186,17 @@ def _gen_java(rng: random.Random) -> str:
     c = rng.randrange(N_CLASSES)
     # interface/enum are nominal types too (second round-5 wave); their
     # members are prototypes, a class's members mix all the decl shapes
-    kind = rng.choice(("class", "class", "class", "interface", "enum"))
+    kind = rng.choice(("class", "class", "class", "interface", "enum",
+                       "@interface"))
     lines.append(f"{kind} Cls_{c} {{")
-    if kind != "class":
+    if kind == "@interface":
+        # annotation members carry default tails (fourth round-5 wave)
+        for _ in range(rng.randint(1, 2)):
+            lines.append(
+                f"    int fn_{rng.randrange(N_FUNCS)}() default "
+                f"{rng.randrange(9)};"
+            )
+    elif kind != "class":
         for _ in range(rng.randint(1, 2)):
             tp = rng.choice(("", "<T> "))
             rt = "T" if tp else "int"
@@ -176,7 +211,10 @@ def _gen_java(rng: random.Random) -> str:
             f = rng.randrange(N_FUNCS)
             style = rng.random()
             if style < 0.4:
-                lines.append(f"    int fn_{f}(int x) {{")
+                # a throws clause on some plain methods (fourth round-5
+                # wave: every throwing method used to be invisible)
+                throws = " throws IOException" if rng.random() < 0.3 else ""
+                lines.append(f"    int fn_{f}(int x){throws} {{")
                 lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
                 lines.append("    }")
             elif style < 0.65:
