@@ -77,6 +77,10 @@ _KEYWORDS = {
     "if", "for", "while", "return", "def", "class", "import", "from", "func",
     "function", "switch", "catch", "print", "len", "range", "int", "str",
     "super", "new", "type", "struct", "void",
+    # gofmt grouped declaration openers (`const (` / `var (`) minted a
+    # phantom call per block — round-5 wave-5 probe; no language has a
+    # genuine call named const/var (both reserved everywhere relevant)
+    "const", "var",
     # CommonJS require lines already yield the import mention via
     # _JS_IMPORT — counting 'require' itself as a call would add a bogus
     # local symbol 'repo/path::require' per require-style file
@@ -197,10 +201,13 @@ _JS_FUNC_EXPR = re.compile(
 # the param span forbids nested parens ([^()]*): a callback call line
 # (`it('works', function () {`) would otherwise fit the shape; real method
 # params with parenthesized defaults are the (rare) envelope cost
+# the optional `*` admits generator methods (`*iter() {`,
+# `async *stream() {`) — previously invisible AND call-stream-leaking
+# (round-5 wave-5 probe)
 _JS_METHOD = re.compile(
     r"^([ \t]+)(?:(?:public|private|protected|static|async|get|set"
     r"|readonly|override)\s+)*"
-    r"(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(([^()]*)\)\s*"
+    r"\*?\s*(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(([^()]*)\)\s*"
     r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
     re.M,
 )
@@ -260,7 +267,7 @@ _JS_DECL_UPDATE = re.compile(
     r"|(?:(?:public|private|protected|static|async|get|set|readonly"
     r"|override)\s+)*"
     r"(?!(?:" + _JS_SKIP_ALT + r")\b)"
-    r"(?:(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\([^()]*\)\s*"
+    r"(?:\*?\s*(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\([^()]*\)\s*"
     r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{"
     r"|(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
     + r"|[\w$]+)\s*=>))"
@@ -371,7 +378,12 @@ _JAVA_CLASS = re.compile(
 # generic-returning method, and — worse — the unrecognized decl line then
 # leaked the method name into the call stream via _CALL (found by the
 # round-5 realistic-fixture P/R measurement, scripts/extraction_pr.py).
-# <.*> is greedy but line-scoped; backtracking restores the name+args.
+# the generic span excludes '='/';'/newline so it can never swallow a
+# field initializer and re-anchor on the lambda body (`Supplier<I> zero
+# = () -> make();` once minted a phantom method `make` via `<Integer> …
+# ->` — the '>' of the arrow closed the generic), nor span lines (a
+# negated class matches \n where '.' did not, which once re-owned a
+# following class's prototype to the preceding class).
 _JAVA_MODS = (
     r"(?:(?:public|protected|private|static|final|abstract|synchronized"
     r"|native|default)\s+)*"
@@ -394,10 +406,19 @@ _JAVA_STMT = (
 # contain '{' or ';', so the terminator stays unambiguous.
 _JAVA_SIG = (
     _JAVA_MODS + _JAVA_STMT + r"(?:" + _TYPE_PARAMS + r"\s+)?"
-    r"\w+(?:<.*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
+    r"\w+(?:\.\w+)*(?:<[^=;\n]*>)?(?:\[\])*\s+(\w+)\s*\([^)]*\)\s*"
     r"(?:throws\s+[\w.,\s]*)?"
 )
 _JAVA_METHOD = re.compile(r"^[ \t]+" + _JAVA_SIG + r"\{", re.M)
+# functional-interface fields (`private final Function<I, I> doubler =
+# x -> x * 2;`) declare callables like the JS class-field arrow twin —
+# round-5 wave-5 probe.  Switch arrows can't fire: `case` is fenced by
+# the statement lookahead and `default ->` has no `<type> <name> =`.
+_JAVA_FIELD_LAMBDA = re.compile(
+    r"^[ \t]+" + _JAVA_MODS + _JAVA_STMT +
+    r"\w+(?:\.\w+)*(?:<[^=;\n]*>)?(?:\[\])*\s+(\w+)\s*=\s*(?:\([^)]*\)|\w+)\s*->",
+    re.M,
+)
 # abstract/interface method prototypes end in ';' — declarations a reader
 # inventories (and that previously leaked their name into the call
 # stream); a call statement can't match: it has no type token + separator
@@ -407,7 +428,12 @@ _JAVA_METHOD = re.compile(r"^[ \t]+" + _JAVA_SIG + r"\{", re.M)
 _JAVA_PROTO = re.compile(
     r"^[ \t]+" + _JAVA_SIG + r"(?:default\s+[^;{]*)?;", re.M
 )
-_JAVA_DECL_UPDATE = re.compile(r"[ \t]+" + _JAVA_SIG + r"\{")
+_JAVA_DECL_UPDATE = re.compile(
+    r"[ \t]+(?:" + _JAVA_SIG + r"\{"
+    # field lambdas own their (same-line) body's calls, like the JS twin
+    r"|" + _JAVA_MODS + _JAVA_STMT +
+    r"\w+(?:\.\w+)*(?:<[^=;\n]*>)?(?:\[\])*\s+(\w+)\s*=\s*(?:\([^)]*\)|\w+)\s*->)"
+)
 _JAVA_DECL_SKIP = re.compile(
     r"[ \t]*(?:import\b|package\b|@\w+"
     r"|" + _JAVA_CLASS_MODS + r"(?:class|@?interface|enum|record)\b)"
@@ -576,8 +602,10 @@ def _line_calls(line: str):
 # the "class" kind (nominal types); `fn` is a method when indented under a
 # preceding `impl` block (owner = the impl target), else a function.
 _RUST_USE = re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?use\s+(\w+)", re.M)
+# `type` aliases (`pub type Result<T> = …;`, associated `type Item = u32;`)
+# are nominal declarations like struct/enum/trait — round-5 wave-5 probe
 _RUST_TYPE = re.compile(
-    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait)\s+(\w+)", re.M
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait|type)\s+(\w+)", re.M
 )
 # modules are nominal containers (class kind), same as the ruby grammar's
 # `module` — both the `mod name;` file form and the inline `mod name {`
@@ -620,8 +648,11 @@ _RUST_MACRO = re.compile(r"^\s*macro_rules!\s+(\w+)", re.M)
 _RUST_DECL_SKIP = re.compile(r"\s*(?:pub\b|use\b|impl\b|struct\b|enum\b|trait\b|mod\b)")
 # Some/Ok/Err/None are enum-variant constructors, not call sites a KG wants;
 # macros (println! / vec!) self-exclude — `!` breaks the _CALL shape
+# Fn/FnMut/FnOnce appear in where-clauses and trait bounds
+# (`F: Fn(i32) -> i32`) — call-shaped but never call sites
 _RUST_KEYWORDS = frozenset({"fn", "let", "match", "impl", "use", "mod", "pub",
-                            "loop", "Some", "Ok", "Err", "None"})
+                            "loop", "Some", "Ok", "Err", "None",
+                            "Fn", "FnMut", "FnOnce"})
 
 # --- Ruby -------------------------------------------------------------------
 # require name = the quoted path's first segment (require 'a/b' → a);
@@ -668,6 +699,16 @@ _C_TYPEDEF = re.compile(
     r"^[ \t]*typedef\s+(?:struct|union|enum)(?:\s+\w+)?\s*\{", re.M
 )
 _C_TYPEDEF_TAIL = re.compile(r"\s*(\w+)\s*;")
+# pointer-to-function typedefs (`typedef int (*cmp_fn)(const void *a,
+# const void *b);`) declare a nominal type; the callback-typedef idiom
+# is all over real C headers — round-5 wave-5 probe
+_C_TYPEDEF_FNPTR = re.compile(
+    r"^[ \t]*typedef\s+[^;(\n]*\(\s*\*\s*(\w+)\s*\)\s*\(", re.M
+)
+# function-LIKE macros (`#define MAX(a, b) …`) are callables a reader
+# inventories; the '(' must touch the name (ISO C: a space makes it an
+# object-like macro whose body merely starts with a paren)
+_C_DEFINE_FN = re.compile(r"^[ \t]*#[ \t]*define[ \t]+(\w+)\(", re.M)
 # leading whitespace allowed: inline member-function definitions inside a
 # class body ('    void f() { g(); }') are the norm in C++ headers — an
 # indent-rejected definition would leak its name (and body calls) into the
@@ -952,7 +993,7 @@ def extract_mentions(
         class_spans = sorted((m.start(), m.group(1)) for m in _JAVA_CLASS.finditer(text))
         for _, cname in class_spans:
             out.append({"kind": "class", "name": cname, "owner": ""})
-        for pat in (_JAVA_METHOD, _JAVA_PROTO):
+        for pat in (_JAVA_METHOD, _JAVA_PROTO, _JAVA_FIELD_LAMBDA):
             for m in pat.finditer(text):
                 preceding = [c for c in class_spans if c[0] < m.start()]
                 owner = preceding[-1][1] if preceding else ""
@@ -1025,6 +1066,15 @@ def extract_mentions(
             decls.append((m.start(), {"kind": "import", "name": stem, "owner": ""}))
         for m in _C_CLASS.finditer(text):
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+        for m in _C_TYPEDEF_FNPTR.finditer(text):
+            decls.append(
+                (m.start(), {"kind": "class", "name": m.group(1), "owner": ""})
+            )
+        for m in _C_DEFINE_FN.finditer(text):
+            decls.append(
+                (m.start(),
+                 {"kind": "function", "name": m.group(1), "owner": ""})
+            )
         for m in _C_TYPEDEF.finditer(text):
             depth, i, n = 1, m.end(), len(text)
             while i < n and depth:

@@ -15,6 +15,8 @@ public @interface Retry {
 }
 
 class RetryProcessor {
+    private final java.util.function.IntUnaryOperator backoff = n -> n * 2;
+
     static int resolveAttempts(Retry r) {
         return Math.max(1, r.attempts());
     }

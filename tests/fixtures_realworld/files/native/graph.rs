@@ -1,6 +1,8 @@
 use std::collections::HashMap;
 use std::fmt;
 
+pub type NodeId = u64;
+
 pub struct Graph {
     edges: HashMap<u64, Vec<u64>>,
 }

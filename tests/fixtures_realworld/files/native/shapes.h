@@ -28,6 +28,12 @@ typedef struct shape_node {
     struct shape_node *next;
 } shape_node_t;
 
+/* function-like macro and callback typedef — wave-5 shapes */
+#define SHAPE_MAX(a, b) ((a) > (b) ? (a) : (b))
+#define SHAPE_VERSION 2
+
+typedef int (*shape_cmp_fn)(const vec2_t *a, const vec2_t *b);
+
 /* prototypes — declarations, not call sites */
 shape_status_t shape_area(const vec2_t *pts, size_t n, double *out);
 void shape_free(struct shape_node *head);

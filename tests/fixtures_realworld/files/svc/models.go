@@ -28,6 +28,12 @@ type (
 	TaskID = int
 )
 
+// grouped const block: its opener must not mint a phantom call (wave 5)
+const (
+	StateOpen = iota
+	StateDone
+)
+
 // single-line defined types outside the block
 type Duration time.Duration
 

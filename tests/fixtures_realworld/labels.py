@@ -81,6 +81,7 @@ LABELS = {
     "native/graph.rs": {
         ("import", "std"),
         ("type", "Graph"), ("type", "Direction"), ("type", "Visit"),
+        ("type", "NodeId"),              # type alias (wave 5)
         ("callable", "new"), ("callable", "add_edge"), ("callable", "degree"),
         ("callable", "fmt"), ("callable", "components"),
         ("callable", "visit"),  # trait method signature — a declaration
@@ -147,6 +148,9 @@ LABELS = {
         ("type", "scalar"),              # union
         ("type", "Winding"),             # C++11 enum class
         ("type", "shape_node"), ("type", "shape_node_t"),  # tag + alias
+        ("type", "shape_cmp_fn"),        # fn-ptr typedef (wave 5)
+        ("callable", "SHAPE_MAX"),       # function-like macro (wave 5);
+        # SHAPE_VERSION is object-like — not a callable
         # shape_area / shape_free are prototypes, not definitions — not
         # labeled, same convention as pool.c's pool_free
     },
@@ -168,6 +172,7 @@ LABELS = {
         ("callable", "attempts"),        # member with `default` tail
         ("callable", "backoffMillis"),
         ("callable", "resolveAttempts"),
+        ("callable", "backoff"),         # functional-interface field (wave 5)
     },
     "src/rules.py": {
         ("import", "re"),

@@ -222,3 +222,102 @@ def test_python_lambda_owns_same_line_calls():
     assert {"kind": "function", "name": "f", "owner": ""} in mentions
     # the decl line yields no calls — same contract as a one-line def
     assert not [m for m in mentions if m["kind"] == "call"]
+
+
+# --- wave 5 (second shape-probe batch, same round) ---------------------------
+
+
+def test_go_const_var_blocks_leak_no_calls():
+    src = "const (\n\tKindA = iota\n\tKindB\n)\nvar (\n\tmu sync.Mutex\n)\n"
+    assert extract_mentions("go", src) == []
+
+
+def test_js_generator_methods():
+    src = "class S {\n  *iter() { yield take(1) }\n  async *stream() {}\n}\n"
+    got = extract_mentions("javascript", src)
+    assert {"kind": "method", "name": "iter", "owner": "S"} in got
+    assert {"kind": "method", "name": "stream", "owner": "S"} in got
+    # the generator decl no longer leaks its name; the one-line body is
+    # consumed by the declarator line, like every one-line declarator
+    assert [m for m in got if m["kind"] == "call"] == []
+
+
+def test_rust_type_alias_and_fn_bounds():
+    src = (
+        "pub type Result<T> = std::result::Result<T, Error>;\n"
+        "pub fn sort_by<F>(xs: &mut [i32], f: F)\n"
+        "where\n"
+        "    F: Fn(i32) -> i32,\n"
+        "{\n"
+        "    apply(xs)\n"
+        "}\n"
+    )
+    got = extract_mentions("rust", src)
+    assert {"kind": "class", "name": "Result", "owner": ""} in got
+    # Fn in the where-clause is a bound, not a call site
+    assert [m for m in got if m["kind"] == "call"] == [
+        {"kind": "call", "name": "apply", "owner": "sort_by"}
+    ]
+
+
+def test_c_function_like_macro_and_fn_ptr_typedef():
+    src = (
+        "#define MAX(a, b) ((a) > (b) ? (a) : (b))\n"
+        "#define VERSION 3\n"
+        "typedef int (*cmp_fn)(const void *a, const void *b);\n"
+    )
+    assert _pairs("c", src) == [
+        ("function", "MAX"),       # function-like macro only
+        ("class", "cmp_fn"),
+    ]
+
+
+def test_java_functional_interface_fields():
+    src = (
+        "public class H {\n"
+        "  private final Function<Integer, Integer> doubler = x -> x * 2;\n"
+        "  static Supplier<Integer> zero = () -> make();\n"
+        "}\n"
+    )
+    got = extract_mentions("java", src)
+    assert {"kind": "method", "name": "doubler", "owner": "H"} in got
+    assert {"kind": "method", "name": "zero", "owner": "H"} in got
+    # the initializer body's call is consumed by the declarator line —
+    # and crucially no phantom `make` METHOD is minted (the old greedy
+    # <.*> generic span re-anchored on the lambda body)
+    assert not [m for m in got if m["name"] == "make"]
+
+
+def test_java_switch_arrows_are_not_declarations():
+    src = (
+        "public class W {\n"
+        "  int f(int k) {\n"
+        "    switch (k) {\n"
+        "      case 1 -> g(k);\n"
+        "      default -> h(k);\n"
+        "    }\n"
+        "    return 0;\n"
+        "  }\n"
+        "}\n"
+    )
+    got = extract_mentions("java", src)
+    assert [(m["kind"], m["name"]) for m in got if m["kind"] != "call"] == [
+        ("class", "W"), ("method", "f"),
+    ]
+    assert sorted(m["name"] for m in got if m["kind"] == "call") == ["g", "h"]
+
+
+def test_java_generic_span_stays_on_one_line():
+    # a negated-class span must not cross lines and re-own the next
+    # class's prototype (found by the java recall fuzz family)
+    src = (
+        "class Cls1 {\n"
+        "    public List<String> a0(int a) {\n"
+        "    }\n"
+        "}\n"
+        "class Cls2 {\n"
+        "    public List<String> b0(int a);\n"
+        "}\n"
+    )
+    got = extract_mentions("java", src)
+    assert {"kind": "method", "name": "b0", "owner": "Cls2"} in got
