@@ -41,10 +41,15 @@ def _gen_python(rng: random.Random) -> str:
     lines: List[str] = []
     for _ in range(rng.randint(1, 3)):
         m = rng.randrange(N_MODS)
-        if rng.random() < 0.5:
+        style = rng.random()
+        if style < 0.4:
             lines.append(f"import mod_{m}")
-        else:
+        elif style < 0.8:
             lines.append(f"from mod_{m} import fn_{rng.randrange(N_FUNCS)}")
+        else:
+            # dotted from-import names the root package (third round-5
+            # wave: `from collections.abc import …` matched nothing)
+            lines.append(f"from mod_{m}.sub import fn_{rng.randrange(N_FUNCS)}")
     lines.append("")
     if rng.random() < 0.3:
         # docstring with decl-shaped content: the block mask must keep
@@ -61,7 +66,10 @@ def _gen_python(rng: random.Random) -> str:
             lines.append(f"fn_{f} = lambda x: fn_{rng.randrange(N_FUNCS)}(x)")
             lines.append("")
             continue
-        lines.append(f"def fn_{f}(x):")
+        # async coroutines were invisible until the third round-5 wave —
+        # keep them in the draw so throughput covers asyncio-style files
+        kw = "async def" if rng.random() < 0.2 else "def"
+        lines.append(f"{kw} fn_{f}(x):")
         for _ in range(rng.randint(1, 3)):
             lines.append(f"    y = fn_{rng.randrange(N_FUNCS)}(x)")
         lines.append("    return y")
@@ -90,12 +98,15 @@ def _gen_javascript(rng: random.Random) -> str:
     for _ in range(rng.randint(1, 3)):
         src = f"mod_{rng.randrange(N_MODS)}"
         style = rng.random()
-        if style < 0.4:
+        if style < 0.35:
             lines.append(f"import mod_{rng.randrange(N_MODS)} from '{src}';")
-        elif style < 0.7:
+        elif style < 0.65:
             lines.append(f"import {{fn_{rng.randrange(N_FUNCS)}}} from '{src}';")
-        else:
+        elif style < 0.85:
             lines.append(f"import * as m{rng.randrange(9)} from '{src}';")
+        else:
+            # barrel re-export (third round-5 wave) — an import edge too
+            lines.append(f"export {{fn_{rng.randrange(N_FUNCS)}}} from '{src}';")
     if rng.random() < 0.25:
         # commented-out code: the block mask keeps it out of extraction
         lines.append("/*")
@@ -140,7 +151,9 @@ def _gen_javascript(rng: random.Random) -> str:
             m = rng.randrange(N_FUNCS)
             style = rng.random()
             if style < 0.4:
-                mods = rng.choice(("", "static ", "async "))
+                # '*'/'async *' generator methods were invisible until the
+                # fifth round-5 wave — drawn alongside plain/static/async
+                mods = rng.choice(("", "static ", "async ", "*", "async *"))
                 lines.append(f"  {mods}fn_{m}(props) {{")
                 lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(props);")
                 lines.append("  }")
@@ -158,10 +171,31 @@ def _gen_javascript(rng: random.Random) -> str:
 
 
 def _gen_go(rng: random.Random) -> str:
-    lines = [f'import "mod_{rng.randrange(N_MODS)}"']
+    if rng.random() < 0.5:
+        lines = [f'import "mod_{rng.randrange(N_MODS)}"']
+    else:
+        # gofmt grouped import block — the dominant real-world form, zero
+        # mentions before the third round-5 wave
+        lines = [
+            "import (",
+            f'\t"mod_{rng.randrange(N_MODS)}"',
+            f'\t"mod_{rng.randrange(N_MODS)}"',
+            ")",
+        ]
+    if rng.random() < 0.3:
+        # const/var block openers minted a phantom call until the fifth
+        # round-5 wave — keep them in the draw as a precision canary
+        lines.append(rng.choice(("const (", "var (")))
+        lines.append(f"\tlimit_{rng.randrange(9)} = {rng.randrange(99)}")
+        lines.append(")")
     for _ in range(rng.randint(1, 4)):
         f = rng.randrange(N_FUNCS)
-        lines.append(f"func fn_{f}(x int) int {{")
+        if rng.random() < 0.3:
+            # pointer-receiver method, owned by its type (third wave)
+            c = rng.randrange(N_CLASSES)
+            lines.append(f"func (s *Cls_{c}) fn_{f}(x int) int {{")
+        else:
+            lines.append(f"func fn_{f}(x int) int {{")
         lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(x)")
         lines.append("}")
     if rng.random() < 0.4:
@@ -182,8 +216,16 @@ def _gen_go(rng: random.Random) -> str:
 
 
 def _gen_java(rng: random.Random) -> str:
-    lines = [f"import mod_{rng.randrange(N_MODS)}.util;"]
+    if rng.random() < 0.25:
+        # static import names the package, not a phantom "static" module
+        # (third round-5 wave)
+        lines = [f"import static mod_{rng.randrange(N_MODS)}.Util.fn_{rng.randrange(N_FUNCS)};"]
+    else:
+        lines = [f"import mod_{rng.randrange(N_MODS)}.util;"]
     c = rng.randrange(N_CLASSES)
+    if rng.random() < 0.15:
+        # record — compact header minted a phantom call before wave 3
+        lines.append(f"record Cls_{rng.randrange(N_CLASSES)}(int seed) {{}}")
     # interface/enum are nominal types too (second round-5 wave); their
     # members are prototypes, a class's members mix all the decl shapes
     kind = rng.choice(("class", "class", "class", "interface", "enum",
@@ -222,14 +264,21 @@ def _gen_java(rng: random.Random) -> str:
                 lines.append(f"    public List<Integer> fn_{f}(int x) {{")
                 lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
                 lines.append("    }")
-            elif style < 0.85:
+            elif style < 0.8:
                 # <T> type-parameter method (second round-5 wave)
                 lines.append(f"    static <T> T fn_{f}(T x) {{")
                 lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(x);")
                 lines.append("    }")
-            else:
+            elif style < 0.92:
                 # abstract prototype — a declaration, never a call
                 lines.append(f"    abstract int fn_{f}(int x);")
+            else:
+                # functional-interface field (fifth round-5 wave) — the
+                # java twin of the JS class-field arrow
+                lines.append(
+                    f"    Supplier<Integer> fn_{f} = () -> "
+                    f"fn_{rng.randrange(N_FUNCS)}(1);"
+                )
     lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
