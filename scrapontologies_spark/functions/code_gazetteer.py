@@ -204,11 +204,28 @@ _JS_FUNC_EXPR = re.compile(
 # the optional `*` admits generator methods (`*iter() {`,
 # `async *stream() {`) — previously invisible AND call-stream-leaking
 # (round-5 wave-5 probe)
+# the optional '#' admits ES2022 private methods (`#helper() {`) — the
+# mention name stays the bare identifier because a `this.#helper()` call
+# site also yields the bare name (`#` is outside \w, so _CALL anchors
+# after it); previously private methods were invisible AND their own
+# header leaked a phantom call (round-5 wave-6 probe)
 _JS_METHOD = re.compile(
     r"^([ \t]+)(?:(?:public|private|protected|static|async|get|set"
     r"|readonly|override)\s+)*"
-    r"\*?\s*(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(([^()]*)\)\s*"
+    r"\*?\s*#?(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(([^()]*)\)\s*"
     r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{",
+    re.M,
+)
+# TS abstract method prototypes (`abstract render(): void;`) are
+# declarations like Java's — `;`-terminated, so _JS_METHOD's `{` never
+# sees them and the header minted a phantom call instead (wave 6).  The
+# mandatory `abstract` keyword keeps interface-member signatures (already
+# handled by _JS_DECL_SKIP, not mentions) and plain call statements out.
+_JS_ABSTRACT_PROTO = re.compile(
+    r"^([ \t]+)(?:(?:public|private|protected|static|readonly"
+    r"|override)\s+)*abstract\s+"
+    r"(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\(([^()]*)\)\s*"
+    r"(?::\s*[\w$<>\[\],. |&]+)?\s*;",
     re.M,
 )
 # class-field arrows (`tick = () => {…}`, `reset = async (n) => …`) are
@@ -222,7 +239,7 @@ _JS_METHOD = re.compile(
 _JS_FIELD_ARROW = re.compile(
     r"^([ \t]+)(?:(?:public|private|protected|static|readonly"
     r"|override)\s+)*"
-    r"(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
+    r"#?(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
     + r"|[\w$]+)\s*=>",
     re.M,
 )
@@ -267,9 +284,9 @@ _JS_DECL_UPDATE = re.compile(
     r"|(?:(?:public|private|protected|static|async|get|set|readonly"
     r"|override)\s+)*"
     r"(?!(?:" + _JS_SKIP_ALT + r")\b)"
-    r"(?:\*?\s*(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\([^()]*\)\s*"
+    r"(?:\*?\s*#?(\w+)\s*(?:" + _TYPE_PARAMS + r")?\s*\([^()]*\)\s*"
     r"(?::\s*[\w$<>\[\],. |&]+)?\s*\{"
-    r"|(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
+    r"|#?(\w+)\s*=\s*(?:async\s+)?(?:\([^()]*\)\s*" + _JS_RET_ANN
     + r"|[\w$]+)\s*=>))"
 )
 # no calls from import/type/interface/enum/class header lines — `extends
@@ -288,7 +305,8 @@ _JS_DECL_SKIP = re.compile(
     r"\s*(?:import\b|(?:export\s+(?:default\s+)?)?(?:abstract\s+)?class\b"
     r"|(?:export\s+)?(?:declare\s+)?(?:interface\b|(?:const\s+)?enum\b"
     r"|type\s+\w+\s*=)"
-    r"|\s*(?:readonly\s+)?\w+\s*(?:" + _TYPE_PARAMS + r")?\s*"
+    r"|\s*(?:(?:public|private|protected|static|readonly|override"
+    r"|abstract)\s+)*\w+\s*(?:" + _TYPE_PARAMS + r")?\s*"
     r"(?:\([^(){}?'\"`]*:[^()]*\)\s*(?::\s*[\w$<>\[\],. |&]+)?"
     r"|\([^()]*\)\s*:\s*[\w$<>\[\],. |&]+)\s*;)"
 )
@@ -329,11 +347,10 @@ _GO_FUNC = re.compile(
 # interfaces, defined types (`type Celsius float64`), aliases
 # (`type MyInt = int`) and function types (`type Handler func(w, r)`) —
 # the old struct|interface restriction silently dropped the other three
-# (round-5 wave-4 shape probe).  Interface METHOD-SET lines (`Add(x int)
-# int` inside the body) remain a declared call-stream envelope gap: they
-# are shape-identical to go call statements on a line basis, so a
-# stateless skip would eat real calls.  The optional [...] admits generic
-# type declarations (`type Stack[T any] struct`).
+# (round-5 wave-4 shape probe).  Interface METHOD-SET lines are handled
+# by _GO_IFACE below (mentions + call-stream skip span — wave 6 closed
+# the old stateless-skip envelope gap).  The optional [...] admits
+# generic type declarations (`type Stack[T any] struct`).
 _GO_TYPE = re.compile(
     r"^type\s+(\w+)(?:\[[^\]]*\])?\s+=?\s*\S", re.M
 )
@@ -344,6 +361,25 @@ _GO_TYPE_ENTRY = re.compile(
     r"^[ \t]+(\w+)(?:\[[^\]]*\])?\s+=?\s*\S", re.M
 )
 _GO_PAREN_CLOSE = re.compile(r"^\)", re.M)
+# interface declarations own their method-set prototypes: `Get(key string)
+# (string, error)` inside `type Store interface {` is a method declaration
+# owned by Store, not a call site — the line shape is call-identical, so
+# the body span is both a mention source and a call-stream skip range
+# (round-5 wave-6 probe: every interface method was a phantom call with a
+# stale owner).  Embedded interfaces (bare `io.Reader` lines) have no
+# paren and stay out.
+_GO_IFACE = re.compile(
+    r"^type\s+(\w+)(?:\[[^\]]*\])?\s+interface\s*\{", re.M
+)
+_GO_IFACE_METHOD = re.compile(r"^[ \t]+(\w+)(?:\[[^\]]*\])?\s*\(", re.M)
+# anonymous-func declarators (`var handler = func(w, r) {`,
+# `retry := func() {`) declare a callable exactly like the JS const-arrow
+# twin — previously invisible, with body calls misattributed (wave 6).
+# `type Handler func(…)` cannot fire: the name must be followed directly
+# by '='/':=' and _GO_TYPE already owns the type-alias form.
+_GO_ANON_FUNC = re.compile(
+    r"^[ \t]*(?:var\s+)?(\w+)\s*(?::=|=)\s*func\s*\(", re.M
+)
 
 # `import static java.util.Arrays.asList;` must name `java`, not mint a
 # phantom module called "static"
@@ -453,6 +489,11 @@ _DECL_LINE = re.compile(r"^\s*(?:def|class|function|func|type|import|from)\b")
 # ('http://…' contains //).  This also marks C preprocessor lines
 # (#include/#define) — no call site lives there.
 _COMMENT_LINE = re.compile(r"[ \t]*(?:#|//|/\*|\*[ \t])")
+# '#' is NOT a comment marker in JS — it is the ES2022 private-member
+# sigil, and the shared pattern silently dropped `#helper(x) {` lines
+# from the call pass (owner never updated — round-5 wave 6).  A shebang
+# (`#!/…`) has no call shape, so losing the '#' alternative is safe.
+_COMMENT_LINE_JS = re.compile(r"[ \t]*(?://|/\*|\*[ \t])")
 # Single-line string-literal spans, escape-aware ("a \" b" is ONE span),
 # plus backtick templates (go raw strings / JS templates, no escapes).
 # Call-shaped text inside a string is prose, not a call site:
@@ -646,6 +687,15 @@ _RUST_DECL_UPDATE = re.compile(
 # the _CALL stream, so only the definition needs a grammar rule
 _RUST_MACRO = re.compile(r"^\s*macro_rules!\s+(\w+)", re.M)
 _RUST_DECL_SKIP = re.compile(r"\s*(?:pub\b|use\b|impl\b|struct\b|enum\b|trait\b|mod\b)")
+# enum BODIES are call-stream skip ranges: tuple variants (`Circle(f64),`)
+# are shape-identical to call statements, so every variant minted a
+# phantom call (round-5 wave-6 probe).  Variants are not emitted as
+# mentions — the nominal type is the enum itself, matching how the other
+# grammars treat constructor-like members (Some/Ok/Err are keywords for
+# the same reason).  Brace-counted span: struct variants nest braces.
+_RUST_ENUM_OPEN = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?enum\s+\w+[^{;\n]*\{", re.M
+)
 # Some/Ok/Err/None are enum-variant constructors, not call sites a KG wants;
 # macros (println! / vec!) self-exclude — `!` breaks the _CALL shape
 # Fn/FnMut/FnOnce appear in where-clauses and trait bounds
@@ -736,31 +786,56 @@ _C_PROTO = re.compile(
     r"(?:const\s*)?;",
     re.M,
 )
+# Destructors (`~Socket() { … }` inline, `Socket::~Socket() { … }`
+# out-of-line, `virtual ~Socket() = default;` / `~Socket();` prototypes)
+# have NO return type, so _C_FN/_C_PROTO never match and the header's
+# `Socket(` minted a phantom call instead (round-5 wave-6 probe).  The
+# mention is `~Socket` owned by the class (qualifier, else nearest
+# preceding class) — a destructor is always a member.  Definition vs
+# prototype is decided by the terminator the match captured.
+_C_DTOR = re.compile(
+    r"^[ \t]*(?:virtual\s+)?(?:(\w+)\s*::\s*)?~(\w+)\s*\(\s*(?:void)?\s*\)\s*"
+    r"(?:noexcept\s*)?(?:override\s*)?(?:=\s*(?:default|delete|0)\s*)?([{;])",
+    re.M,
+)
 # Two-word control forms (`else if (...)`) fit the _C_FN shape — single
 # keywords self-exclude (no second identifier) but these need a name filter.
 _C_CTRL = frozenset({"if", "for", "while", "switch", "return", "do"})
 _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
                          "dynamic_cast", "reinterpret_cast", "const_cast"})
 
-# One alternation fusing _calls()'s per-line decl probes; .match anchoring
-# makes alternation order ≡ sequential-or.  lastindex still names the
-# captured symbol (py contributes two groups; go one).
-# _calls (and this decl probe) now serves ONLY python and go: javascript
-# and java moved to _calls_tracked with language-specific decl patterns
-# this round, so their old alternatives here were dead code and were
-# removed (they could never match valid python/go source anyway).
-# both alternatives admit the bracket type-parameter lists their mention
+# Per-language decl probes for _calls(); .match anchoring makes
+# alternation order ≡ sequential-or, lastindex names the captured symbol.
+# _calls serves ONLY python and go, and since round-5 wave 6 each passes
+# its OWN probe: go gained an anonymous-func declarator alternative that
+# a shared alternation would have exposed to python (`h = func(x)` — a
+# python CALL to a function named func — fits it exactly), and keeping
+# the probes per-language means neither grammar's future decl shapes can
+# silently eat the other's call rows.
+# both probes admit the bracket type-parameter lists their mention
 # twins accept (PEP 695 / go 1.18) — owner tracking must see the same
 # declarations the mention pass does
-_ANY_DECL = re.compile(
+_PY_ANY_DECL = re.compile(
     r"(?:(\s*)(?:async\s+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\("
-    r"|func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\("
     # lambda declarators own their (same-line) body's calls like a def;
     # a paren-free lambda line never reaches this probe (the '(' gate
-    # skips it) — current-owner then stays put, which matches the
-    # extractor's no-dedent-tracking envelope for module-level code
+    # skips it) — current-owner then stays put until the next decl or
+    # column-0 statement
     r"|[ \t]*(\w+)\s*=\s*lambda\b)"
 )
+_GO_ANY_DECL = re.compile(
+    r"(?:func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\("
+    # anonymous-func declarators (`var h = func(…) {`, `h := func(…) {`)
+    # own their body's calls like the JS const-arrow twin (round-5 wave 6)
+    r"|[ \t]*(?:var\s+)?(\w+)\s*(?::=|=)\s*func\s*\()"
+)
+# a column-0 line starting with an identifier or decorator is a new
+# module/package-level statement: any def body above it has ended, so
+# the call-stream owner resets to '' (round-5 wave 6 — module-level
+# code after a function was attributed to that function).  Closers
+# (')', ']', '}') and comments don't reset: a black-style `):` that
+# ends a def signature at column 0 is still inside the declaration.
+_TOPLEVEL_STMT = re.compile(r"[A-Za-z_@]")
 
 # --- config-file grammars (json / yaml / toml) and shell -------------------
 # Structure → entities for the config formats real trees are full of:
@@ -914,7 +989,7 @@ def extract_mentions(
                     (m.start(), {"kind": kind, "name": name, "owner": owner})
                 )
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
-        out.extend(_calls(text))
+        out.extend(_calls(text, _PY_ANY_DECL))
     elif lang == "javascript":
         decls = []
         for m in _JS_IMPORT.finditer(text):
@@ -935,7 +1010,7 @@ def extract_mentions(
             decls.append(
                 (m.start(), {"kind": "class", "name": m.group(m.lastindex), "owner": ""})
             )
-        for pat in (_JS_METHOD, _JS_FIELD_ARROW):
+        for pat in (_JS_METHOD, _JS_FIELD_ARROW, _JS_ABSTRACT_PROTO):
             for m in pat.finditer(text):
                 name = m.group(2)
                 if name in _JS_METHOD_SKIP:
@@ -951,7 +1026,8 @@ def extract_mentions(
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(
             _calls_tracked(text, _JS_DECL_UPDATE, _JS_DECL_SKIP,
-                           _KEYWORDS | _JS_KEYWORDS)
+                           _KEYWORDS | _JS_KEYWORDS,
+                           comment=_COMMENT_LINE_JS)
         )
     elif lang == "go":
         for m in _GO_IMPORT.finditer(text):
@@ -967,6 +1043,19 @@ def extract_mentions(
             out.append({"kind": kind, "name": name, "owner": recv or ""})
         for m in _GO_TYPE.finditer(text):
             out.append({"kind": "class", "name": m.group(1), "owner": ""})
+        # interface bodies: method-set prototypes become method mentions
+        # owned by the interface, and the body span is excluded from the
+        # call stream (the lines are call-shaped — wave 6)
+        iface_spans: List[Tuple[int, int]] = []
+        for m in _GO_IFACE.finditer(text):
+            end = _brace_span(text, m.end() - 1)
+            iface_spans.append((m.end(), end))
+            for ml in _GO_IFACE_METHOD.finditer(text, m.end(), end):
+                out.append(
+                    {"kind": "method", "name": ml.group(1), "owner": m.group(1)}
+                )
+        for m in _GO_ANON_FUNC.finditer(text):
+            out.append({"kind": "function", "name": m.group(1), "owner": ""})
         for mb in _GO_TYPE_OPEN.finditer(text):
             closem = _GO_PAREN_CLOSE.search(text, mb.end())
             block = text[mb.end(): closem.start() if closem else len(text)]
@@ -983,20 +1072,30 @@ def extract_mentions(
                             {"kind": "class", "name": ml.group(1), "owner": ""}
                         )
                 depth = max(0, depth + line.count("{") - line.count("}"))
-        out.extend(_calls(text))
+        out.extend(_calls(text, _GO_ANY_DECL, iface_spans))
     elif lang == "java":
         for m in _JAVA_IMPORT.finditer(text):
             out.append({"kind": "import", "name": m.group(1), "owner": ""})
-        # position-aware owner attribution, like the python branch: a
-        # method belongs to the nearest class declared ABOVE it in the
-        # chunk, not to whichever class the finditer loop saw last
-        class_spans = sorted((m.start(), m.group(1)) for m in _JAVA_CLASS.finditer(text))
-        for _, cname in class_spans:
+        # extent-aware owner attribution: a method belongs to the INNERMOST
+        # class whose brace extent still encloses it — "nearest preceding
+        # declaration" kept owning methods by a nested class after that
+        # class had closed (`class Outer { class Inner {…} void b() {} }`
+        # handed b to Inner — round-5 wave-6 probe).  An extent truncated
+        # by the chunk boundary runs to the end of the chunk (the shared
+        # cross-chunk-container envelope).
+        class_extents = []
+        for m in _JAVA_CLASS.finditer(text):
+            brace = text.find("{", m.end())
+            end = _brace_span(text, brace) if brace != -1 else len(text)
+            class_extents.append((m.start(), m.group(1), end))
+        class_extents.sort()
+        for _, cname, _e in class_extents:
             out.append({"kind": "class", "name": cname, "owner": ""})
         for pat in (_JAVA_METHOD, _JAVA_PROTO, _JAVA_FIELD_LAMBDA):
             for m in pat.finditer(text):
-                preceding = [c for c in class_spans if c[0] < m.start()]
-                owner = preceding[-1][1] if preceding else ""
+                enclosing = [c for c in class_extents
+                             if c[0] < m.start() < c[2]]
+                owner = enclosing[-1][1] if enclosing else ""
                 # ownerless (class declared in an earlier chunk): fall back
                 # to 'function' like python/rust/ruby do — a kind='method'
                 # with owner '' would emit a has_method triple from the
@@ -1034,9 +1133,13 @@ def extract_mentions(
             kind = "method" if owner else "function"
             decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
+        enum_spans = [
+            (m.end(), _brace_span(text, m.end() - 1))
+            for m in _RUST_ENUM_OPEN.finditer(text)
+        ]
         out.extend(
             _calls_tracked(text, _RUST_DECL_UPDATE, _RUST_DECL_SKIP,
-                           _KEYWORDS | _RUST_KEYWORDS)
+                           _KEYWORDS | _RUST_KEYWORDS, enum_spans)
         )
     elif lang == "ruby":
         decls = []
@@ -1106,15 +1209,42 @@ def extract_mentions(
             ls = text.rfind("\n", 0, m.start(3)) + 1
             if not owner and text[ls] in " \t":
                 # inline member definition: owner = nearest preceding
-                # class/struct declaration, python/java-style
+                # class/struct declaration, python/java-style.  max() by
+                # position, NOT decls[-1]: the list interleaves several
+                # regex passes (class, typedef tails, fn-ptr typedefs) in
+                # append order, so the last element is not the nearest
+                # (wave 6 — a typedef alias declared earlier in the file
+                # could own a later class's members)
                 preceding = [c for c in decls if c[1]["kind"] == "class"
                              and c[0] < m.start()]
                 if preceding:
-                    owner = preceding[-1][1]["name"]
+                    owner = max(preceding, key=lambda c: c[0])[1]["name"]
             kind = "method" if owner else "function"
             decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
             fn_spans.append((m.start(), m.end(), name))
         proto_spans = [(m.start(), m.end()) for m in _C_PROTO.finditer(text)]
+        for m in _C_DTOR.finditer(text):
+            if m.group(3) != "{":
+                # ';'-terminated (prototype / `= default;`): silence the
+                # phantom call but emit no mention — same policy as _C_PROTO
+                proto_spans.append((m.start(), m.end()))
+                continue
+            owner = m.group(1) or ""
+            if not owner:
+                # max() by position — see the _C_FN owner lookup above
+                preceding = [c for c in decls if c[1]["kind"] == "class"
+                             and c[0] < m.start()]
+                if preceding:
+                    owner = max(preceding, key=lambda c: c[0])[1]["name"]
+            kind = "method" if owner else "function"
+            decls.append(
+                (m.start(),
+                 {"kind": kind, "name": "~" + m.group(2), "owner": owner})
+            )
+            fn_spans.append((m.start(), m.end(), "~" + m.group(2)))
+        # owner attribution in _calls_c walks fn_spans in order and
+        # assumes ascending starts — destructor spans were appended last
+        fn_spans.sort()
         out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
         out.extend(_calls_c(text, fn_spans, proto_spans))
     elif lang == "json":
@@ -1180,27 +1310,47 @@ def extract_mentions(
     return out
 
 
-def _calls(text: str) -> List[Dict[str, str]]:
-    """Call-site mentions with enclosing-function attribution.
+def _calls(
+    text: str,
+    decl_probe: "re.Pattern",
+    skip_spans: "List[Tuple[int, int]]" = (),
+) -> List[Dict[str, str]]:
+    """Call-site mentions with enclosing-function attribution (python/go).
 
     A call on a non-declaration line is attributed to the most recent
     function/method declaration above it in the same chunk ('' = module
-    level).  Deterministic under chunking because the oracle chunks the same
-    way.
+    level).  A column-0 statement line RESETS the owner to module scope:
+    both languages end a body by dedent/close before the next top-level
+    statement, so `X = compute()` after a def belongs to the module, not
+    to the last-seen def (round-5 wave 6 — the dedent-blind tracker handed
+    every module-level call after the first def to that def).  Lines whose
+    start falls inside a ``skip_spans`` range (go interface bodies — their
+    method-set prototypes are shape-identical to calls) yield nothing.
+    Deterministic under chunking because the oracle chunks the same way.
     """
     calls: List[Dict[str, str]] = []
     current = ""
+    pos = 0
     for line in text.split("\n"):
-        # every decl pattern and _CALL require a '(' — paren-free lines can
-        # neither update `current` nor yield calls
-        if "(" not in line:
+        start = pos
+        pos += len(line) + 1
+        if skip_spans and any(s <= start < e for s, e in skip_spans):
             continue
         if _COMMENT_LINE.match(line):
             continue
-        dm = _ANY_DECL.match(line)
+        # every decl probe and _CALL require a '(' — a paren-free line can
+        # neither update `current` nor yield calls, but a paren-free
+        # top-level statement (`X = 5`) still ends the previous body
+        if "(" not in line:
+            if current and _TOPLEVEL_STMT.match(line):
+                current = ""
+            continue
+        dm = decl_probe.match(line)
         if dm:
             current = dm.group(dm.lastindex)
             continue
+        if current and _TOPLEVEL_STMT.match(line):
+            current = ""
         if _DECL_LINE.match(line):
             continue
         for m in _line_calls(line):
@@ -1216,16 +1366,27 @@ def _calls_tracked(
     decl_update: "re.Pattern",
     decl_skip: "re.Pattern",
     keywords: "frozenset",
+    skip_spans: "List[Tuple[int, int]]" = (),
+    comment: "re.Pattern" = _COMMENT_LINE,
 ) -> List[Dict[str, str]]:
     """Line-based call extraction with per-language decl handling — the
     shared ``_calls`` generalized for grammars whose declarations don't fit
-    ``_ANY_DECL``.  ``decl_update`` runs BEFORE the paren gate (a ruby
+    its decl probes.  ``decl_update`` runs BEFORE the paren gate (a ruby
     ``def foo`` without parens must still become the current owner);
-    ``decl_skip`` lines never yield calls."""
+    ``decl_skip`` lines never yield calls; lines starting inside a
+    ``skip_spans`` range (rust enum bodies — tuple variants are
+    call-shaped) yield nothing.  ``comment`` is the line-comment probe —
+    JS passes its own because '#' opens a private member there, not a
+    comment."""
     calls: List[Dict[str, str]] = []
     current = ""
+    pos = 0
     for line in text.split("\n"):
-        if _COMMENT_LINE.match(line):
+        start = pos
+        pos += len(line) + 1
+        if skip_spans and any(s <= start < e for s, e in skip_spans):
+            continue
+        if comment.match(line):
             continue
         dm = decl_update.match(line)
         if dm:
@@ -1241,6 +1402,24 @@ def _calls_tracked(
                 continue
             calls.append({"kind": "call", "name": name, "owner": current})
     return calls
+
+
+def _brace_span(text: str, open_idx: int) -> int:
+    """Index just past the '}' matching the '{' at ``open_idx``;
+    ``len(text)`` when the chunk boundary truncates the body (the shared
+    cross-chunk-container envelope).  Block comments are already masked
+    by the time container scans run, so only string-literal braces can
+    fool the counter — the same envelope every line-based pass has."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        c = text[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(text)
 
 
 def _calls_c(

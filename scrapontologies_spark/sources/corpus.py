@@ -82,6 +82,11 @@ def _gen_python(rng: random.Random) -> str:
             lines.append(f"    def fn_{f}(self):")
             lines.append(f"        return fn_{rng.randrange(N_FUNCS)}(self)")
         lines.append("")
+    if rng.random() < 0.4:
+        # module-level statement after defs — the wave-6 owner-reset
+        # canary (a dedent-blind tracker hands this call to the last def)
+        lines.append(f"cfg_{rng.randrange(9)} = fn_{rng.randrange(N_FUNCS)}(0)")
+        lines.append("")
     # padding comments make rows 0.2-50 KB and multi-chunk
     pad = rng.randint(0, 40)
     lines.extend(f"# note {rng.randrange(9999)} filler comment line" for _ in range(pad))
@@ -143,27 +148,36 @@ def _gen_javascript(rng: random.Random) -> str:
     if rng.random() < 0.5:
         c = rng.randrange(N_CLASSES)
         kw = rng.choice(("class", "export class", "export default class",
-                         "export interface"))
+                         "export interface", "export abstract class"))
         lines.append(f"{kw} Cls_{c} {{")
-        if kw != "export interface" and rng.random() < 0.5:
-            # class-body members (round-5 envelope, both waves): plain
-            # methods, class-field arrows, <T> generic methods
+        if kw == "export abstract class":
+            # abstract prototype — a declaration, never a call (wave 6)
+            lines.append(f"  abstract fn_{rng.randrange(N_FUNCS)}(x: number): number;")
+        if kw not in ("export interface",) and rng.random() < 0.5:
+            # class-body members (round-5 envelope, all waves): plain
+            # methods, class-field arrows, <T> generic methods, ES2022
+            # private methods
             m = rng.randrange(N_FUNCS)
             style = rng.random()
-            if style < 0.4:
+            if style < 0.35:
                 # '*'/'async *' generator methods were invisible until the
                 # fifth round-5 wave — drawn alongside plain/static/async
                 mods = rng.choice(("", "static ", "async ", "*", "async *"))
                 lines.append(f"  {mods}fn_{m}(props) {{")
                 lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(props);")
                 lines.append("  }")
-            elif style < 0.7:
+            elif style < 0.55:
                 lines.append(f"  fn_{m} = (e) => {{")
                 lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(e);")
                 lines.append("  };")
-            else:
+            elif style < 0.75:
                 lines.append(f"  fn_{m}<T>(xs) {{")
                 lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(xs);")
+                lines.append("  }")
+            else:
+                # private method — invisible AND call-leaking before wave 6
+                lines.append(f"  #fn_{m}(k) {{")
+                lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(k);")
                 lines.append("  }")
         lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
@@ -211,6 +225,20 @@ def _gen_go(rng: random.Random) -> str:
         else:
             # defined type / func type beyond struct|interface
             lines.append(f"type Cls_{rng.randrange(N_CLASSES)} func(x int) int")
+    if rng.random() < 0.3:
+        # interface method set: decls owned by the interface, never calls
+        # (wave 6 — previously phantom calls with a stale owner)
+        c = rng.randrange(N_CLASSES)
+        lines.append(f"type Cls_{c} interface {{")
+        for _ in range(rng.randint(1, 2)):
+            lines.append(f"\tfn_{rng.randrange(N_FUNCS)}(x int) int")
+        lines.append("}")
+    if rng.random() < 0.25:
+        # anonymous-func declarator (wave 6) — the JS const-arrow twin
+        f = rng.randrange(N_FUNCS)
+        lines.append(f"var fn_{f} = func(x int) int {{")
+        lines.append(f"\treturn fn_{rng.randrange(N_FUNCS)}(x)")
+        lines.append("}")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
 
@@ -248,6 +276,16 @@ def _gen_java(rng: random.Random) -> str:
             # constructor — name = class, modifier-as-type backtracking
             lines.append(f"    public Cls_{c}(int seed) {{")
             lines.append(f"        fn_{rng.randrange(N_FUNCS)}(seed);")
+            lines.append("    }")
+        if rng.random() < 0.2:
+            # nested class followed by outer members — the wave-6
+            # extent canary (nearest-preceding owner handed the NEXT
+            # method to the inner class after it closed)
+            inner = rng.randrange(N_CLASSES)
+            lines.append(f"    static final class Cls_{inner} {{")
+            lines.append(f"        int fn_{rng.randrange(N_FUNCS)}(int x) {{")
+            lines.append(f"            return fn_{rng.randrange(N_FUNCS)}(x);")
+            lines.append("        }")
             lines.append("    }")
         for _ in range(rng.randint(1, 4)):
             f = rng.randrange(N_FUNCS)

@@ -17,6 +17,12 @@ public final class Tracker {
         return tasks.size();
     }
 
+    static final class Entry {
+        int weight(int base) {
+            return scale(base);
+        }
+    }
+
     protected synchronized List<String> snapshot() {
         return new ArrayList<>(tasks);
     }

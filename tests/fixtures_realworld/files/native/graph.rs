@@ -47,3 +47,8 @@ pub fn components(graph: &Graph) -> usize {
 macro_rules! trace_edge {
     ($e:expr) => { $e };
 }
+
+pub enum Edge {
+    Weighted(u64, f64),
+    Plain(u64),
+}

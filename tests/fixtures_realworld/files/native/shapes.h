@@ -38,4 +38,15 @@ typedef int (*shape_cmp_fn)(const vec2_t *a, const vec2_t *b);
 shape_status_t shape_area(const vec2_t *pts, size_t n, double *out);
 void shape_free(struct shape_node *head);
 
+
+/* RAII wrapper — destructor declarations are members too (wave 6) */
+class ShapeBuffer {
+public:
+    ShapeBuffer(size_t cap);
+    ~ShapeBuffer() { shape_free(head_); }
+
+private:
+    struct shape_node *head_;
+};
+
 #endif

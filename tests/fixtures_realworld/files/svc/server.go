@@ -40,3 +40,7 @@ func validate(title string) error {
 	}
 	return nil
 }
+
+var logAll = func(lines []string) int {
+	return persistAll(lines)
+}

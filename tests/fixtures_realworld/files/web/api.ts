@@ -62,3 +62,16 @@ function withRetry(handler: Handler, attempts = 3): Handler {
 }
 
 export default new TaskApi(DEFAULTS);
+
+export abstract class BaseView {
+  abstract render(): Response;
+
+  #trace(msg: string) {
+    return logLine(msg);
+  }
+
+  show() {
+    this.#trace('show');
+    return this.render();
+  }
+}

@@ -52,6 +52,11 @@ LABELS = {
         ("callable", "first"),           # generic method, type params
         ("callable", "listTasks"), ("callable", "respond"),
         ("callable", "withRetry"),
+        # --- wave-6 shapes ---
+        ("type", "BaseView"),            # abstract class
+        ("callable", "render"),          # abstract prototype (`…: void;`)
+        ("callable", "trace"),           # ES2022 private method (#trace)
+        ("callable", "show"),
     },
     "web/store.js": {
         ("import", "fs"), ("import", "path"),
@@ -61,11 +66,13 @@ LABELS = {
     "svc/server.go": {
         ("import", "fmt"), ("import", "sync"),
         ("type", "TaskServer"), ("type", "Option"), ("type", "Store"),
-        # Store's method-set line (Persist) is a declared call-stream
-        # envelope gap (shape-identical to a go call statement), and decl
-        # P/R doesn't measure calls — not labeled as a callable
+        # Store's method-set prototype is a declaration owned by the
+        # interface since the wave-6 _GO_IFACE pass (previously a declared
+        # call-stream envelope gap)
+        ("callable", "Persist"),
         ("callable", "NewTaskServer"), ("callable", "Add"),
         ("callable", "String"), ("callable", "validate"),
+        ("callable", "logAll"),          # anonymous-func declarator (wave 6)
     },
     "jvm/Tracker.java": {
         ("import", "java"),
@@ -77,6 +84,8 @@ LABELS = {
         ("callable", "flush"),
         ("callable", "accept"),          # generic interface member
         ("type", "TaskRow"),             # record — compact call-shaped header
+        ("type", "Entry"),               # nested class (wave 6)
+        ("callable", "weight"),          # member of the nested class
     },
     "native/graph.rs": {
         ("import", "std"),
@@ -86,6 +95,9 @@ LABELS = {
         ("callable", "fmt"), ("callable", "components"),
         ("callable", "visit"),  # trait method signature — a declaration
         ("callable", "trace_edge"),      # macro_rules! definition
+        ("type", "Edge"),                # enum with tuple variants (wave 6);
+        # variants (Weighted/Plain) are constructors of the nominal type,
+        # not separate declarations — and never call sites
     },
     "native/pool.c": {
         ("import", "stdlib"), ("import", "string"), ("import", "pool"),
@@ -153,6 +165,10 @@ LABELS = {
         # SHAPE_VERSION is object-like — not a callable
         # shape_area / shape_free are prototypes, not definitions — not
         # labeled, same convention as pool.c's pool_free
+        ("type", "ShapeBuffer"),         # RAII class (wave 6)
+        ("callable", "~ShapeBuffer"),    # inline destructor definition;
+        # the ShapeBuffer(size_t) constructor PROTOTYPE follows the
+        # prototype convention above — not labeled
     },
     "svc/models.go": {
         ("import", "time"),
@@ -162,8 +178,10 @@ LABELS = {
         # single-line defined types beyond struct/interface
         ("type", "Duration"), ("type", "Middleware"),
         ("callable", "Overdue"), ("callable", "NewTask"),
-        # Clock's method-set line (Now) is the declared call-stream
-        # envelope — not a callable label, same as server.go's Persist
+        # Clock's method-set line (Now) stays the declared envelope:
+        # _GO_IFACE covers the top-level `type X interface {` form
+        # (server.go's Persist), not interfaces nested in a grouped
+        # `type (…)` block like this one
     },
     "jvm/Retry.java": {
         ("import", "java"),
@@ -187,7 +205,9 @@ LABELS = {
 # owner spot-checks for matched callables
 OWNERS = {
     "svc/server.go": {"NewTaskServer": "", "Add": "TaskServer",
-                      "String": "TaskServer", "validate": ""},
+                      "String": "TaskServer", "validate": "",
+                      "Persist": "Store",        # interface member (wave 6)
+                      "logAll": ""},
     "src/tracker.py": {"matches": "Task", "to_json": "Task",
                        "__init__": "Tracker", "add": "Tracker",
                        "pending": "Tracker", "load_tracker": "",
@@ -200,11 +220,18 @@ OWNERS = {
                         "visit": "Visit"},
     "jvm/Tracker.java": {"Tracker": "Tracker", "pair": "Tracker",
                          "add": "Tracker", "snapshot": "Tracker",
+                         # snapshot follows the NESTED Entry class in
+                         # source order — extent-aware ownership (wave 6)
+                         # is what keeps it on Tracker
+                         "weight": "Entry",
                          "valid": "Tracker", "persist": "Store",
                          "flush": "Store", "accept": "Sink"},
     "web/api.ts": {"routes": "TaskApi", "describe": "TaskApi",
                    "first": "TaskApi", "listTasks": "",
-                   "respond": "", "withRetry": ""},
+                   "respond": "", "withRetry": "",
+                   "render": "BaseView", "trace": "BaseView",
+                   "show": "BaseView"},
+    "native/shapes.h": {"~ShapeBuffer": "ShapeBuffer"},
     "native/pool.c": {"align_up": "", "pool_new": "", "pool_alloc": "",
                       "pool_reset": ""},
     # round-5 wave-4 owner checks

@@ -5,7 +5,8 @@ BENCH_SCALING.md table); this test pins the thresholds so an envelope
 regression on any language fails the suite, not just the next manual
 measurement run.  Labels are hand-written (tests/fixtures_realworld/
 labels.py) independent of the grammars; at round-5 HEAD every language
-measures P = R = 1.0 on this tree, with owner attribution 26/26.
+measures P = R = 1.0 on this tree (184 labeled declarations after the
+wave-6 shapes), with owner attribution 60/60.
 """
 
 from __future__ import annotations

@@ -320,14 +320,19 @@ def _java_src(draw):
             # the reference scan below attributes either way
             blocks.append(f"    public void orphan{i}(int a) {{")
             blocks.append("    }")
-    # nearest-preceding-class attribution replayed independently: an
-    # "orphan" method rendered AFTER a class block is in fact owned by
-    # that class, so rebuild the expectations by scanning rendered lines
-    # (this scan is the reference re-parse, not the grammar's regexes)
+    # extent-aware attribution replayed independently: a member is owned
+    # by the class whose braces still ENCLOSE it — an "orphan" method
+    # rendered AFTER a class block closed is ownerless (function
+    # fallback), per the wave-6 nested-extent semantics.  Every class
+    # block this generator renders closes with a column-0 '}', so the
+    # reference re-parse clears the open class on that line.
     src = "\n".join(blocks)
     out_expected = []
     last_cls = ""
     for ln in blocks:
+        if ln.startswith("}"):
+            last_cls = ""
+            continue
         mcls = re.match(
             r"(?:(?:public|protected|private|abstract|final|static"
             r"|sealed|non-sealed)\s+)*"
