@@ -109,7 +109,12 @@ _PY_FROM = re.compile(r"^from\s+\.*(\w+)[\w.]*\s+import", re.M)
 _PY_DEF = re.compile(
     r"^([ \t]*)(?:async[ \t]+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\(", re.M
 )
-_PY_CLASS = re.compile(r"^class\s+(\w+)", re.M)
+# indented classes admitted (nested classes, classes under `if`): the
+# column-0 anchor made every non-top-level class invisible — round-5
+# wave-7 probe.  Classes are ownerless by the cross-grammar convention
+# (java/go nested types are too); their MEMBERS are owned via the
+# indent-scope stack in _python_mentions.
+_PY_CLASS = re.compile(r"^([ \t]*)class\s+(\w+)", re.M)
 # a lambda assigned to a plain name declares a callable the way `def`
 # does (`f = lambda x: x + 1`); indented under a column-0 class it is a
 # method like its def twin.  The name must sit directly at the indent —
@@ -798,31 +803,33 @@ _C_DTOR = re.compile(
     r"(?:noexcept\s*)?(?:override\s*)?(?:=\s*(?:default|delete|0)\s*)?([{;])",
     re.M,
 )
+# Constructors have no return type either (round-5 wave-7 probe).  The
+# out-of-line form is self-identifying — the qualifier must REPEAT as the
+# name (`Socket::Socket(…) {`), which the \1 backref pins, so a qualified
+# METHOD (`Socket::read(…)`) can never fit.  The optional `:[^{};]*`
+# skips a paren-style member-init list (`: fd_(fd), open_(true)`); a
+# C++11 brace-init list (`: fd_{fd}`) ends the span early at its '{' —
+# the mention is still right, only the recorded span is short (declared
+# envelope).  In-class forms are found per class extent in the branch
+# body: the bare shape `Name(args) {` / `Name(args);` is exactly a call
+# statement's, so the name must equal the ENCLOSING class's name to
+# count — extent-scoped patterns are the only safe anchor.
+_C_CTOR_OUT = re.compile(
+    r"^[ \t]*(\w+)\s*::\s*\1\s*\(([^;{}]*)\)\s*(?::[^{};]*)?\{", re.M
+)
 # Two-word control forms (`else if (...)`) fit the _C_FN shape — single
 # keywords self-exclude (no second identifier) but these need a name filter.
 _C_CTRL = frozenset({"if", "for", "while", "switch", "return", "do"})
 _C_KEYWORDS = frozenset({"sizeof", "defined", "assert", "static_cast",
                          "dynamic_cast", "reinterpret_cast", "const_cast"})
 
-# Per-language decl probes for _calls(); .match anchoring makes
-# alternation order ≡ sequential-or, lastindex names the captured symbol.
-# _calls serves ONLY python and go, and since round-5 wave 6 each passes
-# its OWN probe: go gained an anonymous-func declarator alternative that
-# a shared alternation would have exposed to python (`h = func(x)` — a
-# python CALL to a function named func — fits it exactly), and keeping
-# the probes per-language means neither grammar's future decl shapes can
-# silently eat the other's call rows.
-# both probes admit the bracket type-parameter lists their mention
-# twins accept (PEP 695 / go 1.18) — owner tracking must see the same
-# declarations the mention pass does
-_PY_ANY_DECL = re.compile(
-    r"(?:(\s*)(?:async\s+)?def\s+(\w+)\s*(?:\[[^\]]*\])?\s*\("
-    # lambda declarators own their (same-line) body's calls like a def;
-    # a paren-free lambda line never reaches this probe (the '(' gate
-    # skips it) — current-owner then stays put until the next decl or
-    # column-0 statement
-    r"|[ \t]*(\w+)\s*=\s*lambda\b)"
-)
+# Decl probe for _calls(); .match anchoring makes alternation order ≡
+# sequential-or, lastindex names the captured symbol.  Since round-5
+# wave 7 _calls serves ONLY go (python moved to the indent-scope walk in
+# _python_mentions, which reuses the same mention regexes for its decl
+# probes — owner tracking sees exactly the declarations the mention pass
+# does by construction).  The probe admits go 1.18 bracket
+# type-parameter lists like the mention twin.
 _GO_ANY_DECL = re.compile(
     r"(?:func\s+(?:\([^)]*\)\s*)?(\w+)\s*(?:\[[^\]]*\])?\s*\("
     # anonymous-func declarators (`var h = func(…) {`, `h := func(…) {`)
@@ -932,6 +939,89 @@ TEXT_TERMS = (
 _TEXT_TERM_RE = re.compile(r"\b(" + "|".join(TEXT_TERMS) + r")\b", re.ASCII)
 
 
+def _python_mentions(text: str) -> List[Dict[str, str]]:
+    """Python declarations + calls in ONE indent-scope line walk.
+
+    Round-5 wave 7: the old two-pass form ("nearest preceding class" for
+    method owners, flat last-decl tracking for call owners) had no notion
+    of scope EXTENT, so (a) a def nested inside a function was owned by
+    an earlier class, (b) a class-body statement's calls were owned by
+    the previous module-level def, and (c) `return inner(3)` in an outer
+    function was owned by the just-closed `inner`.  Indentation IS
+    python's extent syntax, so one stack of open scopes
+    ``(indent, name, is_class)`` fixes all three: a statement line at
+    indent ``i`` closes every scope with indent >= ``i`` (the java
+    wave-6 brace-extent fix, translated to indent), a def's owner is the
+    top of the stack (method iff that scope is a class — a def nested in
+    a def is a closure, not a method), and a call's owner is the nearest
+    enclosing DEF scope.  Closer-only lines (`):` ending a black-style
+    signature) and comments don't pop — the _TOPLEVEL_STMT rule.
+    Deterministic under chunking because the oracle chunks the same way;
+    a continuation chunk opens with an empty stack, so its indented
+    members take the same ownerless fallbacks as before.
+    """
+    decls: List[Tuple[int, Dict[str, str]]] = []
+    for m in _PY_IMPORT.finditer(text):
+        decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
+    for m in _PY_FROM.finditer(text):
+        decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
+    # scope decls keyed by line-start offset (every pattern is ^-anchored,
+    # so m.start() IS the line start); def wins over lambda on a tie
+    scope_at: Dict[int, Tuple[str, str]] = {}
+    for m in _PY_CLASS.finditer(text):
+        scope_at[m.start()] = ("class", m.group(2))
+    for m in _PY_DEF.finditer(text):
+        scope_at.setdefault(m.start(), ("def", m.group(2)))
+    for m in _PY_LAMBDA.finditer(text):
+        scope_at.setdefault(m.start(), ("def", m.group(2)))
+    calls: List[Dict[str, str]] = []
+    stack: List[Tuple[int, str, bool]] = []  # (indent, name, is_class)
+    pos = 0
+    for line in text.split("\n"):
+        start = pos
+        pos += len(line) + 1
+        stripped = line.lstrip(" \t")
+        if not stripped or _COMMENT_LINE.match(line):
+            continue
+        indent = len(line) - len(stripped)
+        sc = scope_at.get(start)
+        if sc is not None:
+            skind, name = sc
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            if skind == "class":
+                decls.append(
+                    (start, {"kind": "class", "name": name, "owner": ""})
+                )
+            else:
+                owner = stack[-1][1] if stack and stack[-1][2] else ""
+                kind = "method" if owner else "function"
+                decls.append(
+                    (start, {"kind": kind, "name": name, "owner": owner})
+                )
+            stack.append((indent, name, skind == "class"))
+            # decl lines yield no calls (default-arg / same-line-lambda
+            # calls skipped — the pre-wave-7 policy, unchanged)
+            continue
+        if _TOPLEVEL_STMT.match(stripped):
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+        if "(" not in line or _DECL_LINE.match(line):
+            continue
+        owner = ""
+        for _ind, sname, is_cls in reversed(stack):
+            if not is_cls:
+                owner = sname
+                break
+        for m in _line_calls(line):
+            name = m.group(1)
+            if name in _KEYWORDS:
+                continue
+            calls.append({"kind": "call", "name": name, "owner": owner})
+    decls.sort(key=lambda t: t[0])
+    return [d for _, d in decls] + calls
+
+
 def extract_mentions(
     lang: str,
     text: str,
@@ -964,32 +1054,10 @@ def extract_mentions(
         text = _mask_block_spans(text, lang)
     out: List[Dict[str, str]] = []
     if lang == "python":
-        decls: List[Tuple[int, Dict[str, str]]] = []
-        for m in _PY_IMPORT.finditer(text):
-            decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
-        for m in _PY_FROM.finditer(text):
-            decls.append((m.start(), {"kind": "import", "name": m.group(1), "owner": ""}))
-        # one class-regex pass feeds both the decl rows and the
-        # method-owner spans (this runs per chunk in the Arrow hot path)
-        class_spans = sorted(
-            (m.start(), m.group(1)) for m in _PY_CLASS.finditer(text)
-        )
-        for start, name in class_spans:
-            decls.append((start, {"kind": "class", "name": name, "owner": ""}))
-        for pat in (_PY_DEF, _PY_LAMBDA):
-            for m in pat.finditer(text):
-                indent, name = m.group(1), m.group(2)
-                owner = ""
-                if indent:
-                    preceding = [c for c in class_spans if c[0] < m.start()]
-                    if preceding:
-                        owner = preceding[-1][1]
-                kind = "method" if owner else "function"
-                decls.append(
-                    (m.start(), {"kind": kind, "name": name, "owner": owner})
-                )
-        out.extend(d for _, d in sorted(decls, key=lambda t: t[0]))
-        out.extend(_calls(text, _PY_ANY_DECL))
+        # single indent-scope walk — declarations AND calls (wave 7):
+        # python's extent syntax is indentation, so the owner stack lives
+        # in one line pass instead of the nearest-preceding-class lookup
+        out.extend(_python_mentions(text))
     elif lang == "javascript":
         decls = []
         for m in _JS_IMPORT.finditer(text):
@@ -1001,10 +1069,18 @@ def extract_mentions(
                 decls.append(
                     (m.start(), {"kind": "function", "name": m.group(1), "owner": ""})
                 )
-        class_spans = sorted(
-            (m.start(), m.group(1)) for m in _JS_CLASS.finditer(text)
-        )
-        for start, name in class_spans:
+        # extent-aware owner attribution, like java's (wave 6) — wave 7
+        # extended it here: "nearest preceding class" handed every
+        # method-shaped member AFTER a class closed (object-literal
+        # methods, a later object's field arrows) to that stale class.
+        # An extent truncated by the chunk boundary runs to chunk end.
+        class_extents = []
+        for m in _JS_CLASS.finditer(text):
+            brace = text.find("{", m.end())
+            end = _brace_span(text, brace) if brace != -1 else len(text)
+            class_extents.append((m.start(), m.group(1), end))
+        class_extents.sort()
+        for start, name, _e in class_extents:
             decls.append((start, {"kind": "class", "name": name, "owner": ""}))
         for m in _TS_NOMINAL.finditer(text):
             decls.append(
@@ -1015,10 +1091,11 @@ def extract_mentions(
                 name = m.group(2)
                 if name in _JS_METHOD_SKIP:
                     continue
-                # nearest preceding class, python/java-style; ownerless
-                # (object literal / continuation chunk) → function fallback
-                preceding = [c for c in class_spans if c[0] < m.start()]
-                owner = preceding[-1][1] if preceding else ""
+                # innermost ENCLOSING class; ownerless (object literal /
+                # continuation chunk) → function fallback
+                enclosing = [c for c in class_extents
+                             if c[0] < m.start() < c[2]]
+                owner = enclosing[-1][1] if enclosing else ""
                 kind = "method" if owner else "function"
                 decls.append(
                     (m.start(), {"kind": kind, "name": name, "owner": owner})
@@ -1167,8 +1244,19 @@ def extract_mentions(
         for m in _C_INCLUDE.finditer(text):
             stem = m.group(1).rsplit("/", 1)[-1].split(".", 1)[0]
             decls.append((m.start(), {"kind": "import", "name": stem, "owner": ""}))
+        # class brace extents (wave 7, the java/js treatment): inline
+        # member ownership was "nearest preceding class", which handed
+        # every indented function AFTER a class closed (anonymous-
+        # namespace helpers, a later struct's members) to that stale
+        # class.  _C_CLASS's match ends at ':' (base clause) or '{'.
+        class_extents = []
         for m in _C_CLASS.finditer(text):
             decls.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+            open_idx = (m.end() - 1 if text[m.end() - 1] == "{"
+                        else text.find("{", m.end()))
+            end = _brace_span(text, open_idx) if open_idx != -1 else len(text)
+            class_extents.append((m.start(), m.group(1), end))
+        class_extents.sort()
         for m in _C_TYPEDEF_FNPTR.finditer(text):
             decls.append(
                 (m.start(), {"kind": "class", "name": m.group(1), "owner": ""})
@@ -1195,9 +1283,50 @@ def extract_mentions(
                          {"kind": "class", "name": tail.group(1), "owner": ""})
                     )
         fn_spans = []
+        proto_spans = []
+        # constructors first (wave 7) — no return type, so _C_FN/_C_PROTO
+        # can't see them and the header minted a phantom call (`Socket(`)
+        # or, out-of-line, an ownerless 'function'.  In-class forms are
+        # anchored on the ENCLOSING class's name (extent-scoped — the
+        # bare `Name(args)` shape is call-identical otherwise); a
+        # `Name(tmp);` temporary-object STATEMENT inside a member body
+        # fits the proto form and is silenced too — accepted envelope,
+        # it is not a call a KG wants either.  `= default/delete` and
+        # plain prototypes are span-silenced, mention-free (_C_PROTO
+        # policy); definitions become methods owned by the class.
+        ctor_spans = []
+        for m in _C_CTOR_OUT.finditer(text):
+            cname = m.group(1)
+            decls.append(
+                (m.start(), {"kind": "method", "name": cname, "owner": cname})
+            )
+            fn_spans.append((m.start(), m.end(), cname))
+            ctor_spans.append((m.start(), m.end()))
+        for cstart, cname, cend in class_extents:
+            cpat = re.compile(
+                r"^[ \t]+(?:explicit\s+)?" + re.escape(cname) +
+                r"\s*\(([^;{}]*)\)\s*(?:noexcept\s*)?"
+                r"(?:=\s*(?:default|delete)\s*)?(?::[^{};]*)?([{;])",
+                re.M,
+            )
+            for m in cpat.finditer(text, cstart, cend):
+                ctor_spans.append((m.start(), m.end()))
+                if m.group(2) == "{":
+                    decls.append(
+                        (m.start(),
+                         {"kind": "method", "name": cname, "owner": cname})
+                    )
+                    fn_spans.append((m.start(), m.end(), cname))
+                else:
+                    proto_spans.append((m.start(), m.end()))
         for m in _C_FN.finditer(text):
             qual, name = m.group(2), m.group(3)
             if name in _C_CTRL:  # `else if (...) {` fits the def shape
+                continue
+            # a ctor rule above already owns this span (the multi-line
+            # type run lets _C_FN re-match an inline ctor whose preceding
+            # line supplies token text — e.g. an access specifier)
+            if any(s <= m.start(3) < e for s, e in ctor_spans):
                 continue
             owner = qual or ""
             # member-ness = indent of the NAME's own line, not the match
@@ -1208,21 +1337,19 @@ def extract_mentions(
             # specifier owner '' (found by the round-5 C++ probe batch)
             ls = text.rfind("\n", 0, m.start(3)) + 1
             if not owner and text[ls] in " \t":
-                # inline member definition: owner = nearest preceding
-                # class/struct declaration, python/java-style.  max() by
-                # position, NOT decls[-1]: the list interleaves several
-                # regex passes (class, typedef tails, fn-ptr typedefs) in
-                # append order, so the last element is not the nearest
-                # (wave 6 — a typedef alias declared earlier in the file
-                # could own a later class's members)
-                preceding = [c for c in decls if c[1]["kind"] == "class"
-                             and c[0] < m.start()]
-                if preceding:
-                    owner = max(preceding, key=lambda c: c[0])[1]["name"]
+                # inline member definition: owner = innermost class whose
+                # brace extent encloses the NAME (wave 7 — was "nearest
+                # preceding class", which outlived the class's body)
+                enclosing = [c for c in class_extents
+                             if c[0] < m.start(3) < c[2]]
+                if enclosing:
+                    owner = enclosing[-1][1]
             kind = "method" if owner else "function"
             decls.append((m.start(), {"kind": kind, "name": name, "owner": owner}))
             fn_spans.append((m.start(), m.end(), name))
-        proto_spans = [(m.start(), m.end()) for m in _C_PROTO.finditer(text)]
+        proto_spans.extend(
+            (m.start(), m.end()) for m in _C_PROTO.finditer(text)
+        )
         for m in _C_DTOR.finditer(text):
             if m.group(3) != "{":
                 # ';'-terminated (prototype / `= default;`): silence the
@@ -1231,11 +1358,11 @@ def extract_mentions(
                 continue
             owner = m.group(1) or ""
             if not owner:
-                # max() by position — see the _C_FN owner lookup above
-                preceding = [c for c in decls if c[1]["kind"] == "class"
-                             and c[0] < m.start()]
-                if preceding:
-                    owner = max(preceding, key=lambda c: c[0])[1]["name"]
+                # innermost enclosing class extent — see the _C_FN lookup
+                enclosing = [c for c in class_extents
+                             if c[0] < m.start() < c[2]]
+                if enclosing:
+                    owner = enclosing[-1][1]
             kind = "method" if owner else "function"
             decls.append(
                 (m.start(),
@@ -1315,15 +1442,17 @@ def _calls(
     decl_probe: "re.Pattern",
     skip_spans: "List[Tuple[int, int]]" = (),
 ) -> List[Dict[str, str]]:
-    """Call-site mentions with enclosing-function attribution (python/go).
+    """Call-site mentions with enclosing-function attribution (go).
 
     A call on a non-declaration line is attributed to the most recent
-    function/method declaration above it in the same chunk ('' = module
-    level).  A column-0 statement line RESETS the owner to module scope:
-    both languages end a body by dedent/close before the next top-level
-    statement, so `X = compute()` after a def belongs to the module, not
-    to the last-seen def (round-5 wave 6 — the dedent-blind tracker handed
-    every module-level call after the first def to that def).  Lines whose
+    function declaration above it in the same chunk ('' = package
+    level).  A column-0 statement line RESETS the owner to package scope:
+    go closes a body with a column-0 '}' before the next top-level
+    statement, so `var X = compute()` after a func belongs to the
+    package, not to the last-seen func (round-5 wave 6).  Python used
+    this pass too until wave 7 moved it to the indent-scope walk in
+    _python_mentions (go is brace-scoped — indent semantics don't
+    transfer, so the flat tracker stays here).  Lines whose
     start falls inside a ``skip_spans`` range (go interface bodies — their
     method-set prototypes are shape-identical to calls) yield nothing.
     Deterministic under chunking because the oracle chunks the same way.

@@ -70,6 +70,11 @@ def _gen_python(rng: random.Random) -> str:
         # keep them in the draw so throughput covers asyncio-style files
         kw = "async def" if rng.random() < 0.2 else "def"
         lines.append(f"{kw} fn_{f}(x):")
+        if rng.random() < 0.2:
+            # nested def — a closure, owned by nothing (wave-7 scoping:
+            # previously minted as a method of whatever class came before)
+            lines.append(f"    def fn_{rng.randrange(N_FUNCS)}(y):")
+            lines.append("        return y")
         for _ in range(rng.randint(1, 3)):
             lines.append(f"    y = fn_{rng.randrange(N_FUNCS)}(x)")
         lines.append("    return y")
@@ -77,6 +82,16 @@ def _gen_python(rng: random.Random) -> str:
     if rng.random() < 0.6:
         c = rng.randrange(N_CLASSES)
         lines.append(f"class Cls_{c}:")
+        if rng.random() < 0.2:
+            # class-body statement — its call belongs to module scope,
+            # not the previous def (wave-7 canary)
+            lines.append(f"    cfg = fn_{rng.randrange(N_FUNCS)}(1)")
+        if rng.random() < 0.15:
+            # nested class + member — invisible before wave 7
+            inner = rng.randrange(N_CLASSES)
+            lines.append(f"    class Cls_{inner}:")
+            lines.append(f"        def fn_{rng.randrange(N_FUNCS)}(self):")
+            lines.append("            return self")
         for _ in range(rng.randint(1, 3)):
             f = rng.randrange(N_FUNCS)
             lines.append(f"    def fn_{f}(self):")
@@ -180,6 +195,16 @@ def _gen_javascript(rng: random.Random) -> str:
                 lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(k);")
                 lines.append("  }")
         lines.append("}")
+        if rng.random() < 0.3:
+            # object-literal method AFTER the class closed — extent-aware
+            # ownership (wave 7) keeps it ownerless instead of stealing
+            # the stale class above
+            o = rng.randrange(N_FUNCS)
+            lines.append(f"export const reg_{rng.randrange(9)} = {{")
+            lines.append(f"  fn_{o}(v) {{")
+            lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(v);")
+            lines.append("  },")
+            lines.append("};")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
 

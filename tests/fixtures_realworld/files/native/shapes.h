@@ -49,4 +49,18 @@ private:
     struct shape_node *head_;
 };
 
+/* out-of-line constructor — no return type, self-identifying via the
+ * repeated qualifier (wave 7) */
+ShapeBuffer::ShapeBuffer(size_t cap) : head_(NULL) {
+    shape_reserve(cap);
+}
+
+/* indented free function AFTER the class closed — extent-aware
+ * ownership (wave 7) keeps it off ShapeBuffer */
+namespace shapes {
+    inline double clamp_angle(double a) {
+        return SHAPE_MAX(a, 0.0);
+    }
+}
+
 #endif

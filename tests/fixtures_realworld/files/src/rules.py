@@ -17,4 +17,9 @@ class RuleSet:
 
 
 def combined(tasks):
-    return [normalize(t.title) for t in RuleSet().apply(tasks)]
+    # nested def — a closure, not a method of RuleSet (wave-7 scoping)
+    def dedupe(titles):
+        seen = set()
+        return [t for t in titles if not (t in seen or seen.add(t))]
+
+    return dedupe(normalize(t.title) for t in RuleSet().apply(tasks))

@@ -40,6 +40,13 @@ class Tracker:
     def pending(self):
         return [t for t in self._tasks if not t.done]
 
+    class Cursor:
+        """Nested iteration state — an indented class (wave 7)."""
+
+        def advance(self, step):
+            self.pos = self.pos + step
+            return self.pos
+
 
 def load_tracker(path):
     tracker = Tracker()

@@ -75,3 +75,11 @@ export abstract class BaseView {
     return this.render();
   }
 }
+
+// object-literal method AFTER a class has closed — extent-aware
+// ownership (wave 7) keeps it off BaseView
+export const viewRegistry = {
+  register(tag: string, view: BaseView) {
+    return catalog.set(tag, view);
+  },
+};

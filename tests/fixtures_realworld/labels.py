@@ -32,8 +32,10 @@ LABELS = {
     "src/tracker.py": {
         ("import", "dataclasses"), ("import", "json"), ("import", "collections"),
         ("type", "Task"), ("type", "Tracker"),
+        ("type", "Cursor"),              # nested (indented) class — wave 7
         ("callable", "matches"), ("callable", "to_json"),
         ("callable", "__init__"), ("callable", "add"), ("callable", "pending"),
+        ("callable", "advance"),         # member of the nested class
         ("callable", "load_tracker"), ("callable", "render_summary"),
     },
     "src/cli.py": {
@@ -57,6 +59,9 @@ LABELS = {
         ("callable", "render"),          # abstract prototype (`…: void;`)
         ("callable", "trace"),           # ES2022 private method (#trace)
         ("callable", "show"),
+        # --- wave-7 shapes ---
+        ("callable", "register"),        # object-literal method after a
+        # class closed — ownerless under extent-aware attribution
     },
     "web/store.js": {
         ("import", "fs"), ("import", "path"),
@@ -166,9 +171,13 @@ LABELS = {
         # shape_area / shape_free are prototypes, not definitions — not
         # labeled, same convention as pool.c's pool_free
         ("type", "ShapeBuffer"),         # RAII class (wave 6)
-        ("callable", "~ShapeBuffer"),    # inline destructor definition;
-        # the ShapeBuffer(size_t) constructor PROTOTYPE follows the
-        # prototype convention above — not labeled
+        ("callable", "~ShapeBuffer"),    # inline destructor definition
+        ("callable", "ShapeBuffer"),     # out-of-line constructor (wave 7);
+        # the in-class ShapeBuffer(size_t) PROTOTYPE itself follows the
+        # prototype convention above — the label is satisfied by the
+        # out-of-line definition
+        ("callable", "clamp_angle"),     # namespaced free function after
+        # the class closed — ownerless under extent-aware attribution
     },
     "svc/models.go": {
         ("import", "time"),
@@ -199,6 +208,7 @@ LABELS = {
         ("callable", "normalize"),
         ("callable", "default_key"),     # class-body lambda → method
         ("callable", "apply"), ("callable", "combined"),
+        ("callable", "dedupe"),          # nested def — a closure (wave 7)
     },
 }
 
@@ -211,7 +221,10 @@ OWNERS = {
     "src/tracker.py": {"matches": "Task", "to_json": "Task",
                        "__init__": "Tracker", "add": "Tracker",
                        "pending": "Tracker", "load_tracker": "",
-                       "render_summary": ""},
+                       "render_summary": "",
+                       # member of the nested class — the INNERMOST
+                       # enclosing scope, not the outer Tracker (wave 7)
+                       "advance": "Cursor"},
     "lib/report.rb": {"initialize": "Summary", "render": "Summary",
                       "from_file": "Summary", "open_tasks": "Summary",
                       "quick_report": ""},
@@ -230,8 +243,11 @@ OWNERS = {
                    "first": "TaskApi", "listTasks": "",
                    "respond": "", "withRetry": "",
                    "render": "BaseView", "trace": "BaseView",
-                   "show": "BaseView"},
-    "native/shapes.h": {"~ShapeBuffer": "ShapeBuffer"},
+                   "show": "BaseView",
+                   "register": ""},      # after BaseView closed (wave 7)
+    "native/shapes.h": {"~ShapeBuffer": "ShapeBuffer",
+                        "ShapeBuffer": "ShapeBuffer",  # out-of-line ctor
+                        "clamp_angle": ""},  # after the class closed
     "native/pool.c": {"align_up": "", "pool_new": "", "pool_alloc": "",
                       "pool_reset": ""},
     # round-5 wave-4 owner checks
@@ -241,5 +257,6 @@ OWNERS = {
                        "resolveAttempts": "RetryProcessor"},
     "src/rules.py": {"is_urgent": "", "normalize": "",
                      "default_key": "RuleSet", "apply": "RuleSet",
-                     "combined": ""},
+                     "combined": "",
+                     "dedupe": ""},      # closure — not a RuleSet method
 }
