@@ -21,6 +21,7 @@ reruns and partitionings (SURVEY §2.5 — never ``monotonically_increasing_id``
 
 from __future__ import annotations
 
+import bisect
 import re
 from typing import Any, Dict, Iterable, List, Tuple
 
@@ -511,32 +512,42 @@ _STRING_SPAN = re.compile(
 
 
 def _mask_block_spans(text: str, lang: str) -> str:
-    """Blank out multi-line comment bodies (and python triple-quoted
-    strings) BEFORE the grammars run, so commented-out code and
-    docstring/doctest examples can never mint declarations or calls —
-    the highest-volume false-positive source on real repositories.
+    """Blank out multi-line comment AND multi-line string bodies BEFORE
+    the grammars run, so commented-out code, docstring/doctest examples
+    and code-shaped string payloads (SQL in a JS template literal, a
+    ruby heredoc, a java text block) can never mint declarations or
+    calls — the highest-volume false-positive source on real
+    repositories.  Round-5 wave 8 extended the comment/docstring mask to
+    every multi-line string form the routed languages have: js/go
+    backtick spans containing a newline, java ``\"\"\"`` text blocks,
+    rust multi-line raw strings (``r\"…\"`` / ``r#\"…\"#``), ruby
+    ``=begin``/``=end`` blocks and heredocs, and backslash-newline
+    continuation strings (python/c/js).  Single-LINE literals keep the
+    round-4 behavior bit-exactly: skipped here, suppressed in the call
+    pass by ``_STRING_SPAN``.
 
     Masking replaces span content with spaces while PRESERVING newlines,
     so every match offset, line structure and chunk id downstream is
     byte-identical to the unmasked text.  The scanner skips single-line
     string literals (a ``"/*"`` inside a string must not open a block)
-    and line comments (``// see /*`` must not either); go/JS backtick
-    strings are treated as multi-line.  A span left open at chunk end
-    masks to the end — the chunk-boundary envelope shared by every
-    grammar here (an opener in chunk N cannot shadow chunk N+1).
-    Returns ``text`` unchanged (no copy) when no opener occurs.
+    and line comments (``// see /*`` must not either).  A span left open
+    at chunk end masks to the end — the chunk-boundary envelope shared
+    by every grammar here (an opener in chunk N cannot shadow chunk
+    N+1) — EXCEPT a bare ruby ``<<TAG`` with no terminator in the chunk,
+    which is shift-ambiguous (``x<<WIDTH``) and therefore never masks
+    without its terminator line; the unambiguous ``<<~``/``<<-``/quoted
+    forms do mask to the end.  Returns ``text`` unchanged (no copy) when
+    no opener occurs.
     """
-    if lang == "python":
-        probe = ('"""', "'''")
-        if not any(p in text for p in probe):
-            return text
-    else:
-        if "/*" not in text:
-            return text
+    probes = _MASK_PROBES[lang]
+    if not any(p in text for p in probes):
+        return text
     # token-jumping scan: O(interesting tokens), not O(chars) — a per-char
     # python loop cost ~25% of kernel throughput on a docstring-rich corpus
-    tok_re = _PY_MASK_TOK if lang == "python" else _C_MASK_TOK
+    tok_re = _MASK_TOKS[lang]
+    cont_ok = lang in ("python", "c", "javascript")
     spans = []
+    term_index = None  # lazy ruby heredoc terminator-line index
     n = len(text)
     i = 0
     while True:
@@ -545,6 +556,7 @@ def _mask_block_spans(text: str, lang: str) -> str:
             break
         tok, start = m.group(), m.start()
         if tok in ('"""', "'''"):
+            # python triple-quote docstring OR java text block
             j = text.find(tok, start + 3)
             end = n if j == -1 else j + 3
             spans.append((start, end))
@@ -557,25 +569,88 @@ def _mask_block_spans(text: str, lang: str) -> str:
         elif tok in ("#", "//"):  # line comment: no opener inside counts
             j = text.find("\n", start)
             i = n if j == -1 else j + 1
-        elif tok == "`":  # multi-line raw string / template
+        elif tok == "`":  # js template / go raw string
             j = text.find("`", start + 1)
-            i = n if j == -1 else j + 1
-        else:  # ' or " single-line string, escape-aware
+            end = n if j == -1 else j + 1
+            if "\n" in text[start:end]:
+                spans.append((start, end))
+            i = end
+        elif tok == "=begin":  # ruby block comment (column-0 anchored)
+            mm = _RB_BLOCK_END.search(text, start)
+            end = n if mm is None else mm.end()
+            spans.append((start, end))
+            i = end
+        elif tok.startswith("<<"):  # ruby heredoc opener
+            tag = m.group(2)
+            bare = tok[2] not in "~-" and not m.group(1)
+            line_end = text.find("\n", m.end())
+            if line_end == -1:
+                i = n
+                continue
+            if term_index is None:
+                # one O(n) pass builds tag → sorted terminator-line ends;
+                # each lookup is then a bisect — a per-token re.search
+                # over the tail was O(n²) on shift-heavy files (x<<WIDTH)
+                term_index = {}
+                pos = 0
+                for line in text.split("\n"):
+                    s = line.strip(" \t\r")
+                    if s and _RB_TERM_OK.match(s):
+                        term_index.setdefault(s, []).append(pos + len(line))
+                    pos += len(line) + 1
+            ends = term_index.get(tag)
+            hit = None
+            if ends:
+                k = bisect.bisect_right(ends, line_end)
+                if k < len(ends):
+                    hit = ends[k]
+            if hit is not None:
+                spans.append((line_end + 1, hit))
+                i = hit
+            elif bare:
+                # no terminator + shift-ambiguous token: not a heredoc
+                i = m.end()
+            else:
+                spans.append((line_end + 1, n))
+                i = n
+        elif len(tok) > 1 and tok.endswith('"'):  # rust raw string rb?#*"
+            closer = '"' + "#" * tok.count("#")
+            j = text.find(closer, m.end())
+            end = n if j == -1 else j + len(closer)
+            if "\n" in text[start:end]:
+                spans.append((start, end))
+            i = end
+        else:  # ' or " string: single-line unless \-newline continuation
             q = tok
             j = start + 1
+            crossed_nl = False
             while True:
                 k = text.find(q, j)
                 nl = text.find("\n", j)
-                if k == -1:
-                    i = n if nl == -1 else nl + 1
+                if k == -1 and nl == -1:
+                    if crossed_nl:
+                        spans.append((start, n))
+                    i = n
                     break
-                if nl != -1 and nl < k:
+                if nl != -1 and (k == -1 or nl < k):
+                    b = nl - 1
+                    while b >= 0 and text[b] == "\\":
+                        b -= 1
+                    if cont_ok and (nl - 1 - b) % 2 == 1:
+                        # escaped newline: the literal continues
+                        j = nl + 1
+                        crossed_nl = True
+                        continue
+                    if crossed_nl:
+                        spans.append((start, nl))
                     i = nl + 1
                     break
                 b = k - 1
                 while b >= 0 and text[b] == "\\":
                     b -= 1
                 if (k - 1 - b) % 2 == 0:
+                    if crossed_nl:
+                        spans.append((start, k + 1))
                     i = k + 1
                     break
                 j = k + 1
@@ -591,12 +666,43 @@ def _mask_block_spans(text: str, lang: str) -> str:
 
 
 _MASKED_LANGS = frozenset(
-    {"python", "javascript", "go", "java", "rust", "c"}
+    {"python", "javascript", "go", "java", "rust", "c", "ruby"}
 )
 # tokens the mask scanner jumps between (order matters: ''' / """ / /*
-# before their single-char prefixes)
+# / r#" before their single-char prefixes), one set per routed lang —
+# a backtick is a string only in js/go, `"""` only in python/java, raw
+# strings only in rust, heredocs only in ruby
 _PY_MASK_TOK = re.compile(r'"""|\'\'\'|#|["\']')
-_C_MASK_TOK = re.compile(r"/\*|//|[\"'`]")
+_JSGO_MASK_TOK = re.compile(r"/\*|//|[\"'`]")
+_C_MASK_TOK = re.compile(r"/\*|//|[\"']")
+_JAVA_MASK_TOK = re.compile(r'/\*|//|"""|["\']')
+_RUST_MASK_TOK = re.compile(r'/\*|//|(?<![\w"])b?r#*"|["\']')
+_RB_MASK_TOK = re.compile(
+    r"#|[\"']|^=begin|<<[~-]?(['\"]?)([A-Z_][A-Za-z0-9_]*)\1", re.M
+)
+_RB_BLOCK_END = re.compile(r"^=end[^\n]*", re.M)
+# a heredoc terminator line's stripped content: exactly the tag shape
+_RB_TERM_OK = re.compile(r"[A-Z_]\w*\Z", re.ASCII)
+_MASK_TOKS = {
+    "python": _PY_MASK_TOK,
+    "javascript": _JSGO_MASK_TOK,
+    "go": _JSGO_MASK_TOK,
+    "java": _JAVA_MASK_TOK,
+    "rust": _RUST_MASK_TOK,
+    "c": _C_MASK_TOK,
+    "ruby": _RB_MASK_TOK,
+}
+# cheap containment probes gating the scan (the overwhelmingly common
+# no-multi-line-span file must stay zero-cost)
+_MASK_PROBES = {
+    "python": ('"""', "'''", "\\\n"),
+    "javascript": ("/*", "`", "\\\n"),
+    "go": ("/*", "`"),
+    "java": ("/*", '"""'),
+    "rust": ("/*", 'r"', '#"'),
+    "c": ("/*", "\\\n"),
+    "ruby": ("=begin", "<<"),
+}
 
 
 def chunk_text_masked(

@@ -102,6 +102,12 @@ def _gen_python(rng: random.Random) -> str:
         # canary (a dedent-blind tracker hands this call to the last def)
         lines.append(f"cfg_{rng.randrange(9)} = fn_{rng.randrange(N_FUNCS)}(0)")
         lines.append("")
+    if rng.random() < 0.1:
+        # backslash-continuation string (wave 8) — its tail line is
+        # string DATA, not a declaration
+        lines.append(f"banner_{rng.randrange(9)} = 'usage: \\")
+        lines.append(f" def ghost_{rng.randrange(99)}(): pass'")
+        lines.append("")
     # padding comments make rows 0.2-50 KB and multi-chunk
     pad = rng.randint(0, 40)
     lines.extend(f"# note {rng.randrange(9999)} filler comment line" for _ in range(pad))
@@ -205,6 +211,13 @@ def _gen_javascript(rng: random.Random) -> str:
             lines.append(f"    return fn_{rng.randrange(N_FUNCS)}(v);")
             lines.append("  },")
             lines.append("};")
+    if rng.random() < 0.2:
+        # multi-line template literal (wave 8) — SQL-ish body with
+        # call- and decl-shaped lines stays string DATA
+        lines.append(f"const sql_{rng.randrange(9)} = `")
+        lines.append(f"  SELECT count_{rng.randrange(99)}(*) FROM t")
+        lines.append(f"  function dead_{rng.randrange(99)}(x) {{ gone(x); }}")
+        lines.append("`;")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
 
@@ -264,6 +277,12 @@ def _gen_go(rng: random.Random) -> str:
         lines.append(f"var fn_{f} = func(x int) int {{")
         lines.append(f"\treturn fn_{rng.randrange(N_FUNCS)}(x)")
         lines.append("}")
+    if rng.random() < 0.15:
+        # multi-line raw string (wave 8) — body stays string DATA
+        lines.append(f"var tmpl_{rng.randrange(9)} = `")
+        lines.append(f"SELECT count_{rng.randrange(99)}(*) FROM t")
+        lines.append(f"func dead_{rng.randrange(99)}() {{}}")
+        lines.append("`")
     lines.extend(f"// filler {rng.randrange(9999)}" for _ in range(rng.randint(0, 30)))
     return "\n".join(lines)
 
@@ -302,6 +321,12 @@ def _gen_java(rng: random.Random) -> str:
             lines.append(f"    public Cls_{c}(int seed) {{")
             lines.append(f"        fn_{rng.randrange(N_FUNCS)}(seed);")
             lines.append("    }")
+        if rng.random() < 0.15:
+            # JDK-15 text block (wave 8) — body stays string DATA
+            lines.append(f'    static final String Q_{rng.randrange(9)} = """')
+            lines.append(f"        SELECT count_{rng.randrange(99)}(*) FROM t")
+            lines.append(f"        void dead_{rng.randrange(99)}() {{")
+            lines.append('        """;')
         if rng.random() < 0.2:
             # nested class followed by outer members — the wave-6
             # extent canary (nearest-preceding owner handed the NEXT

@@ -15,6 +15,13 @@ public @interface Retry {
 }
 
 class RetryProcessor {
+    // wave-8 shape: a JDK-15 text block — its body (call-shaped usage
+    // text, a decl-shaped line) is string DATA, never mentions
+    static final String USAGE = """
+        retry(attempts) wraps call(target);
+        void ghost() {
+        """;
+
     private final java.util.function.IntUnaryOperator backoff = n -> n * 2;
 
     static int resolveAttempts(Retry r) {

@@ -15,6 +15,16 @@ module Reporting
       new(JSON.parse(File.read(path), symbolize_names: true))
     end
 
+    # wave-8 shape: heredoc body is string DATA — count(*) and the
+    # decl-shaped line never become mentions
+    def overdue_sql
+      <<~SQL
+        SELECT count(*) FROM tasks
+        def ghost; end
+        WHERE done = 0
+      SQL
+    end
+
     private
 
     def open_tasks

@@ -52,3 +52,13 @@ pub enum Edge {
     Weighted(u64, f64),
     Plain(u64),
 }
+
+// wave-8 shape: a multi-line raw string — its body (call-shaped mermaid
+// text, a decl-shaped line) is string DATA, never mentions
+pub fn mermaid_header() -> &'static str {
+    r#"
+graph TD
+  start(["deploy(env)"])
+fn ghost() {}
+"#
+}

@@ -18,6 +18,19 @@ const save = function (rows) {
   fs.writeFileSync(DB_FILE, rows.map(JSON.stringify).join('\n'));
 };
 
+// wave-8 shape: a multi-line template literal holding SQL — its body
+// (count(*), a decl-shaped line) is string DATA, never mentions
+const REPORT_SQL = `
+  SELECT status, count(*) AS n
+  FROM tasks
+  GROUP BY status
+  function ghost() { leak(1); }
+`;
+
+function report(db) {
+  return db.all(REPORT_SQL);
+}
+
 let counter = 0;
 
 const nextId = () => {

@@ -67,6 +67,8 @@ LABELS = {
         ("import", "fs"), ("import", "path"),
         ("callable", "readAll"), ("callable", "query"),
         ("callable", "save"), ("callable", "nextId"),
+        ("callable", "report"),          # wave 8: follows a multi-line
+        # template literal whose SQL body must stay string data
     },
     "svc/server.go": {
         ("import", "fmt"), ("import", "sync"),
@@ -98,6 +100,8 @@ LABELS = {
         ("type", "NodeId"),              # type alias (wave 5)
         ("callable", "new"), ("callable", "add_edge"), ("callable", "degree"),
         ("callable", "fmt"), ("callable", "components"),
+        ("callable", "mermaid_header"),  # wave 8: multi-line raw string
+        # body must stay string data
         ("callable", "visit"),  # trait method signature — a declaration
         ("callable", "trace_edge"),      # macro_rules! definition
         ("type", "Edge"),                # enum with tuple variants (wave 6);
@@ -117,6 +121,8 @@ LABELS = {
         ("callable", "initialize"), ("callable", "render"),
         ("callable", "from_file"), ("callable", "open_tasks"),
         ("callable", "quick_report"),
+        ("callable", "overdue_sql"),     # wave 8: heredoc body below it
+        # must stay string data
     },
     "ops/deploy.sh": {
         ("import", "colors"), ("import", "env"),
@@ -227,10 +233,10 @@ OWNERS = {
                        "advance": "Cursor"},
     "lib/report.rb": {"initialize": "Summary", "render": "Summary",
                       "from_file": "Summary", "open_tasks": "Summary",
-                      "quick_report": ""},
+                      "quick_report": "", "overdue_sql": "Summary"},
     "native/graph.rs": {"new": "Graph", "add_edge": "Graph",
                         "degree": "Graph", "fmt": "Graph", "components": "",
-                        "visit": "Visit"},
+                        "visit": "Visit", "mermaid_header": ""},
     "jvm/Tracker.java": {"Tracker": "Tracker", "pair": "Tracker",
                          "add": "Tracker", "snapshot": "Tracker",
                          # snapshot follows the NESTED Entry class in

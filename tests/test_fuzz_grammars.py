@@ -837,3 +837,104 @@ def test_mask_preserves_sha_and_strings_keep_blocks_open():
     plain = chunk_text(src, 32)
     trip = chunk_text_masked(src, "javascript", 32)
     assert [(c, t) for c, t, _ in trip] == plain
+
+
+# ---------------------------------------------------------------------------
+# Wave-8 family — multi-line string payloads never leak mentions
+# ---------------------------------------------------------------------------
+
+# decl/call-shaped lines placed INSIDE a multi-line string: each would
+# mint a mention if the mask missed the span.  None contain the closing
+# delimiter of any wrapper below.
+_PAYLOAD_LINES = st.sampled_from([
+    "def ghost(x): pass",
+    "function ghost(x) { gone(1); }",
+    "func ghost() {}",
+    "fn ghost() {}",
+    "class Ghost:",
+    "void ghost(int x) {",
+    "SELECT count(*) FROM t",
+    "  retry(3) wraps call(target)",
+    "import ghostmod",
+])
+
+
+def _real_decl(lang, i):
+    # one genuine declaration per language + its expected mention row
+    return {
+        "python": (f"def live{i}(x):\n    return x", ("function", f"live{i}", "")),
+        "javascript": (f"export function live{i}(x) {{\n  return x;\n}}",
+                       ("function", f"live{i}", "")),
+        "go": (f"func live{i}(x int) int {{\n\treturn x\n}}",
+               ("function", f"live{i}", "")),
+        "java": (f"class Live{i} {{\n}}", ("class", f"Live{i}", "")),
+        "rust": (f"fn live{i}() -> u32 {{\n    1\n}}",
+                 ("function", f"live{i}", "")),
+        "ruby": (f"def live{i}\n  1\nend", ("function", f"live{i}", "")),
+        "c": (f"int live{i}(void) {{\n    return 1;\n}}",
+              ("function", f"live{i}", "")),
+    }[lang]
+
+
+def _wrap_string(lang, body, rng_pick):
+    # every multi-line string form wave 8 masks, per language.  A
+    # continuation string needs EVERY interior newline escaped (an
+    # unescaped one ends the literal — anything after it is live code,
+    # correctly outside the mask).
+    cont = body.replace("\n", " \\\n")
+    forms = {
+        "python": [
+            "s = '''\n%s\n'''" % body,
+            's = """\n%s\n"""' % body,
+            "s = 'head \\\n%s'" % cont.replace("'", ""),
+        ],
+        "javascript": [
+            "const s = `\n%s\n`;" % body,
+            'const s = "head \\\n%s";' % cont.replace('"', ""),
+        ],
+        "go": ["var s = `\n%s\n`" % body],
+        "java": ['String s = """\n%s\n""";' % body],
+        "rust": ['let s = r#"\n%s\n"#;' % body.replace('"#', ""),
+                 'let s = r"\n%s\n";' % body.replace('"', "")],
+        "ruby": [
+            "s = <<~GHOSTTAG\n%s\nGHOSTTAG" % body,
+            "s = <<-GHOSTTAG\n%s\nGHOSTTAG" % body,
+            "s = <<'GHOSTTAG'\n%s\nGHOSTTAG" % body.replace("'", ""),
+            "=begin\n%s\n=end" % body,
+        ],
+        "c": ['const char *s = "head \\\n%s";' % cont.replace('"', "")],
+    }[lang]
+    return forms[rng_pick % len(forms)]
+
+
+@st.composite
+def _string_payload_case(draw):
+    lang = draw(st.sampled_from(
+        ("python", "javascript", "go", "java", "rust", "ruby", "c")))
+    payload = "\n".join(draw(st.lists(_PAYLOAD_LINES, min_size=1, max_size=4)))
+    wrapper = _wrap_string(lang, payload, draw(st.integers(0, 7)))
+    before, b_row = _real_decl(lang, draw(st.integers(0, 9)))
+    after, a_row = _real_decl(lang, 10 + draw(st.integers(0, 9)))
+    src = f"{before}\n{wrapper}\n{after}\n"
+    expected = [b_row, a_row]
+    if lang == "java":
+        # the wrapper's field must live inside a class for realism-free
+        # simplicity we leave it top-level: the grammar only anchors
+        # methods on indented lines, so the bare field line is inert
+        pass
+    return lang, src, expected
+
+
+@settings(**_SETTINGS)
+@given(_string_payload_case())
+def test_string_payloads_never_leak(case):
+    lang, src, expected = case
+    rows = _decls(lang, src)
+    # no ghost mention of any kind, in any position
+    names = {m["name"] for m in extract_mentions(lang, src)}
+    assert "ghost" not in names and "Ghost" not in names, src
+    assert "gone" not in names and "count" not in names, src
+    assert "ghostmod" not in names, src
+    # the real declarations around the string still extract
+    for row in expected:
+        assert row in rows, (src, rows)
