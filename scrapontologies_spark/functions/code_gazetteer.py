@@ -175,7 +175,15 @@ _JS_CLASS = re.compile(
 # invisible (round-5 wave-4 shape probe)
 _JS_RET_ANN = r"(?::\s*[\w$<>\[\],. |&]+)?"
 _JS_ARROW = re.compile(
+    # the optional type-parameter clause admits generic arrows
+    # (`const pick = <T,>(xs: T[]): T => …`); a JSX element in the same
+    # position (`const x = <div>…`) cannot false-positive because the
+    # clause must be followed by `(params) …=>` on the same line —
+    # element child text shaped exactly like an arrow head is the only
+    # collision, accepted as negligible (round-5 wave 8, closing the
+    # declared TSX-ambiguity residual)
     r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?"
+    r"(?:" + _TYPE_PARAMS + r"\s*)?"
     r"(?:\([^)]*\)\s*" + _JS_RET_ANN + r"|[\w$]+)\s*=>",
     re.M,
 )

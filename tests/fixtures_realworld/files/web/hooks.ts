@@ -35,3 +35,8 @@ const fetchTasks = async (): Promise<Task[]> => {
   const res = await fetch('/api/tasks')
   return res.json()
 }
+
+// generic arrow declarator — the trailing-comma TSX-safe form (wave 8)
+export const firstOr = <T,>(xs: T[], fallback: T): T => {
+  return xs.length > 0 ? xs[0] : fallback
+}

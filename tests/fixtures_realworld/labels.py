@@ -156,6 +156,8 @@ LABELS = {
         ("callable", "wrap"),
         ("callable", "reportMetric"),    # ambient `declare function`
         ("callable", "fetchTasks"),      # typed async arrow
+        ("callable", "firstOr"),         # generic arrow `= <T,>(…) =>`
+        # (wave 8 — previously a declared TSX-ambiguity residual)
     },
     "web/legacy.cjs": {
         ("import", "path"), ("import", "store"),

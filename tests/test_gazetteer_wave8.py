@@ -270,3 +270,30 @@ def test_wave8_document_level_mask_spans_chunks():
     objs = {o for _, _, o, _ in triples}
     assert "r/m.js::real" in objs
     assert not any("count" in o for o in objs)
+
+
+# --- generic arrow declarators (closing a declared residual) ----------------
+
+
+def test_generic_arrow_declarators_extract():
+    cases = [
+        "export const pick = <T,>(xs: T[]): T => {\n  return xs[0];\n};\n",
+        "const fold = <T extends Node<T>>(xs: T[]) => {\n  return xs;\n};\n",
+        "const load = async <T,>(k: string): Promise<T> => {\n"
+        "  return go(k);\n};\n",
+    ]
+    for src in cases:
+        names = _names("javascript", src, "function")
+        assert len(names) == 1 and names[0] in ("pick", "fold", "load"), src
+
+
+def test_jsx_elements_are_not_generic_arrows():
+    # a JSX element in declarator position must not mint a function —
+    # the arrow head `(params) … =>` is required after the <...> clause
+    cases = [
+        "const view = <div>(hello)</div>;\nrender(view);\n",
+        'const card = <Card title="x" />;\nrender(card);\n',
+        "const wrap = <Layout>{children}</Layout>;\n",
+    ]
+    for src in cases:
+        assert _names("javascript", src, "function") == [], src
