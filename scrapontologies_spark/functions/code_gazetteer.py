@@ -550,6 +550,30 @@ def _mask_block_spans(text: str, lang: str) -> str:
     probes = _MASK_PROBES[lang]
     if not any(p in text for p in probes):
         return text
+    if lang == "yaml":
+        # block scalars (`run: |`, `script: >-` — every CI file's shape):
+        # the body is string DATA whose `key:`-shaped lines minted
+        # phantom mentions.  Line walk: after a header, mask every
+        # following line that is blank or more indented than the header.
+        out_lines = []
+        masking = False
+        hdr_indent = 0
+        changed = False
+        for line in text.split("\n"):
+            stripped = line.strip(" \t\r")
+            indent = len(line) - len(line.lstrip(" \t"))
+            if masking and stripped and indent <= hdr_indent:
+                masking = False
+            if masking:
+                out_lines.append("".join(
+                    "\n" if ch == "\n" else " " for ch in line))
+                changed = changed or bool(stripped)
+                continue
+            out_lines.append(line)
+            if _YAML_BLOCK_HDR.match(line):
+                masking = True
+                hdr_indent = indent
+        return "\n".join(out_lines) if changed else text
     # token-jumping scan: O(interesting tokens), not O(chars) — a per-char
     # python loop cost ~25% of kernel throughput on a docstring-rich corpus
     tok_re = _MASK_TOKS[lang]
@@ -588,7 +612,7 @@ def _mask_block_spans(text: str, lang: str) -> str:
             end = n if mm is None else mm.end()
             spans.append((start, end))
             i = end
-        elif tok.startswith("<<"):  # ruby heredoc opener
+        elif tok.startswith("<<"):  # ruby / shell heredoc opener
             tag = m.group(2)
             bare = tok[2] not in "~-" and not m.group(1)
             line_end = text.find("\n", m.end())
@@ -599,11 +623,12 @@ def _mask_block_spans(text: str, lang: str) -> str:
                 # one O(n) pass builds tag → sorted terminator-line ends;
                 # each lookup is then a bisect — a per-token re.search
                 # over the tail was O(n²) on shift-heavy files (x<<WIDTH)
+                term_ok = _RB_TERM_OK if lang == "ruby" else _SH_TERM_OK
                 term_index = {}
                 pos = 0
                 for line in text.split("\n"):
                     s = line.strip(" \t\r")
-                    if s and _RB_TERM_OK.match(s):
+                    if s and term_ok.match(s):
                         term_index.setdefault(s, []).append(pos + len(line))
                     pos += len(line) + 1
             ends = term_index.get(tag)
@@ -674,7 +699,8 @@ def _mask_block_spans(text: str, lang: str) -> str:
 
 
 _MASKED_LANGS = frozenset(
-    {"python", "javascript", "go", "java", "rust", "c", "ruby"}
+    {"python", "javascript", "go", "java", "rust", "c", "ruby",
+     "shell", "yaml", "toml"}
 )
 # tokens the mask scanner jumps between (order matters: ''' / """ / /*
 # / r#" before their single-char prefixes), one set per routed lang —
@@ -690,7 +716,26 @@ _RB_MASK_TOK = re.compile(
 )
 _RB_BLOCK_END = re.compile(r"^=end[^\n]*", re.M)
 # a heredoc terminator line's stripped content: exactly the tag shape
+# (ruby convention: uppercase; shell tags may be any-case words)
 _RB_TERM_OK = re.compile(r"[A-Z_]\w*\Z", re.ASCII)
+_SH_TERM_OK = re.compile(r"[A-Za-z_]\w*\Z", re.ASCII)
+# shell: '#' is a comment only at line start / after whitespace (never
+# inside ${#var}); heredoc openers share the ruby branch (same group
+# structure — quote group then tag), tags may be lowercase
+_SH_MASK_TOK = re.compile(
+    r"(?:(?<=\s)|^)#|[\"']|<<-?(['\"]?)([A-Za-z_]\w*)\1", re.M
+)
+# toml: '#' comments, multi-line basic/literal strings reuse the
+# triple-quote branch, single-line strings skip like everywhere else
+_TOML_MASK_TOK = re.compile(r"(?:(?<=\s)|^)#|\"\"\"|'''|[\"']", re.M)
+# a yaml block-scalar header: optional list dash, key (bare or quoted),
+# ':', then '|' or '>' with optional chomp/indent modifiers — or a bare
+# list-item scalar (`- |`); trailing comment allowed
+_YAML_BLOCK_HDR = re.compile(
+    r"^[ \t]*(?:-[ \t]+)?"
+    r"(?:(?:[\w.-]+|\"[^\"]*\"|'[^']*')[ \t]*:)?"
+    r"[ \t]*[|>][+\-0-9]*[ \t]*(?:#[^\n]*)?\r?$"
+)
 _MASK_TOKS = {
     "python": _PY_MASK_TOK,
     "javascript": _JSGO_MASK_TOK,
@@ -699,6 +744,8 @@ _MASK_TOKS = {
     "rust": _RUST_MASK_TOK,
     "c": _C_MASK_TOK,
     "ruby": _RB_MASK_TOK,
+    "shell": _SH_MASK_TOK,
+    "toml": _TOML_MASK_TOK,
 }
 # cheap containment probes gating the scan (the overwhelmingly common
 # no-multi-line-span file must stay zero-cost)
@@ -710,6 +757,9 @@ _MASK_PROBES = {
     "rust": ("/*", 'r"', '#"'),
     "c": ("/*", "\\\n"),
     "ruby": ("=begin", "<<"),
+    "shell": ("<<",),
+    "yaml": ("|", ">"),
+    "toml": ('"""', "'''"),
 }
 
 

@@ -20,6 +20,15 @@ function upload() {
   rsync -a "${BUILD_DIR}/" deploy@host:/srv/app/
 }
 
+# wave-8b shape: heredoc body is string DATA — its function-shaped
+# line must not mint a declaration
+usage() {
+  cat <<USAGE
+usage: deploy.sh [target]
+ghost() { never a function }
+USAGE
+}
+
 main() {
   build_assets
   upload

@@ -128,6 +128,8 @@ LABELS = {
         ("import", "colors"), ("import", "env"),
         ("callable", "log_step"), ("callable", "build_assets"),
         ("callable", "upload"), ("callable", "main"),
+        ("callable", "usage"),           # wave 8b: its heredoc body's
+        # function-shaped line must stay data
     },
     "ops/ci.yaml": {
         ("type", "name"), ("type", "on"), ("type", "jobs"),
@@ -141,6 +143,8 @@ LABELS = {
         ("type", "backends"),
         ("callable", "host"), ("callable", "port"), ("callable", "max_tasks"),
         ("callable", "max_body"), ("callable", "name"), ("callable", "url"),
+        ("callable", "motd"),            # wave 8b: its multi-line string
+        # value's key-shaped body must stay data
     },
     "ops/package.json": {
         ("type", "name"), ("type", "version"), ("type", "scripts"),

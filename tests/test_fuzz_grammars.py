@@ -873,6 +873,8 @@ def _real_decl(lang, i):
         "ruby": (f"def live{i}\n  1\nend", ("function", f"live{i}", "")),
         "c": (f"int live{i}(void) {{\n    return 1;\n}}",
               ("function", f"live{i}", "")),
+        "shell": (f"live{i}() {{\n  echo hi\n}}",
+                  ("function", f"live{i}", "")),
     }[lang]
 
 
@@ -903,6 +905,10 @@ def _wrap_string(lang, body, rng_pick):
             "=begin\n%s\n=end" % body,
         ],
         "c": ['const char *s = "head \\\n%s";' % cont.replace('"', "")],
+        "shell": [
+            "cat <<GHOSTTAG\n%s\nGHOSTTAG" % body,
+            "cat <<'GHOSTTAG'\n%s\nGHOSTTAG" % body.replace("'", ""),
+        ],
     }[lang]
     return forms[rng_pick % len(forms)]
 
@@ -910,7 +916,8 @@ def _wrap_string(lang, body, rng_pick):
 @st.composite
 def _string_payload_case(draw):
     lang = draw(st.sampled_from(
-        ("python", "javascript", "go", "java", "rust", "ruby", "c")))
+        ("python", "javascript", "go", "java", "rust", "ruby", "c",
+         "shell")))
     payload = "\n".join(draw(st.lists(_PAYLOAD_LINES, min_size=1, max_size=4)))
     wrapper = _wrap_string(lang, payload, draw(st.integers(0, 7)))
     before, b_row = _real_decl(lang, draw(st.integers(0, 9)))

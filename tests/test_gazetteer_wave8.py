@@ -297,3 +297,102 @@ def test_jsx_elements_are_not_generic_arrows():
     ]
     for src in cases:
         assert _names("javascript", src, "function") == [], src
+
+
+# --- shell heredocs / yaml block scalars / toml multi-line strings ----------
+# (wave 8b: the structure grammars' own multi-line string forms)
+
+
+def test_shell_heredoc_masks_function_shapes():
+    src = (
+        "deploy() {\n"
+        "  cat <<EOF\n"
+        "ghost() {\n"
+        "  echo hi\n"
+        "}\n"
+        "EOF\n"
+        "}\n"
+    )
+    assert _decls("shell", src) == [("function", "deploy", "")]
+
+
+def test_shell_quoted_and_dash_heredocs_mask():
+    for opener, term in (("<<'USAGE'", "USAGE"), ("<<-MSG", "\tMSG")):
+        src = (
+            "usage() {\n"
+            f"  cat {opener}\n"
+            "helper() { run it }\n"
+            f"{term}\n"
+            "}\n"
+        )
+        assert _decls("shell", src) == [("function", "usage", "")], opener
+
+
+def test_shell_arithmetic_shift_is_not_a_heredoc():
+    # $((x<<WIDTH)) has no terminator line: bare <<TAG never masks
+    # without one, so the rest of the script stays live
+    src = "f() {\n  y=$((x<<WIDTH))\n}\nreal() {\n  echo ok\n}\n"
+    assert _decls("shell", src) == [
+        ("function", "f", ""), ("function", "real", ""),
+    ]
+
+
+def test_shell_heredoc_in_string_or_comment_is_inert():
+    for src in (
+        "f() {\n  echo 'use <<EOF here'\n}\nreal() {\n  echo ok\n}\n",
+        "# use <<EOF style\nreal() {\n  echo ok\n}\n",
+    ):
+        assert ("function", "real", "") in _decls("shell", src), src
+
+
+def test_shell_hash_inside_braces_is_not_a_comment():
+    # ${#arr[@]} must not swallow the rest of the line as a comment
+    src = "f() {\n  n=${#arr[@]}\n  echo $n\n}\n"
+    assert _decls("shell", src) == [("function", "f", "")]
+
+
+def test_yaml_block_scalar_masks_body_keys():
+    # the GitHub-Actions shape: `run: |` bodies are shell, not yaml keys
+    src = (
+        "jobs:\n"
+        "  test:\n"
+        "    steps:\n"
+        "      - name: build\n"
+        "        run: |\n"
+        "          make all\n"
+        "          status: fake\n"
+        "      - name: done\n"
+    )
+    rows = _decls("yaml", src)
+    names = [r[1] for r in rows]
+    assert "status" not in names and "make" not in names
+    assert "run" in names and "name" in names  # headers still extract
+
+
+def test_yaml_folded_scalar_with_chomp_masks():
+    src = "desc: >-\n  some: text\n  more: text\nnext_key: 1\n"
+    names = [r[1] for r in _decls("yaml", src)]
+    assert names == ["desc", "next_key"]
+
+
+def test_yaml_pipe_in_flow_value_is_not_a_scalar_header():
+    src = "cmd: a | b\nnext: 1\n"
+    names = [r[1] for r in _decls("yaml", src)]
+    assert names == ["cmd", "next"]
+
+
+def test_toml_multiline_strings_mask():
+    for src in (
+        'desc = """\nfake = 1\n"""\nreal = 2\n',
+        "pat = '''\nghost = 3\n'''\nreal = 2\n",
+    ):
+        names = [r[1] for r in _decls("toml", src)]
+        assert names == ["desc", "real"] or names == ["pat", "real"], src
+
+
+def test_toml_comment_with_triple_quote_is_inert():
+    src = '# note """\nreal = 2\n[section]\nkey = 1\n'
+    assert _decls("toml", src) == [
+        ("class", "real", ""), ("class", "section", ""),
+        ("method", "key", "section"),
+    ]
