@@ -1045,6 +1045,120 @@ _SH_FUNC = re.compile(
 )
 _SH_SOURCE = re.compile(r"^[ \t]*(?:source|\.)[ \t]+['\"]?([\w./-]+)", re.M)
 
+# --- Dockerfile / Makefile structure grammars (round-5 wave 9) --------------
+#
+# Real repositories are full of extension-less build files the
+# extension-keyed router silently skipped; the reference's extraction
+# reads EVERY file it is given (parsers/pdf_parser.py:587-599), so
+# Dockerfile and Makefile get small structure grammars of their own,
+# routed by lowercased basename (sources/files.py).
+#
+# Dockerfile ontology: base image → import (join-safe stem: last path
+# segment before any ':tag'/'@digest'), `FROM … AS stage` → the stage is
+# a 'class'; ARG/ENV names → 'method' owned by the current stage
+# ('function' before the first FROM — global ARGs).  Instructions are
+# case-insensitive per spec; `#` comment lines cannot match (anchors
+# require the instruction word first).  RUN bodies are shell and are
+# never parsed — no call stream, like the shell grammar.
+_DOCKER_FROM = re.compile(
+    r"^[ \t]*FROM[ \t]+(\S+)(?:[ \t]+AS[ \t]+([\w.-]+))?",
+    re.M | re.I | re.ASCII,
+)
+_DOCKER_ARGENV = re.compile(
+    r"^[ \t]*(ARG|ENV)[ \t]+([A-Za-z_]\w*)", re.M | re.I | re.ASCII
+)
+
+
+def _docker_mentions(text: str) -> List[Dict[str, str]]:
+    rows: List[Tuple[int, Dict[str, str]]] = []
+    stages: List[Tuple[int, str]] = []  # (pos, stage-name or '')
+    for m in _DOCKER_FROM.finditer(text):
+        image = m.group(1).split("@", 1)[0].split(":", 1)[0]
+        stem = image.rsplit("/", 1)[-1]
+        # scratch is the reserved empty base, not a dependency
+        if stem and _CONFIG_KEY_OK.match(stem) and stem.lower() != "scratch":
+            rows.append((m.start(), {"kind": "import", "name": stem, "owner": ""}))
+        stage = m.group(2) or ""
+        if stage:
+            rows.append((m.start(), {"kind": "class", "name": stage, "owner": ""}))
+        stages.append((m.start(), stage))
+    for m in _DOCKER_ARGENV.finditer(text):
+        owner = ""
+        for pos, stage in stages:
+            if pos < m.start():
+                owner = stage
+            else:
+                break
+        kind = "method" if owner else "function"
+        rows.append((m.start(), {"kind": kind, "name": m.group(2), "owner": owner}))
+    return [r for _, r in sorted(rows, key=lambda t: t[0])]
+
+
+# Makefile ontology: `include x.mk` → import (stem), col-0 variable
+# assignments (`VAR = / := / ?= / +=`) and `define NAME` macro blocks →
+# 'class', col-0 rule targets → 'function'.  Recipe lines start with a
+# TAB and continuation lines with whitespace, so neither can match the
+# col-0 anchors; dot-special targets (.PHONY) are excluded by the
+# leading-alpha requirement; `%.o` pattern rules and multi-target lines
+# fail the single-name shape — a declared envelope, like shell calls.
+# define/endef bodies are make-or-shell text and are skipped wholesale.
+_MAKE_INCLUDE = re.compile(r"^-?include[ \t]+(\S+)", re.M | re.ASCII)
+_MAKE_VAR = re.compile(
+    r"^(?:(?:export|override)[ \t]+)?([A-Za-z_][\w.-]*)[ \t]*(?:[:+?]|::)?=",
+    re.M | re.ASCII,
+)
+_MAKE_TARGET = re.compile(
+    # lookahead excludes ':' too so `E ::= 5` can't backtrack into a
+    # single-colon "target" match
+    r"^([A-Za-z_][\w.-]*)[ \t]*::?(?![=:])", re.M | re.ASCII
+)
+_MAKE_DEFINE = re.compile(r"^define[ \t]+([\w.-]+)", re.M | re.ASCII)
+_MAKE_ENDEF = re.compile(r"^endef[ \t]*\r?$", re.M | re.ASCII)
+
+
+def _make_mentions(text: str) -> List[Dict[str, str]]:
+    # blank define..endef bodies first (offset-preserving, like the
+    # block mask) so a body line shaped like `target:` stays data
+    spans = []
+    i = 0
+    while True:
+        m = _MAKE_DEFINE.search(text, i)
+        if m is None:
+            break
+        e = _MAKE_ENDEF.search(text, m.end())
+        end = len(text) if e is None else e.start()
+        spans.append((m.end(), end))
+        i = end + 1
+    if spans:
+        buf, last = [], 0
+        for s, e in spans:
+            buf.append(text[last:s])
+            buf.append("".join("\n" if c == "\n" else " " for c in text[s:e]))
+            last = e
+        buf.append(text[last:])
+        masked = "".join(buf)
+    else:
+        masked = text
+    rows: List[Tuple[int, Dict[str, str]]] = []
+    for m in _MAKE_INCLUDE.finditer(masked):
+        stem = m.group(1).rsplit("/", 1)[-1].split(".", 1)[0]
+        if stem and _CONFIG_KEY_OK.match(stem):
+            rows.append((m.start(), {"kind": "import", "name": stem, "owner": ""}))
+    for m in _MAKE_DEFINE.finditer(masked):
+        rows.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+    for m in _MAKE_VAR.finditer(masked):
+        if m.group(1) in ("include", "define", "endef"):
+            continue
+        rows.append((m.start(), {"kind": "class", "name": m.group(1), "owner": ""}))
+    for m in _MAKE_TARGET.finditer(masked):
+        name = m.group(1)
+        if name in ("include", "define", "endef", "else", "endif", "ifdef",
+                    "ifndef", "ifeq", "ifneq", "export", "unexport",
+                    "override", "vpath"):
+            continue
+        rows.append((m.start(), {"kind": "function", "name": name, "owner": ""}))
+    return [r for _, r in sorted(rows, key=lambda t: t[0])]
+
 
 def _json_mentions(text: str) -> List[Dict[str, str]]:
     """Brace-depth scanner for JSON chunks (works on minified and
@@ -1591,6 +1705,10 @@ def extract_mentions(
         # no call extraction: in shell every bare word is a command
         # invocation and $(...)/test(...) shapes defeat the _CALL heuristic
         # — a declared gap, not a silent one
+    elif lang == "docker":
+        out.extend(_docker_mentions(text))
+    elif lang == "make":
+        out.extend(_make_mentions(text))
     elif lang == "text":
         for m in _TEXT_TERM_RE.finditer(text):
             out.append({"kind": "term", "name": m.group(1), "owner": ""})

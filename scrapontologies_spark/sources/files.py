@@ -63,7 +63,19 @@ EXT_LANG = {
     "markdown": "markdown",
     "rst": "markdown",
     "txt": "text",
+    # extension-less build files route by LOWERCASED BASENAME: the lang
+    # expression takes the basename's last dot-segment, which for a
+    # dotless file IS the whole basename — so `Dockerfile` hits the
+    # "dockerfile" key exactly like `app.dockerfile` does (wave 9)
+    "dockerfile": "docker",
+    "makefile": "make",
+    "gnumakefile": "make",
+    "mk": "make",
 }
+# dotless basenames the default glob must admit (pathGlobFilter would
+# otherwise exclude them before routing ever sees them)
+_BASENAME_FILES = ("Dockerfile", "dockerfile", "Makefile", "makefile",
+                   "GNUmakefile")
 
 
 def _default_glob(ext_lang: Mapping[str, str]) -> str:
@@ -73,7 +85,10 @@ def _default_glob(ext_lang: Mapping[str, str]) -> str:
     never-skip-a-page contract.  Mixed-case extensions (.Txt) still need
     an explicit ``path_glob``."""
     exts = sorted({e for x in ext_lang for e in (x.lower(), x.upper())})
-    return "*.{" + ",".join(exts) + "}"
+    # flat alternation (no nested braces — not all Hadoop glob versions
+    # nest them): every extension both-cased, plus the dotless basenames
+    parts = ["*." + e for e in exts] + list(_BASENAME_FILES)
+    return "{" + ",".join(parts) + "}"
 
 
 def corpus_from_files(
@@ -137,7 +152,12 @@ def corpus_from_files(
     else:
         abs_root = os.path.abspath(root)
     rel = F.regexp_replace(F.col("path"), "^.*?" + re.escape(abs_root + "/"), "")
-    ext = F.lower(F.substring_index(F.col("path"), ".", -1))
+    # basename first, then its last dot-segment: for a dotless file
+    # (Dockerfile, Makefile) that IS the basename, which routes via the
+    # lowercased-basename keys of EXT_LANG; dotted files are unchanged
+    ext = F.lower(
+        F.substring_index(F.substring_index(F.col("path"), "/", -1), ".", -1)
+    )
     lang_map = F.create_map(*[F.lit(x) for kv in langs.items() for x in kv])
     return (
         raw.filter(F.col("length") <= max_bytes)

@@ -39,7 +39,9 @@ def measure():
     details = []
     for rel, gold in sorted(LABELS.items()):
         path = os.path.join(root, rel)
-        ext = rel.rsplit(".", 1)[-1].lower()
+        # basename's last dot-segment — for a dotless file that IS the
+        # basename, routing Dockerfile/Makefile exactly like the engine
+        ext = rel.rsplit("/", 1)[-1].rsplit(".", 1)[-1].lower()
         lang = EXT_LANG.get(ext, "text")
         with open(path, encoding="utf-8") as fh:
             text = fh.read()

@@ -151,6 +151,20 @@ LABELS = {
         ("type", "dependencies"),
         ("callable", "build"), ("callable", "test"), ("callable", "router"),
     },
+    # --- wave-9 extension-less build files ------------------------------
+    "ops/Dockerfile": {
+        ("import", "node"), ("import", "nginx"),   # base images, stems
+        ("type", "builder"), ("type", "serve"),    # named stages
+        ("callable", "VERSION"), ("callable", "NODE_ENV"),
+        ("callable", "PORT"),                      # ARG/ENV per stage
+    },
+    "ops/Makefile": {
+        ("import", "common"),
+        ("type", "CC"), ("type", "CFLAGS"), ("type", "PREFIX"),
+        ("type", "USAGE"),                         # define block
+        ("callable", "all"), ("callable", "test"), ("callable", "clean"),
+        # .PHONY, recipe lines and the define body are not declarations
+    },
     # --- round-5 wave-4 shape files -------------------------------------
     "web/hooks.ts": {
         ("import", "react"), ("import", "model"),
@@ -262,6 +276,9 @@ OWNERS = {
                         "clamp_angle": ""},  # after the class closed
     "native/pool.c": {"align_up": "", "pool_new": "", "pool_alloc": "",
                       "pool_reset": ""},
+    # wave-9 owner checks: ARG/ENV belong to their enclosing build stage
+    "ops/Dockerfile": {"VERSION": "builder", "NODE_ENV": "builder",
+                       "PORT": "serve"},
     # round-5 wave-4 owner checks
     "web/legacy.cjs": {"loadConfig": "", "merge": "", "watch": ""},
     "svc/models.go": {"Overdue": "Task", "NewTask": ""},

@@ -625,7 +625,7 @@ _NOISE_PIECES = st.sampled_from([
 ])
 _NOISE_TEXT = st.lists(_NOISE_PIECES, min_size=0, max_size=40).map("".join)
 
-_ALL_LANGS = tuple(_RECALL) + ("text", "markdown")
+_ALL_LANGS = tuple(_RECALL) + ("text", "markdown", "docker", "make")
 
 
 @settings(**_SETTINGS)
