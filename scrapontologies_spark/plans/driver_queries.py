@@ -44,6 +44,12 @@ _FILES_FIXTURE = {
     ),
     "conf/app.yaml": "server:\n  host: localhost\n  - port: 8080\nlimits:\n  cpu: 2\n",
     "notes.txt": "sort the rows then merge and hash the batch\n",
+    # wave-9: extension-less build files, routed by lowercased basename
+    "Dockerfile": (
+        "FROM ghcr.io/kg/python:3.12 AS build\nARG REV=1\n\n"
+        "FROM alpine:3.20\nENV MODE=fast\n"
+    ),
+    "build/Makefile": "include deps.mk\n\nCC := gcc\n\nall:\n\ttrue\n",
 }
 
 # single shared reader (driver_helpers) — dataset_queries uses the same one
@@ -290,7 +296,7 @@ def queries() -> Q:
         from ..sources.files import corpus_from_files
         from .pipeline import run_pipeline
 
-        root = os.path.join(tempfile.gettempdir(), "kg_files_fixture_v1", "kgfix")
+        root = os.path.join(tempfile.gettempdir(), "kg_files_fixture_v2", "kgfix")
         # clear first: a leftover tree from an older fixture version (or a
         # renamed/removed file) would otherwise be scanned alongside the
         # current files and break the hand-inlined VALUES oracle
@@ -479,6 +485,15 @@ def _base_oracles() -> dict[str, str]:
             -- A drift anywhere in the binaryFile→decode→route→fold→triples
             -- chain breaks the hash match.
             SELECT * FROM (VALUES
+              ('kgfix/Dockerfile', 'defines', 'kgfix/Dockerfile::MODE', 'defines'),
+              ('kgfix/Dockerfile', 'defines', 'kgfix/Dockerfile::REV', 'defines'),
+              ('kgfix/Dockerfile', 'defines', 'kgfix/Dockerfile::build', 'defines'),
+              ('kgfix/Dockerfile', 'imports', 'lib::alpine', 'import'),
+              ('kgfix/Dockerfile', 'imports', 'lib::python', 'import'),
+              ('kgfix/Dockerfile::build', 'has_method', 'kgfix/Dockerfile::REV', 'containment'),
+              ('kgfix/build/Makefile', 'defines', 'kgfix/build/Makefile::CC', 'defines'),
+              ('kgfix/build/Makefile', 'defines', 'kgfix/build/Makefile::all', 'defines'),
+              ('kgfix/build/Makefile', 'imports', 'lib::deps', 'import'),
               ('kgfix/app/main.py', 'defines', 'kgfix/app/main.py::App', 'defines'),
               ('kgfix/app/main.py', 'defines', 'kgfix/app/main.py::main', 'defines'),
               ('kgfix/app/main.py', 'defines', 'kgfix/app/main.py::run', 'defines'),
