@@ -700,7 +700,7 @@ def _mask_block_spans(text: str, lang: str) -> str:
 
 _MASKED_LANGS = frozenset(
     {"python", "javascript", "go", "java", "rust", "c", "ruby",
-     "shell", "yaml", "toml"}
+     "shell", "yaml", "toml", "docker"}
 )
 # tokens the mask scanner jumps between (order matters: ''' / """ / /*
 # / r#" before their single-char prefixes), one set per routed lang —
@@ -746,6 +746,12 @@ _MASK_TOKS = {
     "ruby": _RB_MASK_TOK,
     "shell": _SH_MASK_TOK,
     "toml": _TOML_MASK_TOK,
+    # BuildKit heredocs (`RUN <<EOF … EOF`) leaked their bodies —
+    # `ENV GHOST=1` minted a member and a FROM-shaped body line even
+    # corrupted stage tracking; instruction lines are shell-flavored,
+    # so the shell token set (line-start comments, quotes, heredocs)
+    # applies as-is
+    "docker": _SH_MASK_TOK,
 }
 # cheap containment probes gating the scan (the overwhelmingly common
 # no-multi-line-span file must stay zero-cost)
@@ -760,6 +766,7 @@ _MASK_PROBES = {
     "shell": ("<<",),
     "yaml": ("|", ">"),
     "toml": ('"""', "'''"),
+    "docker": ("<<",),
 }
 
 

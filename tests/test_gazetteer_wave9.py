@@ -150,3 +150,41 @@ def test_corpus_from_files_routes_dotless_basenames(tmp_path, spark):
     got = {r.path: r.lang for r in df.collect()}
     assert got == {"Dockerfile": "docker", "Makefile": "make",
                    "app.py": "python"}
+
+
+# --- BuildKit heredocs (wave 9b) --------------------------------------------
+
+
+def test_docker_run_heredoc_body_is_masked():
+    src = (
+        "FROM alpine:3.20 AS base\n"
+        "RUN <<EOF\n"
+        "apk add curl\n"
+        "ENV GHOST=1\n"
+        "FROM ghostimg\n"
+        "EOF\n"
+        "ENV REAL=2\n"
+    )
+    # the body's ENV/FROM-shaped lines are data, and the phantom FROM
+    # must not reset stage tracking: REAL stays owned by `base`
+    assert _rows("docker", src) == [
+        ("import", "alpine", ""),
+        ("class", "base", ""),
+        ("method", "REAL", "base"),
+    ]
+
+
+def test_docker_copy_heredoc_masks():
+    src = (
+        "FROM alpine AS b\n"
+        "COPY <<CFG /etc/app.conf\n"
+        "key: value\n"
+        "ARG GHOST\n"
+        "CFG\n"
+        "ARG REAL\n"
+    )
+    assert _rows("docker", src) == [
+        ("import", "alpine", ""),
+        ("class", "b", ""),
+        ("method", "REAL", "b"),
+    ]
