@@ -594,8 +594,50 @@ def _mask_block_spans(text: str, lang: str) -> str:
             spans.append((start, end))
             i = end
         elif tok == "/*":
-            j = text.find("*/", start + 2)
-            end = n if j == -1 else j + 2
+            if lang == "rust":
+                # rust block comments NEST per spec: the first '*/' of
+                # `/* a /* b */ c */` does not close the span — a flat
+                # find leaked everything after the inner closer
+                depth, j = 1, start + 2
+                end = n
+                while True:
+                    mo = _RUST_BLOCK_TOK.search(text, j)
+                    if mo is None:
+                        break
+                    depth += 1 if mo.group() == "/*" else -1
+                    j = mo.end()
+                    if depth == 0:
+                        end = j
+                        break
+            else:
+                j = text.find("*/", start + 2)
+                end = n if j == -1 else j + 2
+            spans.append((start, end))
+            i = end
+        elif "#" in tok and tok.lstrip(" \t#").startswith("if"):
+            # C '#if 0' — THE idiom for commenting out code: mask through
+            # the matching #endif (nested #if* tracked), but stop BEFORE
+            # a depth-1 #else/#elif whose branch is live code
+            depth = 1
+            j = m.end()
+            end = n
+            while True:
+                mo = _C_PP_TOK.search(text, j)
+                if mo is None:
+                    break
+                kw = mo.group(1)
+                if kw in ("ifdef", "ifndef", "if"):
+                    depth += 1
+                elif kw == "endif":
+                    depth -= 1
+                    if depth == 0:
+                        le = text.find("\n", mo.end())
+                        end = n if le == -1 else le
+                        break
+                elif depth == 1:  # else / elif: live branch follows
+                    end = mo.start()
+                    break
+                j = mo.end()
             spans.append((start, end))
             i = end
         elif tok in ("#", "//"):  # line comment: no opener inside counts
@@ -708,7 +750,14 @@ _MASKED_LANGS = frozenset(
 # strings only in rust, heredocs only in ruby
 _PY_MASK_TOK = re.compile(r'"""|\'\'\'|#|["\']')
 _JSGO_MASK_TOK = re.compile(r"/\*|//|[\"'`]")
-_C_MASK_TOK = re.compile(r"/\*|//|[\"']")
+_C_MASK_TOK = re.compile(r"/\*|//|[\"']|^[ \t]*#[ \t]*if[ \t]+0\b", re.M)
+# preprocessor conditional keywords for the '#if 0' depth scan
+# (ifdef/ifndef before if — alternation is first-match)
+_C_PP_TOK = re.compile(
+    r"^[ \t]*#[ \t]*(ifdef|ifndef|if|elif|else|endif)\b", re.M
+)
+# rust block-comment nesting scan tokens
+_RUST_BLOCK_TOK = re.compile(r"/\*|\*/")
 _JAVA_MASK_TOK = re.compile(r'/\*|//|"""|["\']')
 _RUST_MASK_TOK = re.compile(r'/\*|//|(?<![\w"])b?r#*"|["\']')
 _RB_MASK_TOK = re.compile(
@@ -761,7 +810,7 @@ _MASK_PROBES = {
     "go": ("/*", "`"),
     "java": ("/*", '"""'),
     "rust": ("/*", 'r"', '#"'),
-    "c": ("/*", "\\\n"),
+    "c": ("/*", "\\\n", "#if", "# if"),
     "ruby": ("=begin", "<<"),
     "shell": ("<<",),
     "yaml": ("|", ">"),

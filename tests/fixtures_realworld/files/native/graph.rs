@@ -62,3 +62,8 @@ graph TD
 fn ghost() {}
 "#
 }
+
+/* wave-8c shape: rust block comments NEST — the whole span is dead
+   /* inner */ and this line is STILL comment:
+fn ghost_nested() {}
+*/

@@ -39,3 +39,11 @@ void pool_reset(struct pool *p) {
     memset(p->base, 0, p->used);
     p->used = 0;
 }
+
+/* wave-8c shape: #if 0 is commented-out code — never mentions */
+#if 0
+int pool_ghost(struct pool *p) {
+    leak(p);
+    return 0;
+}
+#endif

@@ -396,3 +396,55 @@ def test_toml_comment_with_triple_quote_is_inert():
         ("class", "real", ""), ("class", "section", ""),
         ("method", "key", "section"),
     ]
+
+
+# --- C '#if 0' blocks and rust nested comments (wave 8c) --------------------
+
+
+def test_c_if0_block_masks_decls_and_calls():
+    src = (
+        "#if 0\n"
+        "int ghost(int x) {\n"
+        "    boo(1);\n"
+        "}\n"
+        "#endif\n"
+        "int real(void) {\n"
+        "    return 1;\n"
+        "}\n"
+    )
+    assert _decls("c", src) == [("function", "real", "")]
+    assert _calls("c", src) == []
+
+
+def test_c_if0_else_branch_is_live():
+    src = (
+        "#if 0\nint ghost(void) {\n    return 0;\n}\n"
+        "#else\nint live(void) {\n    return 1;\n}\n#endif\n"
+    )
+    assert _decls("c", src) == [("function", "live", "")]
+
+
+def test_c_if0_nested_conditionals_mask_to_matching_endif():
+    src = (
+        "#if 0\n#ifdef X\nint ghost(void) { return 0; }\n#endif\n"
+        "int ghost2(void) { return 0; }\n#endif\n"
+        "int real(void) { return 1; }\n"
+    )
+    assert _decls("c", src) == [("function", "real", "")]
+
+
+def test_c_ifdef_code_still_extracts():
+    # #ifdef NAME guards REAL code a reader inventories — only the
+    # literal '#if 0' idiom means commented-out
+    src = "#ifdef FEATURE_X\nint maybe(int x) {\n    return x;\n}\n#endif\n"
+    assert _decls("c", src) == [("function", "maybe", "")]
+
+
+def test_rust_nested_block_comment_masks_to_outer_closer():
+    src = (
+        "/* outer /* inner */ still comment\n"
+        "fn ghost() {}\n"
+        "*/\n"
+        "fn real() -> u32 {\n    1\n}\n"
+    )
+    assert _decls("rust", src) == [("function", "real", "")]
